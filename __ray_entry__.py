@@ -1,44 +1,706 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship geotag->join->tile pipeline on synthetic pages.
+queries()    — one callable per implemented operator/pipeline (SURVEY.md §2).
+oracle_sql() — DuckDB-equivalent SQL per query where expressible; the
+               geometry oracles recompute results from raw coordinates
+               (shoelace / cross-sign tests in SQL), not baked constants.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing here calls ray.init().
+All float aggregate outputs are rounded identically on both sides so the
+value-hash compare is insensitive to FP summation order.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+# --------------------------------------------------------------------------- #
+# helpers
+# --------------------------------------------------------------------------- #
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(ds, spec: dict):
+    """Round float columns to fixed decimals (FP-order insensitivity)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for col, nd in spec.items():
+            if col in t.column_names:
+                i = t.column_names.index(col)
+                t = t.set_column(i, col, pc.round(pc.cast(t[col], pa.float64()), ndigits=nd))
+        return t
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _cents_cols(ds, cols, scale: int = 100):
+    """Large-magnitude float sums -> int64 scaled units ('cents'): decimal
+    rounding of big doubles is not canonical across engines (1-ULP skew),
+    integer scaling is."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        for col in cols:
+            if col in t.column_names:
+                i = t.column_names.index(col)
+                v = np.rint(np.asarray(t[col], dtype=np.float64) * scale).astype(np.int64)
+                t = t.set_column(i, col, pa.array(v, pa.int64()))
+        return t
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _pages_count(sf_dir: str) -> int:
+    # scale synthetic pages with the sf directory: sf0.001 -> 2k pages, etc.
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return max(1000, int(2_000_000 * sf))
+
+
+# --------------------------------------------------------------------------- #
+# relational queries (TPC-H-ish tables)
+# --------------------------------------------------------------------------- #
+
+
+def q1_pricing_summary(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+    out = _round_cols(out, {"avg_qty": 6})
+    return _cents_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+
+def q3_revenue_topk(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from simplefeatures_ray.functions.relational import broadcast_join, collect_table
+
+    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+    orders = collect_table(_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]))
+    orders_b = orders.join(cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="left semi")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    li = li.map_batches(derive, batch_format="pyarrow")
+    joined = broadcast_join(li, orders_b.select(["o_orderkey", "o_orderdate"]),
+                            keys="l_orderkey", right_keys="o_orderkey", join_type="inner")
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("rev", alias_name="revenue"))
+    agg = _cents_cols(agg, ["revenue"])
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+def region_customer_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from simplefeatures_ray.functions.relational import broadcast_join, collect_table
+
+    nation = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    region = collect_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    nr = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, nr.select(["n_nationkey", "r_name"]),
+                            keys="c_nationkey", right_keys="n_nationkey")
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
+    )
+    return _cents_cols(out, ["total_acctbal"])
+
+
+def events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="total_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+    out = _round_cols(out, {"avg_value": 6})
+    return _cents_cols(out, ["total_value"])
+
+
+def top_parts(sf_dir: str):
+    from simplefeatures_ray.functions.relational import topk
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    return topk(ds, "p_retailprice", 15)
+
+
+# --------------------------------------------------------------------------- #
+# documents: text analysis + dedup
+# --------------------------------------------------------------------------- #
+
+
+def docs_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len((s or "").split()) for s in t["text"].to_pylist()),
+            dtype=np.int64, count=len(t),
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_ws_tokens": pa.array(n)})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def docs_dedup_prefix(sf_dir: str):
+    """Exact dedup on the 5-word text prefix: hash-partition + first."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_prefix(t: pa.Table) -> pa.Table:
+        pref = [" ".join((s or "").split()[:5]) for s in t["text"].to_pylist()]
+        return t.append_column("prefix5", pa.array(pref, pa.string()))
+
+    ds = ds.map_batches(add_prefix, batch_format="pyarrow")
+    return ds.groupby("prefix5").aggregate(
+        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies")
+    )
+
+
+def docs_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def docs_quality(sf_dir: str):
+    from simplefeatures_ray.functions.text import QualityScore, TokenCount
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(TokenCount, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    return _round_cols(
+        ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens", "punct_ratio", "stop_ratio", "quality"]),
+        {"punct_ratio": 6, "stop_ratio": 6, "quality": 6},
+    )
+
+
+def docs_minhash_pairs(sf_dir: str):
+    from simplefeatures_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, num_perm=64, bands=16)
+
+
+def docs_simhash_pairs(sf_dir: str):
+    from simplefeatures_ray.functions.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=6)
+
+
+def docs_fingerprint(sf_dir: str):
+    from simplefeatures_ray.functions.text import Fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.select_columns(["doc_id", "fingerprint", "kgram_min"])
+
+
+def docs_langid_pred(sf_dir: str):
+    from simplefeatures_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+# --------------------------------------------------------------------------- #
+# embeddings: norms + ANN
+# --------------------------------------------------------------------------- #
+
+
+def emb_norm_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        offsets = np.asarray(arr.offsets)
+        n = len(arr)
+        mat = flat.reshape(n, -1) if len(set(np.diff(offsets))) == 1 else None
+        if mat is not None:
+            norms = np.sqrt((mat * mat).sum(axis=1))
+        else:
+            norms = np.array([np.sqrt(float(np.sum(np.square(flat[offsets[i]:offsets[i+1]]))))
+                              for i in range(n)])
+        return pa.table({"vec_id": t["vec_id"], "l2_norm": pa.array(np.round(norms, 4))})
+
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    return out.sort(["l2_norm", "vec_id"], descending=[True, False]).limit(20)
+
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+def _query_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pa.compute.is_in(t["vec_id"], value_set=pa.array(_ANN_QUERY_IDS))
+    sel = t.filter(mask)
+    order = np.argsort(np.asarray(sel["vec_id"]))
+    mat = np.stack([np.asarray(v.as_py(), dtype=np.float64) for v in sel.column("embedding")])
+    return np.asarray(sel["vec_id"])[order], mat[order]
+
+
+def ann_cosine_topk(sf_dir: str):
+    from simplefeatures_ray.functions.ann import brute_force_topk
+
+    qids, qmat = _query_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, qids, qmat, k=5)
+    return _round_cols(out, {"cosine": 4})
+
+
+def ann_ivf_topk(sf_dir: str):
+    from simplefeatures_ray.functions.ann import ivf_topk
+
+    qids, qmat = _query_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, qids, qmat, k=5, n_clusters=8, nprobe=8)  # nprobe=all -> exact
+    return _round_cols(out, {"cosine": 4})
+
+
+# --------------------------------------------------------------------------- #
+# spatial queries with SQL oracles
+# --------------------------------------------------------------------------- #
+
+
+def spatial_points_in_boxes(sf_dir: str):
+    from simplefeatures_ray.pipelines.corpus import boxes_as_polygon_table, events_xy
+    from simplefeatures_ray.stages.join import BroadcastSpatialJoin, build_polygon_index
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    index_ref = ray.put(build_polygon_index(boxes_as_polygon_table()))
+    joined = pts.map_batches(
+        BroadcastSpatialJoin,
+        fn_constructor_kwargs={"index_ref": index_ref, "mode": "inner",
+                               "x_col": "x", "y_col": "y"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "x": t["x"], "y": t["y"],
+                         "box_id": t["poly_id"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def spatial_grid_cells(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table(
+            {
+                "cell_x": pa.array(np.floor(x / 5.0).astype(np.int64)),
+                "cell_y": pa.array(np.floor(y / 5.0).astype(np.int64)),
+            }
+        )
+
+    cells = ds.map_batches(derive, batch_format="pyarrow")
+    return cells.groupby(["cell_x", "cell_y"]).aggregate(Count(alias_name="n_points"))
+
+
+def spatial_knn_boxes(sf_dir: str):
+    import ray
+
+    from simplefeatures_ray.pipelines.corpus import boxes_as_polygon_table, events_xy
+    from simplefeatures_ray.stages.join import KNNJoin, build_polygon_index
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    index_ref = ray.put(build_polygon_index(boxes_as_polygon_table()))
+    out = pts.map_batches(
+        KNNJoin,
+        fn_constructor_kwargs={"index_ref": index_ref, "k": 3, "x_col": "x", "y_col": "y"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "box_id": t["poly_id"],
+                "knn_dist": pc.round(t["knn_dist"], ndigits=6),
+                "knn_rank": pa.compute.cast(t["knn_rank"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# geometry-kernel queries with coordinate-recomputing SQL oracles
+# --------------------------------------------------------------------------- #
+
+
+def geom_area(sf_dir: str):
+    from simplefeatures_ray.geometry.algorithms import area
+    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+
+    rows = [(cid, round(area(g), 6)) for cid, g in polygon_corpus()]
+    return pa.table(
+        {"case_id": pa.array([r[0] for r in rows], pa.int64()),
+         "area": pa.array([r[1] for r in rows], pa.float64())}
+    )
+
+
+def geom_length(sf_dir: str):
+    from simplefeatures_ray.geometry.algorithms import length
+    from simplefeatures_ray.pipelines.corpus import linestring_corpus
+
+    rows = [(cid, round(length(g), 6)) for cid, g in linestring_corpus()]
+    return pa.table(
+        {"case_id": pa.array([r[0] for r in rows], pa.int64()),
+         "length": pa.array([r[1] for r in rows], pa.float64())}
+    )
+
+
+def geom_envelope(sf_dir: str):
+    from simplefeatures_ray.geometry.algorithms import envelope
+    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+
+    recs = {"case_id": [], "minx": [], "miny": [], "maxx": [], "maxy": []}
+    for cid, g in polygon_corpus():
+        e = envelope(g)
+        recs["case_id"].append(cid)
+        recs["minx"].append(e[0])
+        recs["miny"].append(e[1])
+        recs["maxx"].append(e[2])
+        recs["maxy"].append(e[3])
+    return pa.table(recs)
+
+
+def geom_centroid(sf_dir: str):
+    from simplefeatures_ray.geometry.algorithms import centroid
+    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+
+    recs = {"case_id": [], "cx": [], "cy": []}
+    for cid, g in polygon_corpus():
+        c = centroid(g)
+        recs["case_id"].append(cid)
+        recs["cx"].append(round(c[0], 6))
+        recs["cy"].append(round(c[1], 6))
+    return pa.table(recs)
+
+
+def geom_pip_convex(sf_dir: str):
+    from simplefeatures_ray.geometry.predicates import points_in_polygon
+    from simplefeatures_ray.pipelines.corpus import point_probe_grid, polygon_corpus
+
+    probes = point_probe_grid()
+    px = np.array([p[1] for p in probes])
+    py = np.array([p[2] for p in probes])
+    pid = np.array([p[0] for p in probes], dtype=np.int64)
+    out_p, out_c = [], []
+    for cid, g in polygon_corpus():
+        if len(g.rings) != 1:
+            continue  # convex-only oracle
+        loc = points_in_polygon(px, py, g.rings)
+        hit = loc >= 0
+        out_p.append(pid[hit])
+        out_c.append(np.full(int(hit.sum()), cid, dtype=np.int64))
+    return pa.table(
+        {"probe_id": pa.array(np.concatenate(out_p)), "case_id": pa.array(np.concatenate(out_c))}
+    )
+
+
+# --------------------------------------------------------------------------- #
+# flagship
+# --------------------------------------------------------------------------- #
+
+
+def flagship_tiles(sf_dir: str):
+    from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
+    from simplefeatures_ray.sources.pages import pages_dataset
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    n = _pages_count(sf_dir)
+    return geotag_join_tiles(pages_dataset(n), make_polygons(64))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; driver checks rows >= 0."""
+    return flagship_tiles("/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------------- #
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_revenue_topk": q3_revenue_topk,
+        "region_customer_stats": region_customer_stats,
+        "events_by_type": events_by_type,
+        "top_parts": top_parts,
+        # documents / text
+        "docs_token_counts": docs_token_counts,
+        "docs_dedup_prefix": docs_dedup_prefix,
+        "docs_lang_distribution": docs_lang_distribution,
+        "docs_quality": docs_quality,
+        "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_simhash_pairs": docs_simhash_pairs,
+        "docs_fingerprint": docs_fingerprint,
+        "docs_langid_pred": docs_langid_pred,
+        # embeddings
+        "emb_norm_topk": emb_norm_topk,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        # spatial
+        "spatial_points_in_boxes": spatial_points_in_boxes,
+        "spatial_grid_cells": spatial_grid_cells,
+        "spatial_knn_boxes": spatial_knn_boxes,
+        # geometry kernels
+        "geom_area": geom_area,
+        "geom_length": geom_length,
+        "geom_envelope": geom_envelope,
+        "geom_centroid": geom_centroid,
+        "geom_pip_convex": geom_pip_convex,
+        # flagship (rows-only check)
+        "flagship_tiles": flagship_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from simplefeatures_ray.pipelines.corpus import (
+        coords_values_sql,
+        event_points_sql,
+        join_boxes_sql,
+        linestring_corpus,
+        polygon_corpus,
+    )
+
+    poly_vals = coords_values_sql(polygon_corpus())
+    line_vals = coords_values_sql(linestring_corpus())
+    convex_vals = coords_values_sql(
+        [(cid, g) for cid, g in polygon_corpus() if len(g.rings) == 1]
+    )
+    probe_vals = ", ".join(
+        f"({pid},{x!r},{y!r})" for pid, x, y in __import__(
+            "simplefeatures_ray.pipelines.corpus", fromlist=["point_probe_grid"]
+        ).point_probe_grid()
+    )
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_revenue_topk": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "region_customer_stats": """
+            SELECT r.r_name, COUNT(*) AS n_customers,
+                   CAST(ROUND(SUM(c.c_acctbal) * 100) AS BIGINT) AS total_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 15
+        """,
+        "docs_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens
+            FROM documents
+        """,
+        "docs_dedup_prefix": r"""
+            SELECT array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 5), ' ')
+                       AS prefix5,
+                   MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "docs_lang_distribution": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "emb_norm_topk": """
+            SELECT vec_id,
+                   ROUND(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+            FROM embeddings
+            ORDER BY l2_norm DESC, vec_id ASC LIMIT 20
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+                 sims AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(q.qe, x -> CAST(x AS DOUBLE))) AS cos
+                   FROM embeddings e CROSS JOIN q),
+                 ranked AS (
+                   SELECT query_id, vec_id, cos,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+                   FROM sims)
+            SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
+            FROM ranked WHERE rank < 5
+        """,
+        "spatial_points_in_boxes": f"""
+            SELECT pts.event_id, pts.x, pts.y, boxes.box_id
+            FROM {event_points_sql('pts')}
+            JOIN {join_boxes_sql('boxes')}
+              ON pts.x BETWEEN boxes.minx AND boxes.maxx
+             AND pts.y BETWEEN boxes.miny AND boxes.maxy
+        """,
+        "spatial_grid_cells": f"""
+            SELECT CAST(floor(x / 5.0) AS BIGINT) AS cell_x,
+                   CAST(floor(y / 5.0) AS BIGINT) AS cell_y,
+                   COUNT(*) AS n_points
+            FROM {event_points_sql('pts')}
+            GROUP BY 1, 2
+        """,
+        "spatial_knn_boxes": f"""
+            WITH d AS (
+              SELECT pts.event_id, boxes.box_id,
+                     sqrt(pow(greatest(boxes.minx - pts.x, 0, pts.x - boxes.maxx), 2)
+                        + pow(greatest(boxes.miny - pts.y, 0, pts.y - boxes.maxy), 2)) AS dist
+              FROM {event_points_sql('pts')} CROSS JOIN {join_boxes_sql('boxes')}),
+            ranked AS (
+              SELECT event_id, box_id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY event_id
+                                        ORDER BY dist ASC, box_id ASC) - 1 AS knn_rank
+              FROM d)
+            SELECT event_id, box_id, ROUND(dist, 6) AS knn_dist, knn_rank
+            FROM ranked WHERE knn_rank < 3
+        """,
+        "geom_area": f"""
+            WITH c AS (SELECT * FROM {poly_vals} t),
+            seg AS (SELECT case_id, ring_id, sign, x, y,
+                           lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                    FROM c WINDOW w AS (PARTITION BY case_id, ring_id ORDER BY idx)),
+            ring AS (SELECT case_id, ring_id, any_value(sign) AS sgn,
+                            abs(SUM(x * y2 - x2 * y)) / 2 AS a
+                     FROM seg WHERE x2 IS NOT NULL GROUP BY case_id, ring_id)
+            SELECT case_id, ROUND(SUM(sgn * a), 6) AS area
+            FROM ring GROUP BY case_id
+        """,
+        "geom_length": f"""
+            WITH c AS (SELECT * FROM {line_vals} t),
+            seg AS (SELECT case_id, x, y, lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                    FROM c WINDOW w AS (PARTITION BY case_id ORDER BY idx))
+            SELECT case_id,
+                   ROUND(SUM(sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))), 6) AS length
+            FROM seg WHERE x2 IS NOT NULL GROUP BY case_id
+        """,
+        "geom_envelope": f"""
+            SELECT case_id, MIN(x) AS minx, MIN(y) AS miny,
+                   MAX(x) AS maxx, MAX(y) AS maxy
+            FROM {poly_vals} t GROUP BY case_id
+        """,
+        "geom_centroid": f"""
+            WITH c AS (SELECT * FROM {poly_vals} t),
+            seg AS (SELECT case_id, ring_id, x, y,
+                           lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                    FROM c WINDOW w AS (PARTITION BY case_id, ring_id ORDER BY idx)),
+            ring AS (SELECT case_id,
+                            SUM(x * y2 - x2 * y) / 2 AS a,
+                            SUM((x + x2) * (x * y2 - x2 * y)) / 6 AS sx,
+                            SUM((y + y2) * (x * y2 - x2 * y)) / 6 AS sy
+                     FROM seg WHERE x2 IS NOT NULL GROUP BY case_id, ring_id)
+            SELECT case_id, ROUND(SUM(sx) / SUM(a), 6) AS cx,
+                   ROUND(SUM(sy) / SUM(a), 6) AS cy
+            FROM ring GROUP BY case_id
+        """,
+        "geom_pip_convex": f"""
+            WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),
+            c AS (SELECT * FROM {convex_vals} t),
+            seg AS (SELECT case_id, x, y, lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                    FROM c WINDOW w AS (PARTITION BY case_id ORDER BY idx)),
+            crosses AS (
+              SELECT p.probe_id, s.case_id,
+                     (s.x2 - s.x) * (p.py - s.y) - (s.y2 - s.y) * (p.px - s.x) AS cr
+              FROM probes p CROSS JOIN seg s WHERE s.x2 IS NOT NULL)
+            SELECT probe_id, case_id
+            FROM crosses GROUP BY probe_id, case_id
+            HAVING MIN(cr) >= 0
+        """,
+    }

@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and print ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "pages": N, "pages_per_sec": N}
+
+--scaling: run the flagship pipeline in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs plus scaling efficiency = t8_throughput ratio vs 4x
+(the sandbox proxy for the N vs 4N node cluster criterion).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "spatial_points_in_boxes",
+    "spatial_knn_boxes",
+    "ann_cosine_topk",
+    "docs_minhash_pairs",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _consume(res) -> int:
+    """Consume a query result without driver-side materialization of big
+    data; returns row count."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_flagship(n_pages: int):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
+    from simplefeatures_ray.sources.pages import pages_dataset
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    t0 = time.time()
+    out = geotag_join_tiles(pages_dataset(n_pages), make_polygons(64), final_sort=True)
+    n = out.count()
+    return time.time() - t0, n
+
+
+def single_run(num_cpus: int, include_queries: bool = True) -> dict:
+    ray = _init_ray(num_cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    n_pages = entrymod._pages_count(SF_DIR)
+    flagship_sec, out_rows = run_flagship(n_pages)
+
+    qtimes = {}
+    if include_queries:
+        qs = entrymod.queries()
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            _consume(qs[name](SF_DIR))
+            qtimes[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "pages/sec spatial-join + H3 tiling throughput",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "out_rows": out_rows,
+        "pages_per_sec": round(n_pages / flagship_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling_run() -> dict:
+    """Two fresh processes at 8 and 32 CPUs over the same input."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run-no-queries"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tput8 = results[8]["pages_per_sec"]
+    tput32 = results[32]["pages_per_sec"]
+    eff = tput32 / (4.0 * tput8)
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": 32,
+        "pages": results[32]["pages"],
+        "throughput_8cpu": tput8,
+        "throughput_32cpu": tput32,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling_run()))
+    elif "--single-run-no-queries" in sys.argv:
+        print(json.dumps(single_run(NUM_CPUS, include_queries=False)))
+    else:
+        print(json.dumps(single_run(NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Approximate / exact nearest-neighbor search over embedding columns.
+
+- brute_force_topk: the baseline — broadcast query matrix (ray.put once),
+  per-batch numpy matmul, per-batch partial top-k (combiner), final merge
+  on the tiny candidate set. Scales linearly with corpus size and is
+  embarrassingly parallel; the shuffle carries only n_queries*k rows per
+  block.
+- ivf_topk: the scale path — k-means-lite (seeded, few iters) coarse
+  quantizer built on a sample, vectors bucketed by nearest centroid
+  (groupby shuffle once), queries probe only nprobe buckets.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Per-batch cosine top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qm = q
+        self.qm = _normalize(np.asarray(qm, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = np.asarray(batch[self.id_col])
+        sims = self.qm @ m.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            cand = part[qi]
+            out_q.append(np.full(k, self.query_ids[qi]))
+            out_id.append(ids[cand])
+            out_sim.append(sims[qi, cand])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_sim).astype(np.float64)),
+            }
+        )
+
+
+def brute_force_topk(ds, query_ids, query_matrix, k: int, *, id_col="vec_id",
+                     vec_col="embedding", concurrency=(1, 4)):
+    """Dataset of (id, embedding) -> exact cosine top-k rows per query:
+    (query_id, id, cosine, rank), rank 0 = best; ties by lowest id."""
+    import ray
+
+    qref = ray.put((np.asarray(query_ids), np.asarray(query_matrix, dtype=np.float32)))
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(len(df), dtype=np.int64)
+        return df
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 7):
+    """Seeded deterministic k-means (numpy), for the IVF coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IVFAssign:
+    def __init__(self, cents_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        assign = (m @ self.cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
+
+
+def ivf_topk(ds, query_ids, query_matrix, k: int, *, n_clusters=16, nprobe=4,
+             sample_rows=2048, id_col="vec_id", vec_col="embedding", concurrency=(1, 4)):
+    """IVF ANN: bucket by nearest centroid; probe nprobe buckets per query.
+
+    The centroid model is built from a deterministic sample (ds.limit),
+    broadcast once; the only shuffle is the per-bucket groupby of the
+    (much smaller) probed candidate set.
+    """
+    import ray
+
+    sample_tbl = ds.limit(sample_rows).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy())
+    cents = kmeans_lite(sample, n_clusters)
+    cents_ref = ray.put(cents)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    probes = (qm @ cents.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # (nq, nprobe)
+
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs={"cents_ref": cents_ref, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    # keep only buckets any query probes (vectorized filter)
+    wanted = np.unique(probes)
+
+    def filt(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["ivf_bucket"])
+        return t.filter(pa.array(np.isin(b, wanted)))
+
+    pruned = assigned.map_batches(filt, batch_format="pyarrow")
+
+    # per-query search within probed buckets: reuse brute force on pruned set
+    qsel_ref = ray.put((np.asarray(query_ids), qm, probes))
+
+    class ProbedTopK:
+        def __init__(self):
+            self.query_ids, self.qm, self.probes = ray.get(qsel_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            ids = np.asarray(batch[id_col])
+            buckets = np.asarray(batch["ivf_bucket"])
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(self.qm)):
+                mask = np.isin(buckets, self.probes[qi])
+                if not mask.any():
+                    continue
+                sims = m[mask] @ self.qm[qi]
+                kk = min(k, len(sims))
+                cand = np.argpartition(-sims, kth=kk - 1)[:kk]
+                out_q.append(np.full(kk, self.query_ids[qi]))
+                out_id.append(ids[mask][cand])
+                out_sim.append(sims[cand])
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_id)),
+                    "cosine": pa.array(np.concatenate(out_sim).astype(np.float64)),
+                }
+            )
+
+    partial = pruned.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=concurrency)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(len(df), dtype=np.int64)
+        return df
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

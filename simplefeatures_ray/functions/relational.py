@@ -1,0 +1,148 @@
+"""Relational building blocks on ray.data.Dataset, scale-first.
+
+Join strategy (SURVEY.md §4 'Broadcast'): the engine broadcasts the
+SMALLER side — `ray.put` an Arrow table once, join inside map_batches
+with pyarrow's vectorized hash join (acero) per batch. No shuffle of the
+big side. For large×large joins use bucketed_join (hash-partition both
+sides on the key via groupby, join per bucket) — an explicit partitioned
+hash join, the portable Ray Data pattern.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def collect_table(ds_or_table) -> pa.Table:
+    """Materialize a SMALL Dataset to one Arrow table (driver side).
+    Only for dimension tables / aggregates, never the main input."""
+    if isinstance(ds_or_table, pa.Table):
+        return ds_or_table
+    import ray
+
+    parts = [t for t in ray.get(ds_or_table.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return ds_or_table.schema().empty_table() if hasattr(ds_or_table, "schema") else pa.table({})
+    return pa.concat_tables(parts, promote_options="permissive").combine_chunks()
+
+
+class JoinSmall:
+    """Actor-pool kernel: batch JOIN broadcast small table (pyarrow acero).
+
+    join_type: 'inner' | 'left outer' | 'left semi' | 'left anti'
+    """
+
+    def __init__(self, small_ref, keys, right_keys=None, join_type="inner",
+                 small_cols=None):
+        import ray
+
+        small = ray.get(small_ref) if not isinstance(small_ref, pa.Table) else small_ref
+        if small_cols:
+            small = small.select(small_cols)
+        self.small = small.combine_chunks()
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.right_keys = (
+            self.keys if right_keys is None
+            else ([right_keys] if isinstance(right_keys, str) else list(right_keys))
+        )
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(
+            self.small, keys=self.keys, right_keys=self.right_keys,
+            join_type=self.join_type,
+        )
+
+
+def broadcast_join(big_ds, small, keys, right_keys=None, join_type="inner",
+                   small_cols=None, concurrency=(1, 4)):
+    """big Dataset ⋈ small table/Dataset without shuffling the big side."""
+    import ray
+
+    small_tbl = collect_table(small)
+    small_ref = ray.put(small_tbl)
+    return big_ds.map_batches(
+        JoinSmall,
+        fn_constructor_kwargs={
+            "small_ref": small_ref,
+            "keys": keys,
+            "right_keys": right_keys,
+            "join_type": join_type,
+            "small_cols": small_cols,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
+                  join_type: str = "inner"):
+    """Large×large partitioned hash join: add bucket = hash(key) % B to both
+    sides, then join per bucket inside map_groups. The all-to-all cost is
+    one groupby shuffle per side; B bounds per-task memory."""
+    import pyarrow.compute as pc
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.cast(t[key], pa.int64())
+        b = pc.bit_wise_and(h, n_buckets - 1) if (n_buckets & (n_buckets - 1)) == 0 else None
+        if b is None:
+            b = pc.mod(h, n_buckets)
+        return t.append_column("__bucket", pc.cast(b, pa.int32()))
+
+    lt = left_ds.map_batches(add_bucket, batch_format="pyarrow")
+    rt = right_ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    # tag sides, union, then per-bucket join in map_groups
+    lt = lt.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    rt = rt.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+
+    import pandas as pd
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == 0].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        rhs = df[df["__side"] == 1].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        how = {"inner": "inner", "left outer": "left"}.get(join_type, "inner")
+        return lhs.merge(rhs, on=key, how=how)
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def dedup_exact(ds, key_cols, keep_col: str | None = None):
+    """Exact dedup: hash-partition on key, keep first (lowest keep_col).
+
+    Scale path (SURVEY.md §2.6): groupby(key) shuffles only once; within
+    group 'first' is computed vectorized. keep_col=None keeps an arbitrary
+    -but-deterministic first by sorting on all columns.
+    """
+    import pandas as pd
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        sort_by = key_cols + ([keep_col] if keep_col else [])
+        return df.sort_values(sort_by, kind="mergesort").head(1)
+
+    return ds.groupby(key_cols).map_groups(first_per_group, batch_format="pandas")
+
+
+def topk(ds, key: str, k: int, descending: bool = True):
+    """Global top-k: per-block partial top-k inside map_batches (combiner),
+    then a small sort+limit. Avoids fully sorting the dataset."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.select_k_unstable(
+            t, k=min(k, len(t)), sort_keys=[(key, "descending" if descending else "ascending")]
+        )
+        return t.take(idx)
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    return pruned.sort(key, descending=descending).limit(k)

@@ -1,0 +1,160 @@
+"""Deterministic WKT / point corpora used by the correctness queries.
+
+The same corpus feeds both sides of the correctness gate: the Ray
+pipeline parses the WKT with the engine's own codecs/kernels, while
+oracle_sql() embeds the raw COORDINATES as SQL VALUES and recomputes the
+answers inside DuckDB (shoelace via window functions, convex PIP via
+cross-product signs) — an independent computation, not baked constants.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..geometry.core import Geometry
+
+
+def _ngon_ring(cx, cy, r, n, phase=0.0):
+    ang = phase + np.arange(n) * (2 * math.pi / n)
+    ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    ring = np.round(ring, 6)
+    return np.concatenate([ring, ring[:1]], axis=0)
+
+
+def polygon_corpus():
+    """list of (case_id, Geometry) polygons — convex n-gons, boxes, one
+    with a hole; coordinates exact to 6 decimals."""
+    out = []
+    cid = 0
+    for k in range(12):
+        cx = (k * 37 % 100) - 50 + 0.25
+        cy = (k * 61 % 80) - 40 + 0.5
+        r = 1.0 + (k % 5)
+        n = 3 + (k % 6)
+        out.append((cid, Geometry(3, 0, rings=[_ngon_ring(cx, cy, r, n, phase=0.2 * k)])))
+        cid += 1
+    # axis-aligned boxes
+    for k in range(4):
+        x0, y0 = k * 10.0, -k * 5.0
+        ring = np.array([[x0, y0], [x0 + 4, y0], [x0 + 4, y0 + 3], [x0, y0 + 3], [x0, y0]])
+        out.append((cid, Geometry(3, 0, rings=[ring])))
+        cid += 1
+    # box with a centered square hole (shell + hole)
+    shell = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [4, 6], [6, 6], [6, 4], [4, 4]])  # CW
+    out.append((cid, Geometry(3, 0, rings=[shell, hole])))
+    cid += 1
+    return out
+
+
+def linestring_corpus():
+    out = []
+    cid = 0
+    for k in range(10):
+        n = 3 + k
+        t = np.arange(n, dtype=float)
+        xs = np.round(t * (1 + 0.1 * k), 6)
+        ys = np.round(np.sin(t * 0.7 + k) * (2 + k % 3), 6)
+        out.append((cid, Geometry(2, 0, coords=np.stack([xs, ys], axis=1))))
+        cid += 1
+    return out
+
+
+def point_probe_grid():
+    """(probe_id, x, y) integer-derived probe points (exact in SQL)."""
+    rows = []
+    pid = 0
+    for i in range(-55, 56, 5):
+        for j in range(-45, 46, 5):
+            rows.append((pid, float(i) / 1.0, float(j) / 1.0))
+            pid += 1
+    return rows
+
+
+def event_points_sql(alias: str = "pts") -> str:
+    """SQL snippet deriving deterministic integer-exact x/y from event_id —
+    duplicated in events_xy() below; both sides are pure integer math."""
+    return (
+        f"(SELECT event_id, "
+        f"(CAST(event_id * 7919 % 36000 AS DOUBLE)/100.0 - 180.0) AS x, "
+        f"(CAST(event_id * 104729 % 14000 AS DOUBLE)/100.0 - 70.0) AS y "
+        f"FROM events) {alias}"
+    )
+
+
+def events_xy(event_id: np.ndarray):
+    """numpy twin of event_points_sql — integer modular arithmetic, exact."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 36000).astype(np.float64) / 100.0 - 180.0
+    y = (e * 104729 % 14000).astype(np.float64) / 100.0 - 70.0
+    return x, y
+
+
+# literal boxes used by the spatial-join oracle queries
+JOIN_BOXES = [
+    # (box_id, minx, miny, maxx, maxy)
+    (0, -170.0, -60.0, -120.0, -20.0),
+    (1, -100.0, 0.0, -60.0, 40.0),
+    (2, -30.0, -45.0, 20.0, 5.0),
+    (3, 40.0, 10.0, 90.0, 55.0),
+    (4, 100.0, -50.0, 160.0, 0.0),
+    (5, -179.0, 45.0, 179.0, 69.0),  # wide northern band (overlaps others)
+]
+
+
+def join_boxes_sql(alias: str = "boxes") -> str:
+    rows = ", ".join(f"({b},{x0},{y0},{x1},{y1})" for b, x0, y0, x1, y1 in JOIN_BOXES)
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS t(box_id, minx, miny, maxx, maxy)) {alias}"
+    )
+
+
+def boxes_as_polygon_table():
+    """JOIN_BOXES as the engine's polygon-table schema (wkb + envelope)."""
+    import pyarrow as pa
+
+    from ..geometry.wkb import to_wkb
+
+    ids, wkbs, minx, miny, maxx, maxy = [], [], [], [], [], []
+    for b, x0, y0, x1, y1 in JOIN_BOXES:
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        ids.append(b)
+        wkbs.append(to_wkb(Geometry(3, 0, rings=[ring])))
+        minx.append(x0)
+        miny.append(y0)
+        maxx.append(x1)
+        maxy.append(y1)
+    return pa.table(
+        {
+            "poly_id": pa.array(ids, pa.int64()),
+            "name": pa.array([f"box_{i}" for i in ids], pa.string()),
+            "wkb": pa.array(wkbs, pa.binary()),
+            "minx": pa.array(minx),
+            "miny": pa.array(miny),
+            "maxx": pa.array(maxx),
+            "maxy": pa.array(maxy),
+        }
+    )
+
+
+def coords_values_sql(geoms, only_shell=False) -> str:
+    """Corpus coordinates as SQL VALUES (case_id, ring_id, idx, x, y, sign).
+
+    sign = +1 for shells, -1 for holes, so SUM(sign * |shoelace|) is the
+    polygon area with holes subtracted.
+    """
+    rows = []
+    for cid, g in geoms:
+        arrs = g.rings if g.tag == 3 else [g.coords]
+        for ring_id, ring in enumerate(arrs):
+            if only_shell and ring_id > 0:
+                continue
+            sign = 1 if ring_id == 0 else -1
+            for idx, (x, y) in enumerate(ring[:, :2]):
+                rows.append(f"({cid},{ring_id},{idx},{x!r},{y!r},{sign})")
+    return (
+        "(SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(case_id, ring_id, idx, x, y, sign))"
+    )

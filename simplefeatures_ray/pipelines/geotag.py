@@ -1,0 +1,91 @@
+"""The flagship pipeline (north star): Common-Crawl-style pages ->
+geotag extraction -> cell encoding -> broadcast spatial join vs polygons
+-> two-stage cell histogram -> deterministic tile assignment -> sorted,
+partitioned output.
+
+Streaming end-to-end: the only materialized intermediates are the
+per-cell histogram (bounded by 4^res distinct cells, independent of page
+count) and the broadcast polygon index. At 10^12 pages on a multi-node
+cluster every stage here scales horizontally; the shuffle carries only
+combiner output.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..stages.extract import ExtractGeotags
+from ..stages.join import BroadcastSpatialJoin, build_polygon_index
+from ..stages.tiling import AssignTiles, cell_histogram, encode_cells, tile_table
+
+DEFAULT_RES = 12
+
+
+def geotag_join_tiles(
+    pages_ds,
+    polygons: pa.Table,
+    *,
+    res: int = DEFAULT_RES,
+    mode: str = "inner",
+    concurrency: int | tuple | None = None,
+    batch_size: int = 2048,
+    final_sort: bool = True,
+):
+    """pages Dataset + polygon table -> Dataset of
+    (url, lat, lon, cell, poly_id[, poly_name], tile_id).
+
+    Deterministic at any parallelism: extraction is per-row pure, the join
+    emits (point, poly_id)-sorted rows, tile ids come from a globally
+    sorted histogram, and the final sort pins output order.
+    """
+    import ray
+
+    if concurrency is None:
+        # autoscaling pools; min=1 so actor pools can never reserve every
+        # CPU and starve the upstream read (deadlock observed otherwise)
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, ncpu // 2))
+
+    index_ref = ray.put(build_polygon_index(polygons))
+
+    extracted = pages_ds.map_batches(
+        ExtractGeotags,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).select_columns(["url", "lang", "has_geo", "lat", "lon"])
+
+    geo = extracted.filter(expr="has_geo")
+    geo = geo.map_batches(encode_cells(res), batch_format="pyarrow")
+
+    joined = geo.map_batches(
+        BroadcastSpatialJoin,
+        fn_constructor_kwargs={"index_ref": index_ref, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    # two-stage histogram over joined pages; tiny result -> driver
+    hist = cell_histogram(joined.select_columns(["cell"]))
+    tiles = tile_table(hist)
+    tiles_ref = ray.put(tiles)
+
+    out = joined.map_batches(
+        AssignTiles,
+        fn_constructor_kwargs={"tiles_ref": tiles_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    out = out.select_columns(
+        [c for c in ("url", "lat", "lon", "cell", "poly_id", "poly_name", "tile_id")
+         if c in out.schema().names]
+    )
+    if final_sort:
+        out = out.sort(["tile_id", "url"])
+    return out
+
+
+def write_tiles(out_ds, path: str, partition_col: str = "tile_id"):
+    """Resumable partitioned sink: one directory per tile bucket."""
+    out_ds.write_parquet(path, partition_cols=[partition_col])
+    return path

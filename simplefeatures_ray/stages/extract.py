@@ -1,0 +1,69 @@
+"""Page extraction stage: html -> text + geotags.
+
+Stateless-per-row but stateful-per-actor (compiled regexes), so it runs
+as an actor pool: ds.map_batches(ExtractGeotags, concurrency=N,
+batch_format="pyarrow"). Extraction is a pure function of the html bytes
+(BASELINE.json per-row invariant: byte-identical text per url at any
+parallelism) — it reuses the same normalization as the fixture generator.
+
+Output drops the wide `html` column immediately (projection pushdown:
+html dominates memory; SURVEY.md §7 'wide binary rows').
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+
+class ExtractGeotags:
+    """Actor-pool batch kernel. pyarrow in / pyarrow out.
+
+    Emits one row per input page:
+      url, warc_ts, lang, text, has_geo (bool), lat, lon (first geotag,
+      NaN when absent), n_geotags.
+    """
+
+    def __init__(self):
+        # compiled once per actor (reference pattern: PreparedGeometry-style
+        # amortized setup, SURVEY.md §2.3)
+        self.comment = re.compile(rb"<!--.*?-->", re.S)
+        self.tag = re.compile(rb"<[^>]*>")
+        self.geo_meta = re.compile(
+            rb'<meta\s+name="geo\.position"\s+content="([-0-9.]+);([-0-9.]+)"'
+        )
+        self.icbm = re.compile(rb"ICBM:\s*([-0-9.]+),\s*([-0-9.]+)")
+
+    def extract_one(self, html: bytes):
+        tags = [(float(a), float(b)) for a, b in self.geo_meta.findall(html)]
+        tags += [(float(a), float(b)) for a, b in self.icbm.findall(html)]
+        text_bytes = self.tag.sub(b" ", self.comment.sub(b" ", html))
+        text = " ".join(text_bytes.decode("utf-8", errors="replace").split())
+        return text, tags
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        texts = []
+        lats = np.full(len(htmls), np.nan)
+        lons = np.full(len(htmls), np.nan)
+        n_tags = np.zeros(len(htmls), dtype=np.int32)
+        for i, h in enumerate(htmls):
+            text, tags = self.extract_one(h)
+            texts.append(text)
+            if tags:
+                lats[i], lons[i] = tags[0]
+                n_tags[i] = len(tags)
+        out = pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "text": pa.array(texts, pa.string()),
+                "has_geo": pa.array(n_tags > 0),
+                "lat": pa.array(lats),
+                "lon": pa.array(lons),
+                "n_geotags": pa.array(n_tags),
+            }
+        )
+        return out

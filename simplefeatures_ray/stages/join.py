@@ -1,0 +1,181 @@
+"""Broadcast spatial join: pages (points) x polygons (broadcast R-tree).
+
+The big side streams through map_batches; the small polygon side is
+packed into an STRtree + ring arrays, `ray.put` ONCE on the driver, and
+fetched ONCE PER ACTOR in __init__ (never per batch). Candidate
+generation is the vectorized R-tree descent; refinement is
+crossing-number point-in-polygon (reference alg_point_in_ring.go
+semantics). This is the engine's analog of the reference's
+PreparedGeometry reused against many probes (alg_prepared.go:17-92).
+
+Modes:
+  inner — one output row per (point, polygon) hit, poly_id attached
+  semi  — points with >= 1 hit, single row, lowest poly_id attached
+  anti  — points with no hit
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geometry.predicates import points_in_polygon
+from ..geometry.wkb import from_wkb
+from ..rtree import STRtree
+
+
+def build_polygon_index(polygons: pa.Table):
+    """Driver-side: polygon table -> (STRtree, rings list, poly_ids, names).
+
+    Uses the precomputed envelope columns when present; otherwise derives
+    them from the WKB. Returns a plain tuple, cheap to ray.put.
+    """
+    wkbs = polygons["wkb"].to_pylist()
+    poly_ids = np.asarray(polygons["poly_id"], dtype=np.int64)
+    names = polygons["name"].to_pylist() if "name" in polygons.column_names else None
+    ring_sets = []
+    boxes = np.zeros((len(wkbs), 4))
+    have_env = all(c in polygons.column_names for c in ("minx", "miny", "maxx", "maxy"))
+    if have_env:
+        boxes[:, 0] = np.asarray(polygons["minx"], dtype=np.float64)
+        boxes[:, 1] = np.asarray(polygons["miny"], dtype=np.float64)
+        boxes[:, 2] = np.asarray(polygons["maxx"], dtype=np.float64)
+        boxes[:, 3] = np.asarray(polygons["maxy"], dtype=np.float64)
+    for i, w in enumerate(wkbs):
+        g = from_wkb(w)
+        rings = []
+        for leaf in g.flatten():
+            rings.extend(leaf.rings)
+        ring_sets.append(rings)
+        if not have_env:
+            xy = g.all_xy()
+            boxes[i] = [xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()]
+    return STRtree(boxes), ring_sets, poly_ids, names
+
+
+class BroadcastSpatialJoin:
+    """Actor-pool batch kernel for the pages x polygons join.
+
+    index_ref: ray.ObjectRef of build_polygon_index(...) output.
+    x_col/y_col: names of the lon/lat (or x/y) columns in the batch.
+    """
+
+    def __init__(self, index_ref, mode: str = "inner", x_col: str = "lon", y_col: str = "lat",
+                 drop_nan: bool = True):
+        import ray
+
+        # one object-store fetch per ACTOR (zero-copy for the numpy arrays)
+        self.tree, self.ring_sets, self.poly_ids, self.names = ray.get(index_ref)
+        self.mode = mode
+        self.x_col = x_col
+        self.y_col = y_col
+        self.drop_nan = drop_nan
+
+    def match(self, px: np.ndarray, py: np.ndarray):
+        """Return (pt_idx, poly_pos) exact-hit pairs, sorted by (pt, poly_id)."""
+        cand_p, cand_i = self.tree.query_many_points(px, py)
+        if len(cand_p) == 0:
+            return cand_p, cand_i
+        keep_p, keep_i = [], []
+        order = np.argsort(cand_i, kind="stable")
+        cand_p = cand_p[order]
+        cand_i = cand_i[order]
+        # group candidates by polygon -> one vectorized PIP per polygon
+        bounds = np.flatnonzero(np.diff(cand_i)) + 1
+        for grp_p, grp_i in zip(np.split(cand_p, bounds), np.split(cand_i, bounds)):
+            poly_pos = int(grp_i[0])
+            loc = points_in_polygon(px[grp_p], py[grp_p], self.ring_sets[poly_pos])
+            hit = loc >= 0  # interior or boundary intersects
+            if hit.any():
+                keep_p.append(grp_p[hit])
+                keep_i.append(grp_i[hit])
+        if not keep_p:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        kp = np.concatenate(keep_p)
+        ki = np.concatenate(keep_i)
+        # deterministic output order: by (point, poly_id)
+        order = np.lexsort((self.poly_ids[ki], kp))
+        return kp[order], ki[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch[self.x_col], dtype=np.float64)
+        py = np.asarray(batch[self.y_col], dtype=np.float64)
+        valid = ~(np.isnan(px) | np.isnan(py)) if self.drop_nan else np.ones(len(px), bool)
+        vidx = np.flatnonzero(valid)
+        kp, ki = self.match(px[vidx], py[vidx])
+        kp = vidx[kp] if len(kp) else kp
+        if self.mode == "inner":
+            out = batch.take(pa.array(kp))
+            out = out.append_column("poly_id", pa.array(self.poly_ids[ki], pa.int64()))
+            if self.names is not None:
+                out = out.append_column(
+                    "poly_name", pa.array([self.names[int(i)] for i in ki], pa.string())
+                )
+            return out
+        hit_mask = np.zeros(len(px), dtype=bool)
+        hit_mask[kp] = True
+        if self.mode == "anti":
+            return batch.filter(pa.array(valid & ~hit_mask))
+        if self.mode == "semi":
+            # lowest poly_id per point (kp sorted by (pt, poly_id) already)
+            first = np.zeros(len(kp), dtype=bool)
+            if len(kp):
+                first[0] = True
+                first[1:] = kp[1:] != kp[:-1]
+            sel = kp[first]
+            out = batch.take(pa.array(sel))
+            return out.append_column("poly_id", pa.array(self.poly_ids[ki[first]], pa.int64()))
+        raise ValueError(f"unknown join mode {self.mode!r}")
+
+
+class KNNJoin:
+    """k nearest polygons per point via best-first R-tree traversal
+    (reference rtree/nearest.go:12-55), exact refinement by
+    point-to-polygon distance; 0 inside. flat_map-style: k rows per point.
+    Ties broken by lowest poly_id (engine-defined total order)."""
+
+    def __init__(self, index_ref, k: int = 1, x_col: str = "lon", y_col: str = "lat"):
+        import ray
+
+        self.tree, self.ring_sets, self.poly_ids, self.names = ray.get(index_ref)
+        self.k = k
+        self.x_col = x_col
+        self.y_col = y_col
+        # flat segment arrays per polygon for exact distance
+        self.seg_arrays = []
+        for rings in self.ring_sets:
+            segs = [np.concatenate([r[:-1, :2], r[1:, :2]], axis=1) for r in rings if len(r) > 1]
+            self.seg_arrays.append(np.concatenate(segs, axis=0) if segs else np.zeros((0, 4)))
+
+    def _exact_dist(self, x: float, y: float, poly_pos: int) -> float:
+        loc = points_in_polygon(np.array([x]), np.array([y]), self.ring_sets[poly_pos])[0]
+        if loc >= 0:
+            return 0.0
+        segs = self.seg_arrays[poly_pos]
+        a = segs[:, :2]
+        d = segs[:, 2:] - a
+        dd = (d * d).sum(axis=1)
+        dd[dd == 0] = 1.0
+        ap = np.array([x, y])[None, :] - a
+        t = np.clip((ap * d).sum(axis=1) / dd, 0.0, 1.0)
+        proj = a + t[:, None] * d
+        return float(np.hypot(x - proj[:, 0], y - proj[:, 1]).min())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch[self.x_col], dtype=np.float64)
+        py = np.asarray(batch[self.y_col], dtype=np.float64)
+        rows, pids, dists, ranks = [], [], [], []
+        for i in range(len(px)):
+            if np.isnan(px[i]) or np.isnan(py[i]):
+                continue
+            res = self.tree.nearest(px[i], py[i], k=self.k,
+                                    refine=lambda pos: self._exact_dist(px[i], py[i], pos))
+            for rank, (dist, pos) in enumerate(res):
+                rows.append(i)
+                pids.append(int(self.poly_ids[pos]))
+                dists.append(dist)
+                ranks.append(rank)
+        out = batch.take(pa.array(np.asarray(rows, dtype=np.int64)))
+        out = out.append_column("poly_id", pa.array(pids, pa.int64()))
+        out = out.append_column("knn_dist", pa.array(dists, pa.float64()))
+        out = out.append_column("knn_rank", pa.array(ranks, pa.int32()))
+        return out

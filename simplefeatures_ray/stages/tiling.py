@@ -1,0 +1,115 @@
+"""Cell encoding + tile assignment stages.
+
+encode_cells: stateless map_batches kernel, lon/lat -> uint64 cell at a
+resolution (vectorized Morton/Web-Mercator, simplefeatures_ray.cells).
+
+cell_histogram: two-stage (combiner + final) count per cell — the partial
+aggregation inside map_batches keeps hot 'urban' cells from skewing the
+groupby shuffle (SURVEY.md §2.6 / FP-Hadoop two-stage pattern): each
+block contributes at most one row per distinct cell, so the all-to-all
+exchange carries |cells| rows, not |pages|.
+
+assign_tiles: deterministic tile ids from the per-cell histogram —
+tile_id is the rank of the cell in (count desc, cell asc) order, so the
+assignment is bit-for-bit reproducible at any parallelism (north rule).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def encode_cells(res: int, x_col: str = "lon", y_col: str = "lat", out_col: str = "cell"):
+    from ..cells import lonlat_to_cell
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch[x_col], dtype=np.float64)
+        lat = np.asarray(batch[y_col], dtype=np.float64)
+        ok = ~(np.isnan(lon) | np.isnan(lat))
+        cells = np.zeros(len(lon), dtype=np.uint64)
+        if ok.any():
+            cells[ok] = lonlat_to_cell(lon[ok], lat[ok], res)
+        arr = pa.array(cells, pa.uint64())
+        if not ok.all():
+            arr = pa.array([int(c) if k else None for c, k in zip(cells, ok)], pa.uint64())
+        return batch.append_column(out_col, arr)
+
+    return kernel
+
+
+def partial_cell_counts(cell_col: str = "cell"):
+    """Combiner: one (cell, partial n) row per distinct cell per batch."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        cells = np.asarray(batch[cell_col].drop_null(), dtype=np.uint64)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                cell_col: pa.array(uniq, pa.uint64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return kernel
+
+
+def cell_histogram(ds, cell_col: str = "cell"):
+    """Dataset of rows with `cell` -> Dataset of (cell, n_pages) totals."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(partial_cell_counts(cell_col), batch_format="pyarrow")
+    return partial.groupby(cell_col).aggregate(Sum("n", alias_name="n_pages"))
+
+
+def tile_table(hist) -> pa.Table:
+    """Small per-cell histogram -> (cell, n_pages, tile_id) Arrow table.
+
+    hist may be a Dataset (materialized here — it is |distinct cells| rows,
+    bounded by 4^res, not by the page count) or a pyarrow Table.
+    """
+    if hasattr(hist, "to_arrow_refs"):
+        import ray
+
+        parts = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(parts) if parts else pa.table({"cell": [], "n_pages": []})
+    else:
+        tbl = hist
+    cells = np.asarray(tbl["cell"], dtype=np.uint64)
+    counts = np.asarray(tbl["n_pages"], dtype=np.int64)
+    order = np.lexsort((cells, -counts))  # count desc, cell asc
+    tile_ids = np.empty(len(order), dtype=np.int64)
+    tile_ids[order] = np.arange(len(order))
+    return pa.table(
+        {
+            "cell": pa.array(cells, pa.uint64()),
+            "n_pages": pa.array(counts, pa.int64()),
+            "tile_id": pa.array(tile_ids, pa.int64()),
+        }
+    )
+
+
+class AssignTiles:
+    """Actor-pool kernel: attach tile_id by cell lookup (broadcast dict)."""
+
+    def __init__(self, tiles_ref, cell_col: str = "cell"):
+        import ray
+
+        tbl = ray.get(tiles_ref)
+        cells = np.asarray(tbl["cell"], dtype=np.uint64)
+        tids = np.asarray(tbl["tile_id"], dtype=np.int64)
+        order = np.argsort(cells)
+        self.sorted_cells = cells[order]
+        self.sorted_tids = tids[order]
+        self.cell_col = cell_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cells = np.asarray(batch[self.cell_col].fill_null(0), dtype=np.uint64)
+        pos = np.searchsorted(self.sorted_cells, cells)
+        pos = np.clip(pos, 0, max(0, len(self.sorted_cells) - 1))
+        ok = len(self.sorted_cells) > 0
+        if ok:
+            found = self.sorted_cells[pos] == cells
+            tids = np.where(found, self.sorted_tids[pos], -1)
+        else:
+            tids = np.full(len(cells), -1, dtype=np.int64)
+        return batch.append_column("tile_id", pa.array(tids, pa.int64()))
