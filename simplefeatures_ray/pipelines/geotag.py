@@ -13,9 +13,9 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..stages.extract import ExtractGeotags
-from ..stages.join import BroadcastSpatialJoin, build_polygon_index
-from ..stages.tiling import AssignTiles, cell_histogram, encode_cells, tile_table
+from ..stages.extract import extract_geotags_batch
+from ..stages.join import build_polygon_index, spatial_join_batch
+from ..stages.tiling import assign_tiles_batch, cell_histogram, encode_cells, tile_table
 
 DEFAULT_RES = 12
 
@@ -39,31 +39,33 @@ def geotag_join_tiles(
     """
     import ray
 
-    if concurrency is None:
-        # autoscaling pools; min=1 so actor pools can never reserve every
-        # CPU and starve the upstream read (deadlock observed otherwise)
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu // 2))
-
     index_ref = ray.put(build_polygon_index(polygons))
 
+    # hot stages run as stateless TASKS with per-worker cached state
+    # (stages/worker_cache.py): same setup amortization as an actor pool,
+    # none of the per-execution actor spin-up (~4s/pool measured).
     extracted = pages_ds.map_batches(
-        ExtractGeotags,
+        extract_geotags_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     ).select_columns(["url", "lang", "has_geo", "lat", "lon"])
 
     geo = extracted.filter(expr="has_geo")
     geo = geo.map_batches(encode_cells(res), batch_format="pyarrow")
 
     joined = geo.map_batches(
-        BroadcastSpatialJoin,
-        fn_constructor_kwargs={"index_ref": index_ref, "mode": mode},
+        spatial_join_batch,
+        fn_kwargs={"index_ref": index_ref, "mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
+
+    # The DAG branches here (histogram + final output both read `joined`);
+    # without a checkpoint Ray would re-execute extract+join per branch.
+    # `joined` is post-filter/post-projection — a small fraction of input
+    # bytes (html already dropped) — so pinning it is bounded; at cluster
+    # scale the object store spills it rather than recomputing the scan.
+    joined = joined.materialize()
 
     # two-stage histogram over joined pages; tiny result -> driver
     hist = cell_histogram(joined.select_columns(["cell"]))
@@ -71,10 +73,9 @@ def geotag_join_tiles(
     tiles_ref = ray.put(tiles)
 
     out = joined.map_batches(
-        AssignTiles,
-        fn_constructor_kwargs={"tiles_ref": tiles_ref},
+        assign_tiles_batch,
+        fn_kwargs={"tiles_ref": tiles_ref},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     out = out.select_columns(
         [c for c in ("url", "lat", "lon", "cell", "poly_id", "poly_name", "tile_id")

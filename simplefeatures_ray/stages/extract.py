@@ -67,3 +67,12 @@ class ExtractGeotags:
             }
         )
         return out
+
+
+def extract_geotags_batch(batch: pa.Table) -> pa.Table:
+    """Task-function variant of ExtractGeotags: regex state built once per
+    worker process (see stages/worker_cache.py)."""
+    from .worker_cache import get_cached
+
+    ex = get_cached("extract-geotags-singleton", build=lambda _: ExtractGeotags())
+    return ex(batch)

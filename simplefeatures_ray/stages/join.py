@@ -59,12 +59,14 @@ class BroadcastSpatialJoin:
     x_col/y_col: names of the lon/lat (or x/y) columns in the batch.
     """
 
-    def __init__(self, index_ref, mode: str = "inner", x_col: str = "lon", y_col: str = "lat",
-                 drop_nan: bool = True):
-        import ray
+    def __init__(self, index_ref=None, mode: str = "inner", x_col: str = "lon",
+                 y_col: str = "lat", drop_nan: bool = True, index=None):
+        if index is None:
+            import ray
 
-        # one object-store fetch per ACTOR (zero-copy for the numpy arrays)
-        self.tree, self.ring_sets, self.poly_ids, self.names = ray.get(index_ref)
+            # one object-store fetch per ACTOR (zero-copy for the numpy arrays)
+            index = ray.get(index_ref)
+        self.tree, self.ring_sets, self.poly_ids, self.names = index
         self.mode = mode
         self.x_col = x_col
         self.y_col = y_col
@@ -133,10 +135,17 @@ class KNNJoin:
     point-to-polygon distance; 0 inside. flat_map-style: k rows per point.
     Ties broken by lowest poly_id (engine-defined total order)."""
 
-    def __init__(self, index_ref, k: int = 1, x_col: str = "lon", y_col: str = "lat"):
-        import ray
+    # polygon counts up to this bound use the fully vectorized
+    # all-pairs distance matrix; larger sets use per-point tree traversal
+    VECTOR_BOUND = 512
 
-        self.tree, self.ring_sets, self.poly_ids, self.names = ray.get(index_ref)
+    def __init__(self, index_ref=None, k: int = 1, x_col: str = "lon", y_col: str = "lat",
+                 index=None):
+        if index is None:
+            import ray
+
+            index = ray.get(index_ref)
+        self.tree, self.ring_sets, self.poly_ids, self.names = index
         self.k = k
         self.x_col = x_col
         self.y_col = y_col
@@ -160,22 +169,94 @@ class KNNJoin:
         proj = a + t[:, None] * d
         return float(np.hypot(x - proj[:, 0], y - proj[:, 1]).min())
 
+    def _dist_matrix(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """(n_points, n_polys) exact distances, vectorized per polygon."""
+        from ..geometry.predicates import points_in_polygon
+
+        n = len(px)
+        out = np.empty((n, len(self.poly_ids)), dtype=np.float64)
+        for j in range(len(self.poly_ids)):
+            segs = self.seg_arrays[j]
+            if len(segs) == 0:
+                out[:, j] = np.inf
+                continue
+            a = segs[:, :2]
+            d = segs[:, 2:] - a
+            dd = (d * d).sum(axis=1)
+            dd[dd == 0] = 1.0
+            pts = np.stack([px, py], axis=1)
+            ap = pts[:, None, :] - a[None, :, :]
+            t = np.clip((ap * d[None, :, :]).sum(axis=2) / dd[None, :], 0.0, 1.0)
+            proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
+            diff = pts[:, None, :] - proj
+            dist = np.sqrt(diff[:, :, 0] ** 2 + diff[:, :, 1] ** 2).min(axis=1)
+            inside = points_in_polygon(px, py, self.ring_sets[j]) >= 0
+            dist[inside] = 0.0
+            out[:, j] = dist
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = np.asarray(batch[self.x_col], dtype=np.float64)
         py = np.asarray(batch[self.y_col], dtype=np.float64)
-        rows, pids, dists, ranks = [], [], [], []
-        for i in range(len(px)):
-            if np.isnan(px[i]) or np.isnan(py[i]):
-                continue
-            res = self.tree.nearest(px[i], py[i], k=self.k,
-                                    refine=lambda pos: self._exact_dist(px[i], py[i], pos))
-            for rank, (dist, pos) in enumerate(res):
-                rows.append(i)
-                pids.append(int(self.poly_ids[pos]))
-                dists.append(dist)
-                ranks.append(rank)
-        out = batch.take(pa.array(np.asarray(rows, dtype=np.int64)))
+        valid = ~(np.isnan(px) | np.isnan(py))
+        vidx = np.flatnonzero(valid)
+        k = self.k
+        if len(self.poly_ids) <= self.VECTOR_BOUND:
+            # fully vectorized all-pairs path (small broadcast side)
+            dm = self._dist_matrix(px[vidx], py[vidx])
+            # ties -> lowest poly_id: secondary key is poly_id
+            order = np.lexsort((np.broadcast_to(self.poly_ids, dm.shape), dm), axis=1)
+            kk = min(k, dm.shape[1])
+            top = order[:, :kk]
+            rows = np.repeat(vidx, kk)
+            pids = self.poly_ids[top].reshape(-1)
+            dists = np.take_along_axis(dm, top, axis=1).reshape(-1)
+            ranks = np.tile(np.arange(kk, dtype=np.int32), len(vidx))
+        else:
+            rows_l, pids_l, dists_l, ranks_l = [], [], [], []
+            for i in vidx:
+                res = self.tree.nearest(px[i], py[i], k=k,
+                                        refine=lambda pos: self._exact_dist(px[i], py[i], pos))
+                res.sort(key=lambda t: (t[0], self.poly_ids[t[1]]))
+                for rank, (dist, pos) in enumerate(res):
+                    rows_l.append(i)
+                    pids_l.append(int(self.poly_ids[pos]))
+                    dists_l.append(dist)
+                    ranks_l.append(rank)
+            rows = np.asarray(rows_l, dtype=np.int64)
+            pids = np.asarray(pids_l, dtype=np.int64)
+            dists = np.asarray(dists_l, dtype=np.float64)
+            ranks = np.asarray(ranks_l, dtype=np.int32)
+        out = batch.take(pa.array(rows))
         out = out.append_column("poly_id", pa.array(pids, pa.int64()))
         out = out.append_column("knn_dist", pa.array(dists, pa.float64()))
         out = out.append_column("knn_rank", pa.array(ranks, pa.int32()))
         return out
+
+
+# --------------------------------------------------------------------------- #
+# task-function variants (per-worker cached state, no actor spin-up;
+# see stages/worker_cache.py for the tradeoff vs actor pools)
+# --------------------------------------------------------------------------- #
+
+
+def spatial_join_batch(batch: pa.Table, *, index_ref, mode="inner",
+                       x_col="lon", y_col="lat") -> pa.Table:
+    from .worker_cache import get_cached
+
+    def build(index):
+        return BroadcastSpatialJoin(index=index, mode=mode, x_col=x_col, y_col=y_col)
+
+    build.__cache_token__ = f"bsj-{mode}-{x_col}-{y_col}"
+    return get_cached(index_ref, build)(batch)
+
+
+def knn_join_batch(batch: pa.Table, *, index_ref, k=1,
+                   x_col="lon", y_col="lat") -> pa.Table:
+    from .worker_cache import get_cached
+
+    def build(index):
+        return KNNJoin(index=index, k=k, x_col=x_col, y_col=y_col)
+
+    build.__cache_token__ = f"knn-{k}-{x_col}-{y_col}"
+    return get_cached(index_ref, build)(batch)

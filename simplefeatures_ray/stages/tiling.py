@@ -54,11 +54,23 @@ def partial_cell_counts(cell_col: str = "cell"):
 
 
 def cell_histogram(ds, cell_col: str = "cell"):
-    """Dataset of rows with `cell` -> Dataset of (cell, n_pages) totals."""
-    from ray.data.aggregate import Sum
+    """Dataset of rows with `cell` -> pyarrow Table of (cell, n_pages).
+
+    Combiner pattern: per-batch partial counts (np.unique) stream to the
+    driver as |cells| x |blocks| rows and combine there — no groupby
+    exchange of the page rows (the histogram is bounded by 4^res cells,
+    independent of page count)."""
+    from ..functions.relational import collect_table
 
     partial = ds.map_batches(partial_cell_counts(cell_col), batch_format="pyarrow")
-    return partial.groupby(cell_col).aggregate(Sum("n", alias_name="n_pages"))
+    tbl = collect_table(partial)
+    cells = np.asarray(tbl[cell_col], dtype=np.uint64)
+    counts = np.asarray(tbl["n"], dtype=np.int64)
+    uniq, inv = np.unique(cells, return_inverse=True)
+    totals = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(totals, inv, counts)
+    return pa.table({cell_col: pa.array(uniq, pa.uint64()),
+                     "n_pages": pa.array(totals, pa.int64())})
 
 
 def tile_table(hist) -> pa.Table:
@@ -91,10 +103,12 @@ def tile_table(hist) -> pa.Table:
 class AssignTiles:
     """Actor-pool kernel: attach tile_id by cell lookup (broadcast dict)."""
 
-    def __init__(self, tiles_ref, cell_col: str = "cell"):
-        import ray
+    def __init__(self, tiles_ref=None, cell_col: str = "cell", tiles=None):
+        if tiles is None:
+            import ray
 
-        tbl = ray.get(tiles_ref)
+            tiles = ray.get(tiles_ref)
+        tbl = tiles
         cells = np.asarray(tbl["cell"], dtype=np.uint64)
         tids = np.asarray(tbl["tile_id"], dtype=np.int64)
         order = np.argsort(cells)
@@ -113,3 +127,14 @@ class AssignTiles:
         else:
             tids = np.full(len(cells), -1, dtype=np.int64)
         return batch.append_column("tile_id", pa.array(tids, pa.int64()))
+
+
+def assign_tiles_batch(batch: pa.Table, *, tiles_ref, cell_col: str = "cell") -> pa.Table:
+    """Task-function variant of AssignTiles (per-worker cached lookup)."""
+    from .worker_cache import get_cached
+
+    def build(tbl):
+        return AssignTiles(tiles=tbl, cell_col=cell_col)
+
+    build.__cache_token__ = f"assign-{cell_col}"
+    return get_cached(tiles_ref, build)(batch)

@@ -1,0 +1,43 @@
+"""Per-worker-process state cache for stateless map_batches tasks.
+
+Two ways to amortize stateful setup across batches in Ray Data:
+  1. actor pools (callable class + concurrency=N) — dedicated processes;
+     right when state is heavyweight (GPU models, multi-GB indexes) or
+     needs isolation. Cost: every Dataset execution spawns fresh actor
+     processes (~0.3-0.5s each; measured ~4s per pool per run here).
+  2. plain-function tasks + this module-level cache — tasks run in Ray's
+     standing worker pool, so state builds ONCE PER WORKER PROCESS
+     (zero-copy ray.get from the object store) and persists across
+     executions. No spin-up at all.
+
+The engine's hot pipeline stages use (2); the actor-pool classes remain
+the public API for heavyweight state (see stages/join.py docstring).
+"""
+from __future__ import annotations
+
+_CACHE: dict = {}
+
+
+def get_cached(ref, build=None):
+    """Fetch-and-cache an object ref per worker process.
+
+    ref: ray.ObjectRef (or any hashable key when `build` is given).
+    build: optional callable applied to the fetched value once; its
+    result is what gets cached (e.g. wrap arrays into a joiner object).
+    """
+    key = ref.hex() if hasattr(ref, "hex") else ref
+    if build is not None:
+        key = (key, getattr(build, "__cache_token__", getattr(build, "__name__", repr(build))))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    if hasattr(ref, "hex"):
+        import ray
+
+        value = ray.get(ref)
+    else:
+        value = ref
+    if build is not None:
+        value = build(value)
+    _CACHE[key] = value
+    return value
