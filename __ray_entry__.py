@@ -471,6 +471,53 @@ def geom_pip_convex(sf_dir: str):
     )
 
 
+def geom_overlay_boxes(sf_dir: str):
+    """Overlay set ops on all JOIN_BOXES pairs; areas checked against an
+    interval-arithmetic oracle (exact for axis-aligned rectangles)."""
+    from simplefeatures_ray.geometry.algorithms import area
+    from simplefeatures_ray.geometry.core import POLYGON, Geometry
+    from simplefeatures_ray.geometry.overlay import overlay
+    from simplefeatures_ray.pipelines.corpus import JOIN_BOXES
+
+    def box_geom(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return Geometry(POLYGON, 0, rings=[ring])
+
+    recs = {"box_a": [], "box_b": [], "inter_area": [], "union_area": [],
+            "diff_area": [], "symdiff_area": []}
+    for ia, (aid, ax0, ay0, ax1, ay1) in enumerate(JOIN_BOXES):
+        for bid, bx0, by0, bx1, by1 in JOIN_BOXES[ia + 1:]:
+            ga = box_geom(ax0, ay0, ax1, ay1)
+            gb = box_geom(bx0, by0, bx1, by1)
+            recs["box_a"].append(aid)
+            recs["box_b"].append(bid)
+            recs["inter_area"].append(round(area(overlay(ga, gb, "intersection")), 6))
+            recs["union_area"].append(round(area(overlay(ga, gb, "union")), 6))
+            recs["diff_area"].append(round(area(overlay(ga, gb, "difference")), 6))
+            recs["symdiff_area"].append(round(area(overlay(ga, gb, "symmetric_difference")), 6))
+    return pa.table(recs)
+
+
+def geom_relate_boxes(sf_dir: str):
+    """DE-9IM matrices for all JOIN_BOXES pairs (rows-only; gated in
+    pytest against pinned matrices — DE-9IM is not SQL-expressible)."""
+    from simplefeatures_ray.geometry.core import POLYGON, Geometry
+    from simplefeatures_ray.geometry.relate import relate
+    from simplefeatures_ray.pipelines.corpus import JOIN_BOXES
+
+    def box_geom(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return Geometry(POLYGON, 0, rings=[ring])
+
+    recs = {"box_a": [], "box_b": [], "de9im": []}
+    for ia, (aid, *ca) in enumerate(JOIN_BOXES):
+        for bid, *cb in JOIN_BOXES[ia + 1:]:
+            recs["box_a"].append(aid)
+            recs["box_b"].append(bid)
+            recs["de9im"].append(relate(box_geom(*ca), box_geom(*cb)))
+    return pa.table(recs)
+
+
 # --------------------------------------------------------------------------- #
 # flagship
 # --------------------------------------------------------------------------- #
@@ -526,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_envelope": geom_envelope,
         "geom_centroid": geom_centroid,
         "geom_pip_convex": geom_pip_convex,
+        "geom_overlay_boxes": geom_overlay_boxes,
+        "geom_relate_boxes": geom_relate_boxes,
         # flagship (rows-only check)
         "flagship_tiles": flagship_tiles,
     }
@@ -696,6 +745,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT case_id, ROUND(SUM(sx) / SUM(a), 6) AS cx,
                    ROUND(SUM(sy) / SUM(a), 6) AS cy
             FROM ring GROUP BY case_id
+        """,
+        "geom_overlay_boxes": f"""
+            WITH pairs AS (
+              SELECT a.box_id AS box_a, b.box_id AS box_b,
+                     (a.maxx - a.minx) * (a.maxy - a.miny) AS area_a,
+                     (b.maxx - b.minx) * (b.maxy - b.miny) AS area_b,
+                     greatest(0, least(a.maxx, b.maxx) - greatest(a.minx, b.minx))
+                   * greatest(0, least(a.maxy, b.maxy) - greatest(a.miny, b.miny)) AS ia
+              FROM {join_boxes_sql('a')} CROSS JOIN {join_boxes_sql('b')}
+              WHERE a.box_id < b.box_id)
+            SELECT box_a, box_b,
+                   ROUND(ia, 6) AS inter_area,
+                   ROUND(area_a + area_b - ia, 6) AS union_area,
+                   ROUND(area_a - ia, 6) AS diff_area,
+                   ROUND(area_a + area_b - 2 * ia, 6) AS symdiff_area
+            FROM pairs
         """,
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),

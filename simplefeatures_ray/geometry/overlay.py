@@ -1,0 +1,471 @@
+"""Set operations: Union / Intersection / Difference / SymmetricDifference.
+
+From-scratch planar-arrangement overlay (the reference delegates to its
+JTS-port OverlayNG, /root/reference/geom/alg_overlay.go:223-239; we use
+a different, sampling-based design):
+
+  1. node all linework of both inputs at mutual intersections;
+  2. classify each noded edge's two SIDES by sampling a point offset
+     epsilon into each side and locating it against the ORIGINAL inputs
+     (crossing-number PIP) — an edge belongs to the result boundary iff
+     exactly one side is selected by the op;
+  3. trace result rings from the selected-region-on-left directed edges
+     with the clockwise-next rule; positive rings are shells, negative
+     rings are holes, holes attach to the smallest containing shell;
+  4. lower-dimensional pieces (shared edges / isolated touch points of an
+     intersection) are collected from edges/vertices in both closures
+     that bound no selected region.
+
+Robustness model: vertices snap to 9 decimal places; side sampling uses
+a relative epsilon — adequate for well-conditioned inputs (the engine's
+conformance corpus), not for adversarial slivers; see SNAP/_EPS.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+)
+from .predicates import (
+    EXTERIOR,
+    INTERIOR,
+    _candidate_pairs,
+    locate_point,
+    segment_intersection,
+)
+
+SNAP = 9
+
+
+def _key(x, y):
+    return (round(x, SNAP) + 0.0, round(y, SNAP) + 0.0)
+
+
+def _seg_param(p, seg):
+    ax, ay, bx, by = seg
+    dx = bx - ax
+    dy = by - ay
+    denom = dx * dx + dy * dy
+    if denom == 0:
+        return 0.0
+    return ((p[0] - ax) * dx + (p[1] - ay) * dy) / denom
+
+
+def _collect_segments(geoms):
+    """All linework segments of the given geometries as one (n,4) array."""
+    arrs = []
+    for g in geoms:
+        for leaf in g.flatten():
+            if leaf.tag == LINESTRING and len(leaf.coords) >= 2:
+                c = leaf.coords[:, :2]
+                arrs.append(np.concatenate([c[:-1], c[1:]], axis=1))
+            elif leaf.tag == POLYGON:
+                for r in leaf.rings:
+                    r2 = r[:, :2]
+                    arrs.append(np.concatenate([r2[:-1], r2[1:]], axis=1))
+    return np.concatenate(arrs, axis=0) if arrs else np.zeros((0, 4))
+
+
+def _node_all(segs: np.ndarray):
+    """Node a segment soup at all mutual intersections.
+
+    Returns a set of undirected edges {(pkey, qkey)} (canonical order).
+    """
+    n = len(segs)
+    cuts = [None] * n
+    pairs = _candidate_pairs(segs, segs)
+    for i, j in pairs:
+        if j <= i:
+            continue
+        sa = segs[i]
+        sb = segs[j]
+        kind, data = segment_intersection(sa[:2], sa[2:], sb[:2], sb[2:])
+        if kind == "none":
+            continue
+        points = [data] if kind == "point" else list(data)
+        for p in points:
+            for idx, seg in ((i, sa), (j, sb)):
+                t = _seg_param(p, seg)
+                if 0.0 < t < 1.0:
+                    if cuts[idx] is None:
+                        cuts[idx] = set()
+                    cuts[idx].add(t)
+    edges = set()
+    for i in range(n):
+        ax, ay, bx, by = segs[i]
+        ts = [0.0, 1.0] if cuts[i] is None else sorted({0.0, 1.0} | cuts[i])
+        prev = _key(ax, ay)
+        for t in ts[1:]:
+            cur = _key(ax + t * (bx - ax), ay + t * (by - ay))
+            if cur != prev:
+                edges.add((prev, cur) if prev <= cur else (cur, prev))
+            prev = cur
+    return edges
+
+
+def _locate_in(g: Geometry, x: float, y: float) -> int:
+    return locate_point(x, y, g)
+
+
+def _side_points(p, q):
+    """Sample points offset left/right of edge pq by a relative epsilon."""
+    mx = (p[0] + q[0]) / 2.0
+    my = (p[1] + q[1]) / 2.0
+    dx = q[0] - p[0]
+    dy = q[1] - p[1]
+    ln = math.hypot(dx, dy)
+    scale = max(1.0, abs(mx), abs(my))
+    eps = 1e-7 * scale
+    nx = -dy / ln
+    ny = dx / ln
+    return (mx + nx * eps, my + ny * eps), (mx - nx * eps, my - ny * eps), (mx, my)
+
+
+_OPS = {
+    "intersection": lambda a, b: a and b,
+    "union": lambda a, b: a or b,
+    "difference": lambda a, b: a and not b,
+    "symmetric_difference": lambda a, b: a != b,
+}
+
+
+def _ring_area(coords) -> float:
+    xs = [c[0] for c in coords]
+    ys = [c[1] for c in coords]
+    s = 0.0
+    for i in range(len(coords) - 1):
+        s += xs[i] * ys[i + 1] - xs[i + 1] * ys[i]
+    return s / 2.0
+
+
+def _trace_rings(directed):
+    """Trace closed rings from selected-region-on-left directed edges.
+
+    directed: set of (u, v) vertex-key pairs. Returns list of vertex-key
+    rings (closed: first == last).
+    """
+    out_edges: dict = {}
+    for u, v in directed:
+        out_edges.setdefault(u, []).append(v)
+    # sort outgoing targets by angle (CCW)
+    ang = {}
+    for u, targets in out_edges.items():
+        targets.sort(key=lambda v: math.atan2(v[1] - u[1], v[0] - u[0]))
+        ang[u] = [math.atan2(v[1] - u[1], v[0] - u[0]) for v in targets]
+    unused = set(directed)
+    rings = []
+    for start in sorted(directed):
+        if start not in unused:
+            continue
+        ring = [start[0]]
+        cur = start
+        for _ in range(len(directed) + 1):
+            unused.discard(cur)
+            u, v = cur
+            ring.append(v)
+            targets = out_edges.get(v, [])
+            if not targets:
+                break  # dangling (shouldn't happen for area boundaries)
+            back = math.atan2(u[1] - v[1], u[0] - v[0])
+            angles = ang[v]
+            # clockwise-next from the reverse direction: largest angle
+            # strictly below `back`, wrapping to the overall largest
+            best_i = None
+            for i, a in enumerate(angles):
+                if a < back - 1e-12:
+                    if best_i is None or a > angles[best_i]:
+                        best_i = i
+            if best_i is None:
+                best_i = max(range(len(angles)), key=lambda i: angles[i])
+            nxt = (v, targets[best_i])
+            cur = nxt
+            if cur == start:
+                break
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(ring)
+    return rings
+
+
+def _assemble_polygons(rings):
+    """Rings (vertex-key lists) -> Geometry (Polygon / MultiPolygon)."""
+    from .algorithms import _polygon_interior_point
+    from .predicates import points_in_polygon
+
+    shells = []
+    holes = []
+    for ring in rings:
+        arr = np.asarray(ring, dtype=np.float64)
+        a = _ring_area(ring)
+        if abs(a) < 1e-15:
+            continue
+        if a > 0:
+            shells.append((arr, a))
+        else:
+            holes.append((arr, -a))
+    if not shells:
+        return Geometry(POLYGON, 0, rings=[])
+    shells.sort(key=lambda t: t[1])  # smallest first for hole assignment
+    shell_holes = [[] for _ in shells]
+    for hole, h_area in holes:
+        hp = _polygon_interior_point([hole[::-1]])
+        for i, (sh, s_area) in enumerate(shells):
+            # a shell enclosing the hole must be larger than the hole
+            # region (otherwise it is an island INSIDE the hole and merely
+            # contains the representative point)
+            if s_area <= h_area:
+                continue
+            if points_in_polygon(np.array([hp[0]]), np.array([hp[1]]), [sh])[0] == INTERIOR:
+                shell_holes[i].append(hole)
+                break
+    polys = []
+    for (sh, _a), hs in zip(shells, shell_holes):
+        polys.append(Geometry(POLYGON, 0, rings=[sh] + hs))
+    if len(polys) == 1:
+        return polys[0]
+    return Geometry(MULTIPOLYGON, 0, geoms=polys)
+
+
+def _merge_lines(edge_list):
+    """Undirected edges -> merged LineStrings (greedy path stitching)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for p, q in edge_list:
+        adj[p].append(q)
+        adj[q].append(p)
+    unused = set()
+    for p, q in edge_list:
+        unused.add((p, q) if p <= q else (q, p))
+
+    def take(p, q):
+        unused.discard((p, q) if p <= q else (q, p))
+
+    lines = []
+    # start at odd-degree vertices first (path endpoints)
+    starts = [v for v in adj if len(adj[v]) % 2 == 1] + list(adj.keys())
+    for s in starts:
+        while True:
+            nxt = None
+            for q in adj[s]:
+                if ((s, q) if s <= q else (q, s)) in unused:
+                    nxt = q
+                    break
+            if nxt is None:
+                break
+            path = [s, nxt]
+            take(s, nxt)
+            cur = nxt
+            prev = s
+            while True:
+                cont = None
+                for q in adj[cur]:
+                    if q != prev and ((cur, q) if cur <= q else (q, cur)) in unused:
+                        cont = q
+                        break
+                if cont is None:
+                    break
+                path.append(cont)
+                take(cur, cont)
+                prev, cur = cur, cont
+            lines.append(np.asarray(path, dtype=np.float64))
+    return lines
+
+
+def _typed_empty(dim: int) -> Geometry:
+    if dim <= 0:
+        return Geometry(POINT, 0, coords=None)
+    if dim == 1:
+        return Geometry(LINESTRING, 0, coords=np.zeros((0, 2)))
+    return Geometry(POLYGON, 0, rings=[])
+
+
+def _compose(points, lines, areal) -> Geometry:
+    """Combine piece lists into a single geometry value."""
+    parts = []
+    for p in points:
+        parts.append(Geometry.point(p[0], p[1]))
+    for l in lines:
+        parts.append(Geometry(LINESTRING, 0, coords=l))
+    if areal is not None and not areal.is_empty():
+        parts.extend(areal.flatten())
+    if not parts:
+        return None
+    tags = {p.tag for p in parts}
+    if tags == {POINT}:
+        return parts[0] if len(parts) == 1 else Geometry(MULTIPOINT, 0, geoms=parts)
+    if tags == {LINESTRING}:
+        return parts[0] if len(parts) == 1 else Geometry(MULTILINESTRING, 0, geoms=parts)
+    if tags == {POLYGON}:
+        return parts[0] if len(parts) == 1 else Geometry(MULTIPOLYGON, 0, geoms=parts)
+    return Geometry(GEOMETRYCOLLECTION, 0, geoms=parts)
+
+
+def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
+    """Point-set overlay of two geometries.
+
+    Result composition follows JTS/OverlayNG conventions: highest- and
+    lower-dimensional pieces are all emitted (mixed results become a
+    GeometryCollection); empty results are typed by the op's natural
+    dimension (reference alg_overlay.go:29-44).
+    """
+    if op not in _OPS:
+        raise ValueError(f"unknown overlay op {op!r}")
+    sel = _OPS[op]
+
+    dim_a = a.dimension() if not a.is_empty() else -1
+    dim_b = b.dimension() if not b.is_empty() else -1
+    if dim_a < 0 and dim_b < 0:
+        return _typed_empty(_empty_dim(op, 0, 0))
+    if dim_a < 0:
+        return b if op in ("union", "symmetric_difference") else _typed_empty(
+            _empty_dim(op, dim_b, dim_b))
+    if dim_b < 0:
+        if op in ("union", "symmetric_difference", "difference"):
+            return a
+        return _typed_empty(_empty_dim(op, dim_a, dim_a))
+
+    # ---- noding of the combined linework ----------------------------------
+    segs = _collect_segments([a, b])
+    edges = _node_all(segs) if len(segs) else set()
+
+    # ---- classify edge sides ----------------------------------------------
+    boundary_directed = set()
+    leftover_edges = []  # undirected, in neither selected region
+    for p, q in edges:
+        lp, rp, mid = _side_points(p, q)
+        la_l = _locate_in(a, lp[0], lp[1]) == INTERIOR
+        lb_l = _locate_in(b, lp[0], lp[1]) == INTERIOR
+        la_r = _locate_in(a, rp[0], rp[1]) == INTERIOR
+        lb_r = _locate_in(b, rp[0], rp[1]) == INTERIOR
+        s_l = sel(la_l, lb_l)
+        s_r = sel(la_r, lb_r)
+        if s_l and not s_r:
+            boundary_directed.add((p, q))
+        elif s_r and not s_l:
+            boundary_directed.add((q, p))
+        elif not s_l and not s_r:
+            leftover_edges.append((p, q))
+        # s_l and s_r: interior edge of the result, drop
+
+    rings = _trace_rings(boundary_directed)
+    areal = _assemble_polygons(rings) if rings else None
+
+    # ---- 1D / 0D pieces ----------------------------------------------------
+    lines = []
+    points = []
+    line_edges = []
+    for p, q in leftover_edges:
+        _, _, mid = _side_points(p, q)
+        on_a = _locate_in(a, mid[0], mid[1]) != EXTERIOR
+        on_b = _locate_in(b, mid[0], mid[1]) != EXTERIOR
+        keep = {
+            "intersection": on_a and on_b,
+            "union": on_a or on_b,
+            "difference": on_a and not on_b,
+            "symmetric_difference": on_a != on_b,
+        }[op]
+        if keep:
+            line_edges.append((p, q))
+    if line_edges:
+        lines = _merge_lines(line_edges)
+
+    # 0D pieces: input point parts + isolated touch points
+    cand_points = []
+    for g, other, flip in ((a, b, False), (b, a, True)):
+        for leaf in g.flatten():
+            if leaf.tag == POINT and leaf.coords is not None:
+                cand_points.append((float(leaf.coords[0]), float(leaf.coords[1])))
+    if op == "intersection" and dim_a >= 1 and dim_b >= 1:
+        # isolated vertex touches (e.g. corner-touching polygons)
+        verts = set()
+        for p, q in edges:
+            verts.add(p)
+            verts.add(q)
+        used = set()
+        for p, q in boundary_directed:
+            used.add(p)
+            used.add(q)
+        for p, q in line_edges:
+            used.add(p)
+            used.add(q)
+        for v in verts - used:
+            if _locate_in(a, v[0], v[1]) != EXTERIOR and _locate_in(b, v[0], v[1]) != EXTERIOR:
+                points.append(v)
+    for p in cand_points:
+        la = _locate_in(a, p[0], p[1]) != EXTERIOR
+        lb = _locate_in(b, p[0], p[1]) != EXTERIOR
+        keep = {
+            "intersection": la and lb,
+            "union": la or lb,
+            "difference": la and not lb,
+            "symmetric_difference": la != lb,
+        }[op]
+        if keep:
+            # suppress points swallowed by higher-dim result pieces
+            if areal is not None and _locate_in(areal, p[0], p[1]) != EXTERIOR:
+                continue
+            covered = False
+            for l in lines:
+                gl = Geometry(LINESTRING, 0, coords=l)
+                if _locate_in(gl, p[0], p[1]) != EXTERIOR:
+                    covered = True
+                    break
+            if not covered:
+                points.append(p)
+
+    points = sorted(set(points))
+    result = _compose(points, lines, areal)
+    if result is None:
+        return _typed_empty(_empty_dim(op, dim_a, dim_b))
+    return result
+
+
+def _empty_dim(op: str, dim_a: int, dim_b: int) -> int:
+    """Dimension for typed empty results (reference alg_overlay.go:29-44)."""
+    if op == "intersection":
+        return min(dim_a, dim_b)
+    if op == "difference":
+        return dim_a
+    return max(dim_a, dim_b)
+
+
+def union(a, b) -> Geometry:
+    return overlay(a, b, "union")
+
+
+def intersection(a, b) -> Geometry:
+    return overlay(a, b, "intersection")
+
+
+def difference(a, b) -> Geometry:
+    return overlay(a, b, "difference")
+
+
+def symmetric_difference(a, b) -> Geometry:
+    return overlay(a, b, "symmetric_difference")
+
+
+def union_many(geoms) -> Geometry:
+    """n-way union by balanced tree reduce (cascaded union; the engine's
+    distributed variant is a groupby().map_groups aggregate, SURVEY §2.6)."""
+    items = [g for g in geoms if g is not None and not g.is_empty()]
+    if not items:
+        return Geometry(GEOMETRYCOLLECTION, 0, geoms=[])
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(union(items[i], items[i + 1]))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]

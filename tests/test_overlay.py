@@ -1,0 +1,153 @@
+"""Overlay set-op tests (reference style: geom/alg_overlay_test.go;
+expected results checked by area/structure, ExactEquals-style where
+geometry is pinned)."""
+import numpy as np
+import pytest
+
+from simplefeatures_ray.geometry import from_wkt, to_wkt
+from simplefeatures_ray.geometry.algorithms import area, length
+from simplefeatures_ray.geometry.overlay import (
+    difference,
+    intersection,
+    overlay,
+    symmetric_difference,
+    union,
+    union_many,
+)
+
+SQ1 = "POLYGON((0 0,2 0,2 2,0 2,0 0))"
+SQ2 = "POLYGON((1 1,3 1,3 3,1 3,1 1))"
+
+
+AREA_CASES = [
+    # (wkt_a, wkt_b, op, expected_area)
+    (SQ1, SQ2, "intersection", 1.0),
+    (SQ1, SQ2, "union", 7.0),
+    (SQ1, SQ2, "difference", 3.0),
+    (SQ1, SQ2, "symmetric_difference", 6.0),
+    (SQ1, "POLYGON((5 5,6 5,6 6,5 6,5 5))", "union", 5.0),
+    (SQ1, "POLYGON((5 5,6 5,6 6,5 6,5 5))", "intersection", 0.0),
+    (SQ1, SQ1, "difference", 0.0),
+    (SQ1, SQ1, "union", 4.0),
+    (SQ1, SQ1, "intersection", 4.0),
+    (SQ1, SQ1, "symmetric_difference", 0.0),
+    # nested
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "POLYGON((4 4,6 4,6 6,4 6,4 4))",
+     "difference", 96.0),
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "POLYGON((4 4,6 4,6 6,4 6,4 4))",
+     "symmetric_difference", 96.0),
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "POLYGON((4 4,6 4,6 6,4 6,4 4))",
+     "union", 100.0),
+    # adjacent (edge touch)
+    (SQ1, "POLYGON((2 0,4 0,4 2,2 2,2 0))", "union", 8.0),
+    # with holes
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2))",
+     "POLYGON((4 4,6 4,6 6,4 6,4 4))", "union", 68.0),
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2))",
+     "POLYGON((4 4,6 4,6 6,4 6,4 4))", "intersection", 0.0),
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2))",
+     "POLYGON((1 1,9 1,9 9,1 9,1 1))", "intersection", 64.0 - 36.0),  # B minus A's hole
+]
+
+
+@pytest.mark.parametrize("wa,wb,op,expected", AREA_CASES)
+def test_overlay_area(wa, wb, op, expected):
+    g = overlay(from_wkt(wa), from_wkt(wb), op)
+    assert area(g) == pytest.approx(expected, abs=1e-9)
+
+
+def test_inclusion_exclusion():
+    pairs = [(SQ1, SQ2), (SQ1, "POLYGON((0.5 0.5,1.5 0.5,1.5 2.5,0.5 2.5,0.5 0.5))")]
+    for wa, wb in pairs:
+        a = from_wkt(wa)
+        b = from_wkt(wb)
+        ia = area(intersection(a, b))
+        ua = area(union(a, b))
+        assert ua == pytest.approx(area(a) + area(b) - ia, abs=1e-9)
+        assert area(symmetric_difference(a, b)) == pytest.approx(ua - ia, abs=1e-9)
+        assert area(difference(a, b)) == pytest.approx(area(a) - ia, abs=1e-9)
+
+
+def test_lower_dim_results():
+    sq_adj = from_wkt("POLYGON((2 0,4 0,4 2,2 2,2 0))")
+    g = intersection(from_wkt(SQ1), sq_adj)
+    assert to_wkt(g) == "LINESTRING(2 0,2 2)"
+    sq_corner = from_wkt("POLYGON((2 2,4 2,4 4,2 4,2 2))")
+    g = intersection(from_wkt(SQ1), sq_corner)
+    assert to_wkt(g) == "POINT(2 2)"
+
+
+def test_typed_empty_results():
+    sq = from_wkt(SQ1)
+    assert to_wkt(difference(sq, sq)) == "POLYGON EMPTY"
+    far = from_wkt("POLYGON((9 9,10 9,10 10,9 10,9 9))")
+    assert to_wkt(intersection(sq, far)) == "POLYGON EMPTY"
+    l1 = from_wkt("LINESTRING(0 0,1 0)")
+    l2 = from_wkt("LINESTRING(5 5,6 6)")
+    assert to_wkt(intersection(l1, l2)) == "LINESTRING EMPTY"
+
+
+def test_difference_creates_hole():
+    big = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    small = from_wkt("POLYGON((4 4,6 4,6 6,4 6,4 4))")
+    d = difference(big, small)
+    assert d.tag == 3 and len(d.rings) == 2
+    assert area(d) == pytest.approx(96.0)
+
+
+def test_line_polygon_ops():
+    line = from_wkt("LINESTRING(-1 1,5 1)")
+    sq = from_wkt(SQ1)
+    clipped = intersection(line, sq)
+    assert to_wkt(clipped) == "LINESTRING(0 1,2 1)"
+    outside = difference(line, sq)
+    assert length(outside) == pytest.approx(4.0)
+    assert outside.tag == 5 and len(outside.geoms) == 2
+
+
+def test_line_line_ops():
+    x1 = from_wkt("LINESTRING(0 0,2 2)")
+    x2 = from_wkt("LINESTRING(0 2,2 0)")
+    assert to_wkt(intersection(x1, x2)) == "POINT(1 1)"
+    c1 = from_wkt("LINESTRING(0 0,2 0)")
+    c2 = from_wkt("LINESTRING(1 0,3 0)")
+    assert length(intersection(c1, c2)) == pytest.approx(1.0)
+    assert length(union(c1, c2)) == pytest.approx(3.0)
+    assert length(difference(c1, c2)) == pytest.approx(1.0)
+
+
+def test_point_ops():
+    sq = from_wkt(SQ1)
+    assert to_wkt(intersection(from_wkt("POINT(1 1)"), sq)) == "POINT(1 1)"
+    assert to_wkt(intersection(from_wkt("POINT(5 5)"), sq)) == "POLYGON EMPTY" or \
+        intersection(from_wkt("POINT(5 5)"), sq).is_empty()
+    u = union(from_wkt("POINT(5 5)"), sq)
+    assert u.tag == 7  # GC(point, polygon)
+
+
+def test_empty_inputs():
+    sq = from_wkt(SQ1)
+    empty = from_wkt("POLYGON EMPTY")
+    assert to_wkt(union(sq, empty)) == to_wkt(sq)
+    assert to_wkt(union(empty, sq)) == to_wkt(sq)
+    assert intersection(sq, empty).is_empty()
+    assert to_wkt(difference(sq, empty)) == to_wkt(sq)
+    assert difference(empty, sq).is_empty()
+
+
+def test_union_many():
+    row = [from_wkt(f"POLYGON(({i} 0,{i+1} 0,{i+1} 1,{i} 1,{i} 0))") for i in range(5)]
+    u = union_many(row)
+    assert area(u) == pytest.approx(5.0)
+    assert u.tag == 3  # dissolves into one polygon
+    # disjoint unions stay multi
+    spread = [from_wkt(f"POLYGON(({3*i} 0,{3*i+1} 0,{3*i+1} 1,{3*i} 1,{3*i} 0))") for i in range(3)]
+    u2 = union_many(spread)
+    assert area(u2) == pytest.approx(3.0)
+    assert u2.tag == 6
+
+
+def test_overlay_deterministic():
+    a = from_wkt(SQ1)
+    b = from_wkt(SQ2)
+    assert to_wkt(union(a, b)) == to_wkt(union(a, b))
