@@ -1,0 +1,255 @@
+"""OGC validity checking (reference: per-type Validate, rule list
+geom/errors.go:84-94; polygon ring rules geom/type_polygon.go:42-166;
+multipolygon pairwise rules geom/type_multi_polygon.go:40-172).
+
+validate(g) returns (ok, reason); reason is None when valid.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .core import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+)
+from .predicates import (
+    INTERIOR,
+    _candidate_pairs,
+    point_in_polygon,
+    segment_intersection,
+)
+
+
+def _finite(arr) -> bool:
+    return bool(np.isfinite(arr).all())
+
+
+def _ring_segments(ring: np.ndarray) -> np.ndarray:
+    r = ring[:, :2]
+    return np.concatenate([r[:-1], r[1:]], axis=1)
+
+
+def _key(p):
+    return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+
+def _curve_self_intersects(coords: np.ndarray, closed: bool):
+    """Self-intersection check for one curve: segments may share only the
+    endpoints adjacency allows (incl. the closing vertex for rings)."""
+    segs = np.concatenate([coords[:-1, :2], coords[1:, :2]], axis=1)
+    n = len(segs)
+    # degenerate zero-length segments count as repeated points
+    lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    if (lens == 0).any():
+        return "repeated adjacent points"
+    pairs = _candidate_pairs(segs, segs)
+    for i, j in pairs:
+        if j <= i:
+            continue
+        adjacent = j == i + 1 or (closed and i == 0 and j == n - 1)
+        kind, data = segment_intersection(segs[i][:2], segs[i][2:], segs[j][:2], segs[j][2:])
+        if kind == "none":
+            continue
+        if kind == "overlap":
+            return "self-intersection (collinear overlap)"
+        if adjacent:
+            shared = _key(segs[j][:2]) if j == i + 1 else _key(segs[i][:2])
+            if _key(data) != shared:
+                return "self-intersection between adjacent segments"
+        else:
+            return "self-intersection"
+    return None
+
+
+def _ring_pair_touches(ra: np.ndarray, rb: np.ndarray):
+    """Classify contact between two rings.
+
+    Returns (kind, touch_points): kind in {'disjoint', 'touch', 'cross'}.
+    'touch' = finitely many shared points, no crossings/overlaps.
+    """
+    sa = _ring_segments(ra)
+    sb = _ring_segments(rb)
+    touches = set()
+    pairs = _candidate_pairs(sa, sb)
+    for i, j in pairs:
+        kind, data = segment_intersection(sa[i][:2], sa[i][2:], sb[j][:2], sb[j][2:])
+        if kind == "none":
+            continue
+        if kind == "overlap":
+            return "cross", touches
+        p = _key(data)
+        # a shared point is a crossing unless it is a vertex-touch that
+        # does not transversally cross — detect by sampling: if the point
+        # is interior to BOTH segments it is a proper crossing
+        ti = _param(data, sa[i])
+        tj = _param(data, sb[j])
+        if 0.0 < ti < 1.0 and 0.0 < tj < 1.0:
+            return "cross", touches
+        touches.add(p)
+    if not touches:
+        return "disjoint", touches
+    return "touch", touches
+
+
+def _param(p, seg):
+    ax, ay, bx, by = seg
+    dx = bx - ax
+    dy = by - ay
+    denom = dx * dx + dy * dy
+    if denom == 0:
+        return 0.0
+    return ((p[0] - ax) * dx + (p[1] - ay) * dy) / denom
+
+
+def _validate_polygon(g: Geometry):
+    if not g.rings:
+        return None  # empty polygon is valid
+    for ring in g.rings:
+        if not _finite(ring):
+            return "non-finite coordinate"
+        if len(ring) < 4:
+            return "ring with fewer than 4 points"
+        if not np.array_equal(ring[0], ring[-1]):
+            return "ring not closed"
+        err = _curve_self_intersects(ring, closed=True)
+        if err:
+            return f"ring {err}"
+    shell = g.rings[0]
+    holes = g.rings[1:]
+    # union-find over rings for interior-connectivity (a cycle in the
+    # ring-touch graph pinches the interior; reference type_polygon.go's
+    # connected-interior graph check)
+    parent = list(range(len(g.rings)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def join(x, y) -> bool:
+        rx, ry = find(x), find(y)
+        if rx == ry:
+            return False
+        parent[rx] = ry
+        return True
+
+    for hi, hole in enumerate(holes, start=1):
+        kind, touches = _ring_pair_touches(shell, hole)
+        if kind == "cross":
+            return "hole crosses shell"
+        for _ in touches:
+            if not join(0, hi):
+                return "interior disconnected (ring touch cycle)"
+        # hole must be inside the shell: a non-touch vertex must be interior
+        inside_ok = False
+        for v in hole[:-1]:
+            loc = point_in_polygon(v[0], v[1], [shell])
+            if loc == INTERIOR:
+                inside_ok = True
+                break
+            if loc == -1 and _key(v) not in touches:
+                return "hole outside shell"
+        if not inside_ok and len(touches) == 0:
+            return "hole outside shell"
+    for i in range(len(holes)):
+        for j in range(i + 1, len(holes)):
+            kind, touches = _ring_pair_touches(holes[i], holes[j])
+            if kind == "cross":
+                return "holes cross"
+            for _ in touches:
+                if not join(i + 1, j + 1):
+                    return "interior disconnected (ring touch cycle)"
+            # nested holes: a vertex of one strictly inside the other
+            for v in holes[j][:-1]:
+                if point_in_polygon(v[0], v[1], [holes[i]]) == INTERIOR:
+                    return "nested holes"
+            for v in holes[i][:-1]:
+                if point_in_polygon(v[0], v[1], [holes[j]]) == INTERIOR:
+                    return "nested holes"
+    return None
+
+
+def _validate_multipolygon(g: Geometry):
+    polys = [p for p in g.geoms if p.rings]
+    for p in polys:
+        err = _validate_polygon(p)
+        if err:
+            return err
+    from .algorithms import _polygon_interior_point
+
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            a = polys[i]
+            b = polys[j]
+            # pairwise: boundaries may touch at points, interiors disjoint
+            for ra in a.rings:
+                for rb in b.rings:
+                    kind, _t = _ring_pair_touches(ra, rb)
+                    if kind == "cross":
+                        return "multipolygon elements cross"
+            pa = _polygon_interior_point(a.rings)
+            pb = _polygon_interior_point(b.rings)
+            if point_in_polygon(pa[0], pa[1], b.rings) == INTERIOR:
+                return "multipolygon element inside another"
+            if point_in_polygon(pb[0], pb[1], a.rings) == INTERIOR:
+                return "multipolygon element inside another"
+    return None
+
+
+def validate(g: Geometry):
+    """Returns (ok: bool, reason: str | None)."""
+    t = g.tag
+    if t == POINT:
+        if g.coords is not None and not _finite(g.coords):
+            return False, "non-finite coordinate"
+        return True, None
+    if t == LINESTRING:
+        if len(g.coords) == 0:
+            return True, None
+        if not _finite(g.coords):
+            return False, "non-finite coordinate"
+        if len(g.coords) < 2:
+            return False, "linestring with fewer than 2 points"
+        xy = g.coords[:, :2]
+        if len(np.unique(xy, axis=0)) < 2:
+            return False, "linestring without 2 distinct points"
+        return True, None
+    if t == POLYGON:
+        for ring in g.rings:
+            if not _finite(ring):
+                return False, "non-finite coordinate"
+        err = _validate_polygon(g)
+        return (err is None), err
+    if t == MULTIPOINT:
+        for p in g.geoms:
+            ok, err = validate(p)
+            if not ok:
+                return False, err
+        return True, None
+    if t == MULTILINESTRING:
+        for l in g.geoms:
+            ok, err = validate(l)
+            if not ok:
+                return False, err
+        return True, None
+    if t == MULTIPOLYGON:
+        err = _validate_multipolygon(g)
+        return (err is None), err
+    if t == GEOMETRYCOLLECTION:
+        for sub in g.geoms:
+            ok, err = validate(sub)
+            if not ok:
+                return False, err
+        return True, None
+    return False, f"unknown tag {t}"
+
+
+def is_valid(g: Geometry) -> bool:
+    return validate(g)[0]

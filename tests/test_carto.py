@@ -1,0 +1,76 @@
+"""Projection round-trip + known-value tests (reference carto/*_test.go
+style: Forward/Reverse inverses, spot values)."""
+import numpy as np
+import pytest
+
+from simplefeatures_ray.carto import (
+    ALL_PROJECTIONS,
+    R_EARTH,
+    UTM,
+    Equirectangular,
+    WebMercator,
+)
+
+
+@pytest.mark.parametrize("name", sorted(ALL_PROJECTIONS))
+def test_round_trip(name):
+    proj = ALL_PROJECTIONS[name]()
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-30, 50, 50)  # stay near projection centers
+    lat = rng.uniform(10, 70, 50)
+    x, y = proj.forward(lon, lat)
+    lon2, lat2 = proj.reverse(x, y)
+    assert np.allclose(lon, lon2, atol=1e-8), name
+    assert np.allclose(lat, lat2, atol=1e-8), name
+
+
+def test_web_mercator_known_values():
+    p = WebMercator(zoom=0)
+    x, y = p.forward(np.array([0.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(0.5)
+    assert y[0] == pytest.approx(0.5)
+    x, y = p.forward(np.array([-180.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(0.0)
+    # zoom scales linearly
+    p2 = WebMercator(zoom=3)
+    x2, _ = p2.forward(np.array([0.0]), np.array([0.0]))
+    assert x2[0] == pytest.approx(4.0)
+
+
+def test_equirectangular_known_values():
+    p = Equirectangular(radius=1.0, std_parallel=0.0)
+    x, y = p.forward(np.array([90.0]), np.array([45.0]))
+    assert x[0] == pytest.approx(np.pi / 2)
+    assert y[0] == pytest.approx(np.pi / 4)
+
+
+def test_utm_zone_selection():
+    assert UTM.zone_for(3.0, 50.0) == 31
+    assert UTM.zone_for(-180.0, 0.0) == 1
+    assert UTM.zone_for(179.9, 0.0) == 60
+    assert UTM.central_meridian(31) == 3.0
+
+
+def test_utm_central_meridian_maps_to_false_easting():
+    p = UTM(31)
+    x, y = p.forward(np.array([3.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(500000.0)
+    assert y[0] == pytest.approx(0.0)
+
+
+def test_area_preservation_albers():
+    """Equal-area property: projected area of a small cell ~ sphere area."""
+    from simplefeatures_ray.carto import AlbersEqualAreaConic
+
+    p = AlbersEqualAreaConic(0.0, 40.0, 29.5, 45.5, radius=1.0)
+    # small quad near (10E, 40N)
+    lons = np.array([10.0, 10.1, 10.1, 10.0])
+    lats = np.array([40.0, 40.0, 40.1, 40.1])
+    x, y = p.forward(lons, lats)
+    # shoelace
+    area = 0.5 * abs(
+        np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+    )
+    d = np.radians(0.1)
+    sphere_area = d * d * np.cos(np.radians(40.05))
+    assert area == pytest.approx(sphere_area, rel=1e-3)

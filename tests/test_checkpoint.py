@@ -1,0 +1,88 @@
+"""Checkpoint/lineage tests: idempotent resume, per-partition manifest."""
+import json
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture
+def tmp_out(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _make_ds(n=2000):
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.range(n)
+    return ds.map_batches(
+        lambda b: {
+            "key": b["id"] % 37,
+            "value": b["id"].astype(float) * 1.5,
+            "id": b["id"],
+        },
+        batch_format="numpy",
+    )
+
+
+def test_write_and_manifest(ray_session, tmp_out):
+    from simplefeatures_ray.state.checkpoint import (
+        checkpointed_write,
+        load_manifest,
+        read_checkpointed,
+        verify_manifest,
+    )
+
+    doc = checkpointed_write(_make_ds(), tmp_out, partition_col="key", n_buckets=8)
+    assert doc["total_rows"] == 2000
+    manifest = load_manifest(tmp_out)
+    assert len(manifest) >= 1
+    assert all(v["rows"] > 0 and v["content_hash"] for v in manifest.values())
+    # every partition verifies
+    assert set(verify_manifest(tmp_out).values()) == {"ok"}
+    # read back the full dataset
+    back = read_checkpointed(tmp_out)
+    assert back.count() == 2000
+
+
+def test_resume_skips_completed(ray_session, tmp_out):
+    from simplefeatures_ray.state.checkpoint import checkpointed_write, load_manifest
+
+    checkpointed_write(_make_ds(), tmp_out, partition_col="key", n_buckets=8)
+    m1 = load_manifest(tmp_out)
+    # delete one partition and its manifest entry -> only that one rewrites
+    victim = sorted(m1)[0]
+    path = os.path.join(tmp_out, f"part={victim}")
+    shutil.rmtree(path)
+    mpath = os.path.join(tmp_out, "_manifest.json")
+    doc = json.load(open(mpath))
+    del doc["partitions"][str(victim)]
+    json.dump(doc, open(mpath, "w"))
+
+    before_mtimes = {
+        b: os.path.getmtime(os.path.join(tmp_out, f"part={b}", "data.parquet"))
+        for b in m1
+        if b != victim
+    }
+    checkpointed_write(_make_ds(), tmp_out, partition_col="key", n_buckets=8)
+    m2 = load_manifest(tmp_out)
+    assert set(m2) == set(m1)
+    assert m2[victim]["content_hash"] == m1[victim]["content_hash"]
+    # untouched partitions were NOT rewritten
+    for b, mt in before_mtimes.items():
+        assert os.path.getmtime(os.path.join(tmp_out, f"part={b}", "data.parquet")) == mt
+
+
+def test_deterministic_hashes_across_runs(ray_session, tmp_path):
+    from simplefeatures_ray.state.checkpoint import checkpointed_write, load_manifest
+
+    d1 = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+    checkpointed_write(_make_ds(), d1, partition_col="key", n_buckets=8)
+    checkpointed_write(_make_ds(), d2, partition_col="key", n_buckets=8)
+    m1 = load_manifest(d1)
+    m2 = load_manifest(d2)
+    assert {k: v["content_hash"] for k, v in m1.items()} == {
+        k: v["content_hash"] for k, v in m2.items()
+    }
