@@ -518,6 +518,112 @@ def geom_relate_boxes(sf_dir: str):
     return pa.table(recs)
 
 
+def proj_web_mercator(sf_dir: str):
+    """Web-Mercator projection of the event points (SQL oracle: same
+    trig formula in DuckDB)."""
+    from simplefeatures_ray.carto import WebMercator, project_batch
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    proj = WebMercator(zoom=0)
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        mx, my = proj.forward(x, y)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "mx": pa.array(np.round(mx, 9)),
+                "my": pa.array(np.round(my, 9)),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def geom_buffer_stats(sf_dir: str):
+    """Buffer areas over the polygon corpus (rows-only; discretized-arc
+    areas are gated in pytest against closed forms)."""
+    from simplefeatures_ray.geometry.algorithms import area
+    from simplefeatures_ray.geometry.buffer import buffer
+    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+
+    recs = {"case_id": [], "buf_area_pos": [], "buf_area_neg": []}
+    for cid, g in polygon_corpus():
+        recs["case_id"].append(cid)
+        recs["buf_area_pos"].append(round(area(buffer(g, 0.5, quad_segments=8)), 6))
+        recs["buf_area_neg"].append(round(area(buffer(g, -0.2)), 6))
+    return pa.table(recs)
+
+
+def raster_tiles(sf_dir: str):
+    """Per-cell rasterization of joined page points buffered to discs —
+    the groupby(tile).map_groups raster stage (rows-only)."""
+    from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
+    from simplefeatures_ray.raster import RasterizeTiles
+    from simplefeatures_ray.sources.pages import read_pages
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    n = min(_pages_count(sf_dir), 20000)
+    joined = geotag_join_tiles(read_pages(n), make_polygons(64), res=6, final_sort=False)
+
+    def to_wkb_points(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.geometry.core import Geometry
+        from simplefeatures_ray.geometry.wkb import to_wkb
+
+        lons = np.asarray(t["lon"])
+        lats = np.asarray(t["lat"])
+        # mercator unit-square coords to match cell bounds
+        from simplefeatures_ray.cells import mercator_xy
+
+        x, y = mercator_xy(lons, lats)
+        wkbs = [to_wkb(Geometry.point(float(a), float(b))) for a, b in zip(x, y)]
+        return pa.table({"cell": t["cell"], "wkb": pa.array(wkbs, pa.binary())})
+
+    pts = joined.map_batches(to_wkb_points, batch_format="pyarrow")
+    tiler = RasterizeTiles(width=64, height=64)
+
+    def rasterize_group(df):
+        return tiler(df)
+
+    out = pts.groupby("cell").map_groups(rasterize_group, batch_format="pandas")
+    return out.select_columns(["cell", "width", "height", "coverage"])
+
+
+def media_features(sf_dir: str):
+    """Multimodal stub pipeline: fake-decode -> features -> frame sample
+    (rows-only; deterministic)."""
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.multimodal import (
+        DecodeImage,
+        ImageFeatures,
+        SampleFrames,
+        fake_media_table,
+    )
+
+    ds = rd.from_arrow(fake_media_table(256))
+    ds = ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": True},
+                        batch_format="pyarrow", concurrency=2, batch_size=64)
+    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2)
+    ds = ds.map_batches(SampleFrames, batch_format="pyarrow", concurrency=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        feats = t["img_features"].combine_chunks()
+        f = np.asarray(feats.values, dtype=np.float64).reshape(len(t), -1)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "mean_r": pa.array(np.round(f[:, 0], 4)),
+                "n_frames_sampled": pa.array(
+                    [len(v) for v in t["frame_offsets"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------- #
 # flagship
 # --------------------------------------------------------------------------- #
@@ -575,6 +681,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_pip_convex": geom_pip_convex,
         "geom_overlay_boxes": geom_overlay_boxes,
         "geom_relate_boxes": geom_relate_boxes,
+        "geom_buffer_stats": geom_buffer_stats,
+        # projections / raster / multimodal
+        "proj_web_mercator": proj_web_mercator,
+        "raster_tiles": raster_tiles,
+        "media_features": media_features,
         # flagship (rows-only check)
         "flagship_tiles": flagship_tiles,
     }
@@ -745,6 +856,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT case_id, ROUND(SUM(sx) / SUM(a), 6) AS cx,
                    ROUND(SUM(sy) / SUM(a), 6) AS cy
             FROM ring GROUP BY case_id
+        """,
+        "proj_web_mercator": f"""
+            SELECT event_id,
+                   ROUND((radians(x) + pi()) / (2 * pi()), 9) AS mx,
+                   ROUND((pi() - ln(tan(pi()/4 + radians(y)/2))) / (2 * pi()), 9) AS my
+            FROM {event_points_sql('pts')}
         """,
         "geom_overlay_boxes": f"""
             WITH pairs AS (

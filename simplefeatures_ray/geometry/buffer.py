@@ -1,0 +1,115 @@
+"""Buffer (Minkowski sum with a disc), reference geom/alg_buffer.go:24-124.
+
+Construction: union of per-segment rectangles and per-vertex discs
+(round joins/caps arise from the vertex discs), computed with the
+engine's own planar overlay. Polygon erosion (negative distance) is
+polygon minus the buffered boundary. Arc discretization uses
+quad_segments vertices per quarter circle (same option as the
+reference's WithQuadSegments). Cap styles: round | flat | square.
+
+Approximation note: discs are inscribed 4*quad_segments-gons, so areas
+are slightly under pi*r^2 (exact for the polygonal approximation) —
+matching the discretization contract of JTS/GEOS buffers.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import GEOMETRYCOLLECTION, LINESTRING, MULTIPOLYGON, POINT, POLYGON, Geometry
+from .overlay import difference, union_many
+
+
+def _disc(cx: float, cy: float, r: float, quad_segments: int) -> Geometry:
+    n = max(4, 4 * quad_segments)
+    ang = np.arange(n) * (2 * math.pi / n)
+    ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+    ring = np.concatenate([ring, ring[:1]], axis=0)
+    return Geometry(POLYGON, 0, rings=[ring])
+
+
+def _segment_rect(a, b, r: float, extend_a=0.0, extend_b=0.0) -> Geometry | None:
+    dx = b[0] - a[0]
+    dy = b[1] - a[1]
+    ln = math.hypot(dx, dy)
+    if ln == 0:
+        return None
+    ux, uy = dx / ln, dy / ln
+    nx, ny = -uy, ux
+    ax = a[0] - ux * extend_a
+    ay = a[1] - uy * extend_a
+    bx = b[0] + ux * extend_b
+    by = b[1] + uy * extend_b
+    ring = np.array(
+        [
+            [ax + nx * r, ay + ny * r],
+            [bx + nx * r, by + ny * r],
+            [bx - nx * r, by - ny * r],
+            [ax - nx * r, ay - ny * r],
+            [ax + nx * r, ay + ny * r],
+        ]
+    )
+    return Geometry(POLYGON, 0, rings=[ring])
+
+
+def _buffer_linework(coords: np.ndarray, r: float, quad_segments: int,
+                     cap_style: str, closed: bool) -> list[Geometry]:
+    parts = []
+    n = len(coords)
+    xy = coords[:, :2]
+    square_ext = r if cap_style == "square" else 0.0
+    for i in range(n - 1):
+        ext_a = square_ext if (i == 0 and not closed) else 0.0
+        ext_b = square_ext if (i == n - 2 and not closed) else 0.0
+        rect = _segment_rect(xy[i], xy[i + 1], r, ext_a, ext_b)
+        if rect is not None:
+            parts.append(rect)
+    # vertex discs: round joins everywhere; endpoints only for round caps
+    for i in range(n):
+        endpoint = (i == 0 or i == n - 1) and not closed
+        if endpoint and cap_style != "round":
+            continue
+        parts.append(_disc(xy[i, 0], xy[i, 1], r, quad_segments))
+    return parts
+
+
+def buffer(g: Geometry, dist: float, quad_segments: int = 8,
+           cap_style: str = "round") -> Geometry:
+    """Buffered geometry (always areal or empty)."""
+    if cap_style not in ("round", "flat", "square"):
+        raise ValueError(f"unknown cap style {cap_style!r}")
+    if g.is_empty():
+        return Geometry(POLYGON, 0, rings=[])
+    if dist == 0:
+        t = g.tag
+        if t in (POLYGON, MULTIPOLYGON):
+            return g
+        return Geometry(POLYGON, 0, rings=[])
+    t = g.tag
+    if t == POINT:
+        if dist < 0:
+            return Geometry(POLYGON, 0, rings=[])
+        return _disc(float(g.coords[0]), float(g.coords[1]), dist, quad_segments)
+    if t == LINESTRING:
+        if dist < 0:
+            return Geometry(POLYGON, 0, rings=[])
+        closed = bool(np.array_equal(g.coords[0], g.coords[-1]))
+        return union_many(_buffer_linework(g.coords, dist, quad_segments, cap_style, closed))
+    if t == POLYGON:
+        if not g.rings:
+            return Geometry(POLYGON, 0, rings=[])
+        ring_parts = []
+        for ring in g.rings:
+            ring_parts.extend(_buffer_linework(ring, abs(dist), quad_segments, "round", True))
+        boundary_buf = union_many(ring_parts)
+        if dist > 0:
+            return union_many([g, boundary_buf])
+        return difference(g, boundary_buf)
+    # multis / collections: union of part buffers (negative dist only
+    # meaningful for areal parts)
+    parts = [buffer(sub, dist, quad_segments, cap_style) for sub in g.flatten()]
+    parts = [p for p in parts if not p.is_empty()]
+    if not parts:
+        return Geometry(POLYGON, 0, rings=[])
+    return union_many(parts)

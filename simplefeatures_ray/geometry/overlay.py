@@ -117,6 +117,34 @@ def _locate_in(g: Geometry, x: float, y: float) -> int:
     return locate_point(x, y, g)
 
 
+def _inside_many(g: Geometry, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized: strictly-interior-of-areal-part test for many points.
+    (Side probes sit epsilon off the arrangement edges, never exactly on a
+    boundary, so interior/exterior is the only distinction needed.)"""
+    from .predicates import points_in_polygon
+
+    out = np.zeros(len(px), dtype=bool)
+    for leaf in g.flatten():
+        if leaf.tag == POLYGON and leaf.rings:
+            out |= points_in_polygon(px, py, leaf.rings) == 1
+    return out
+
+
+def _closure_many(g: Geometry, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorized: point in the CLOSURE of g (any part, any dimension)."""
+    from .predicates import points_in_polygon, points_on_ring
+
+    out = np.zeros(len(px), dtype=bool)
+    for leaf in g.flatten():
+        if leaf.tag == POLYGON and leaf.rings:
+            out |= points_in_polygon(px, py, leaf.rings) >= 0
+        elif leaf.tag == LINESTRING and len(leaf.coords) >= 2:
+            out |= points_on_ring(px, py, leaf.coords[:, :2])
+        elif leaf.tag == POINT and leaf.coords is not None:
+            out |= (px == leaf.coords[0]) & (py == leaf.coords[1])
+    return out
+
+
 def _side_points(p, q):
     """Sample points offset left/right of edge pq by a relative epsilon."""
     mx = (p[0] + q[0]) / 2.0
@@ -136,6 +164,14 @@ _OPS = {
     "union": lambda a, b: a or b,
     "difference": lambda a, b: a and not b,
     "symmetric_difference": lambda a, b: a != b,
+}
+
+# elementwise (numpy bool array) versions
+_VOPS = {
+    "intersection": lambda a, b: a & b,
+    "union": lambda a, b: a | b,
+    "difference": lambda a, b: a & ~b,
+    "symmetric_difference": lambda a, b: a ^ b,
 }
 
 
@@ -338,23 +374,37 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     segs = _collect_segments([a, b])
     edges = _node_all(segs) if len(segs) else set()
 
-    # ---- classify edge sides ----------------------------------------------
+    # ---- classify edge sides (vectorized over all edges) -------------------
+    edge_list = sorted(edges)
     boundary_directed = set()
     leftover_edges = []  # undirected, in neither selected region
-    for p, q in edges:
-        lp, rp, mid = _side_points(p, q)
-        la_l = _locate_in(a, lp[0], lp[1]) == INTERIOR
-        lb_l = _locate_in(b, lp[0], lp[1]) == INTERIOR
-        la_r = _locate_in(a, rp[0], rp[1]) == INTERIOR
-        lb_r = _locate_in(b, rp[0], rp[1]) == INTERIOR
-        s_l = sel(la_l, lb_l)
-        s_r = sel(la_r, lb_r)
-        if s_l and not s_r:
-            boundary_directed.add((p, q))
-        elif s_r and not s_l:
-            boundary_directed.add((q, p))
-        elif not s_l and not s_r:
-            leftover_edges.append((p, q))
+    if edge_list:
+        E = np.asarray(edge_list, dtype=np.float64)  # (n, 2, 2)
+        P = E[:, 0, :]
+        Q = E[:, 1, :]
+        mid = (P + Q) / 2.0
+        d = Q - P
+        ln = np.hypot(d[:, 0], d[:, 1])
+        ln[ln == 0] = 1.0
+        nx = -d[:, 1] / ln
+        ny = d[:, 0] / ln
+        eps = 1e-7 * np.maximum(1.0, np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
+        lx, ly = mid[:, 0] + nx * eps, mid[:, 1] + ny * eps
+        rx, ry = mid[:, 0] - nx * eps, mid[:, 1] - ny * eps
+        a_l = _inside_many(a, lx, ly)
+        b_l = _inside_many(b, lx, ly)
+        a_r = _inside_many(a, rx, ry)
+        b_r = _inside_many(b, rx, ry)
+        vop = _VOPS[op]
+        s_l = vop(a_l, b_l)
+        s_r = vop(a_r, b_r)
+        for i, (p, q) in enumerate(edge_list):
+            if s_l[i] and not s_r[i]:
+                boundary_directed.add((p, q))
+            elif s_r[i] and not s_l[i]:
+                boundary_directed.add((q, p))
+            elif not s_l[i] and not s_r[i]:
+                leftover_edges.append((i, p, q))
         # s_l and s_r: interior edge of the result, drop
 
     rings = _trace_rings(boundary_directed)
@@ -364,18 +414,14 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     lines = []
     points = []
     line_edges = []
-    for p, q in leftover_edges:
-        _, _, mid = _side_points(p, q)
-        on_a = _locate_in(a, mid[0], mid[1]) != EXTERIOR
-        on_b = _locate_in(b, mid[0], mid[1]) != EXTERIOR
-        keep = {
-            "intersection": on_a and on_b,
-            "union": on_a or on_b,
-            "difference": on_a and not on_b,
-            "symmetric_difference": on_a != on_b,
-        }[op]
-        if keep:
-            line_edges.append((p, q))
+    if leftover_edges:
+        idx = np.asarray([i for i, _, _ in leftover_edges])
+        mx = (P[idx, 0] + Q[idx, 0]) / 2.0
+        my = (P[idx, 1] + Q[idx, 1]) / 2.0
+        on_a = _closure_many(a, mx, my)
+        on_b = _closure_many(b, mx, my)
+        keep = _VOPS[op](on_a, on_b)
+        line_edges = [(p, q) for k, (_, p, q) in zip(keep, leftover_edges) if k]
     if line_edges:
         lines = _merge_lines(line_edges)
 
@@ -456,11 +502,54 @@ def symmetric_difference(a, b) -> Geometry:
 
 
 def union_many(geoms) -> Geometry:
-    """n-way union by balanced tree reduce (cascaded union; the engine's
-    distributed variant is a groupby().map_groups aggregate, SURVEY §2.6)."""
+    """n-way union. Areal inputs use ONE n-ary arrangement (all linework
+    noded together, edges kept where inside-any flips across the edge) —
+    much cheaper than cascaded pairwise union. Mixed-dimension input
+    falls back to a balanced tree reduce (the engine's distributed
+    variant is a groupby().map_groups aggregate, SURVEY §2.6)."""
     items = [g for g in geoms if g is not None and not g.is_empty()]
     if not items:
         return Geometry(GEOMETRYCOLLECTION, 0, geoms=[])
+    if len(items) == 1:
+        return items[0]
+    all_areal = all(
+        leaf.tag == POLYGON for g in items for leaf in g.flatten() if not leaf.is_empty()
+    )
+    if all_areal:
+        segs = _collect_segments(items)
+        edges = _node_all(segs)
+        edge_list = sorted(edges)
+        if not edge_list:
+            return Geometry(POLYGON, 0, rings=[])
+        E = np.asarray(edge_list, dtype=np.float64)
+        P = E[:, 0, :]
+        Q = E[:, 1, :]
+        mid = (P + Q) / 2.0
+        d = Q - P
+        ln = np.hypot(d[:, 0], d[:, 1])
+        ln[ln == 0] = 1.0
+        nx = -d[:, 1] / ln
+        ny = d[:, 0] / ln
+        eps = 1e-7 * np.maximum(1.0, np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
+        lx, ly = mid[:, 0] + nx * eps, mid[:, 1] + ny * eps
+        rx, ry = mid[:, 0] - nx * eps, mid[:, 1] - ny * eps
+        in_l = np.zeros(len(edge_list), dtype=bool)
+        in_r = np.zeros(len(edge_list), dtype=bool)
+        for g in items:
+            todo = ~(in_l & in_r)
+            if not todo.any():
+                break
+            in_l |= _inside_many(g, lx, ly)
+            in_r |= _inside_many(g, rx, ry)
+        boundary_directed = set()
+        for i, (p, q) in enumerate(edge_list):
+            if in_l[i] and not in_r[i]:
+                boundary_directed.add((p, q))
+            elif in_r[i] and not in_l[i]:
+                boundary_directed.add((q, p))
+        rings = _trace_rings(boundary_directed)
+        out = _assemble_polygons(rings)
+        return out
     while len(items) > 1:
         nxt = []
         for i in range(0, len(items) - 1, 2):

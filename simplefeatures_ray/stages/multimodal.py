@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column stages.
+
+Media payloads are opaque `binary` columns with typed metadata columns;
+decode / resize / feature-extract / frame-sample run as actor-pool
+map_batches stages. The image/audio codec libraries are NOT available in
+this environment, so the decode step is STUBBED: `DecodeImage` raises
+NotImplementedError unless `fake=True`, in which case a deterministic
+fake decoder (seeded by the payload hash) produces real ndarray outputs
+so the Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is fully real and tested end-to-end.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _payload_seed(data: bytes) -> int:
+    return int.from_bytes(hashlib.sha256(data or b"").digest()[:8], "little")
+
+
+class DecodeImage:
+    """binary payload -> (pixels fixed_size_list<uint8>, height, width).
+
+    Real deployments plug a codec (PIL/turbojpeg) into `_decode`; here
+    the deterministic fake synthesizes an image from the payload hash.
+    """
+
+    def __init__(self, target_size=(32, 32), fake: bool = False,
+                 bytes_col: str = "image_bytes"):
+        self.h, self.w = target_size
+        self.fake = fake
+        self.bytes_col = bytes_col
+
+    def _decode(self, data: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image codecs not available in this environment; "
+                "construct DecodeImage(fake=True) for the deterministic stub"
+            )
+        rng = np.random.default_rng(_payload_seed(data))
+        return rng.integers(0, 256, size=(self.h, self.w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        imgs = [self._decode(b) for b in batch[self.bytes_col].to_pylist()]
+        flat = np.concatenate([im.reshape(-1) for im in imgs]) if imgs else np.zeros(0, np.uint8)
+        pixels = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.uint8()), self.h * self.w * 3
+        )
+        out = batch.drop_columns([self.bytes_col])  # wide payload leaves the stream
+        out = out.append_column("pixels", pixels)
+        out = out.append_column("height", pa.array([self.h] * len(batch), pa.int32()))
+        out = out.append_column("width", pa.array([self.w] * len(batch), pa.int32()))
+        return out
+
+
+class ImageFeatures:
+    """pixels -> small feature vector (channel means/stds + gradient
+    energy). Pure numpy; stands in for model inference in the pipeline
+    shape (batched, actor-pool, fixed-length float32 output)."""
+
+    def __init__(self, pixel_col: str = "pixels"):
+        self.pixel_col = pixel_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.pixel_col].combine_chunks()
+        n = len(arr)
+        h = int(batch["height"][0].as_py()) if n else 0
+        w = int(batch["width"][0].as_py()) if n else 0
+        flat = np.asarray(arr.values, dtype=np.uint8).reshape(n, h, w, 3).astype(np.float32)
+        means = flat.mean(axis=(1, 2))
+        stds = flat.std(axis=(1, 2))
+        gx = np.abs(np.diff(flat.mean(axis=3), axis=2)).mean(axis=(1, 2), keepdims=False)
+        feats = np.concatenate([means, stds, gx[:, None]], axis=1)
+        out = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1), pa.float32()), feats.shape[1]
+        )
+        return batch.append_column("img_features", out)
+
+
+class SampleFrames:
+    """video binary -> k deterministic frame offsets + fake frame hashes
+    (frame decoding stubbed; offsets/layout real)."""
+
+    def __init__(self, k: int = 4, bytes_col: str = "video_bytes"):
+        self.k = k
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs = []
+        hashes = []
+        for b in batch[self.bytes_col].to_pylist():
+            seed = _payload_seed(b)
+            rng = np.random.default_rng(seed)
+            n_frames = 32 + seed % 1000
+            pick = np.sort(rng.choice(n_frames, size=min(self.k, n_frames), replace=False))
+            offs.append(pick.astype(np.int64))
+            hashes.append(np.asarray(
+                [(seed ^ (int(p) * 0x9E3779B97F4A7C15)) % (1 << 63) for p in pick],
+                dtype=np.int64))
+        out = batch.append_column(
+            "frame_offsets", pa.array([o.tolist() for o in offs], pa.list_(pa.int64()))
+        )
+        return out.append_column(
+            "frame_hashes", pa.array([h.tolist() for h in hashes], pa.list_(pa.int64()))
+        )
+
+
+def fake_media_table(n: int, payload_bytes: int = 256) -> pa.Table:
+    """Deterministic media table for tests/benches: (media_id, image_bytes,
+    video_bytes)."""
+    ids = np.arange(n, dtype=np.int64)
+    imgs = []
+    vids = []
+    for i in ids:
+        h = hashlib.sha256(f"img{i}".encode()).digest()
+        imgs.append((h * (payload_bytes // len(h) + 1))[:payload_bytes])
+        h2 = hashlib.sha256(f"vid{i}".encode()).digest()
+        vids.append((h2 * (payload_bytes // len(h2) + 1))[:payload_bytes])
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "image_bytes": pa.array(imgs, pa.binary()),
+            "video_bytes": pa.array(vids, pa.binary()),
+        }
+    )

@@ -1,0 +1,188 @@
+"""Stage-level tests: geometry column kernels, multimodal stubs, dedup /
+ANN / text functions — all through real Ray Data pipelines."""
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def wkb_table():
+    from simplefeatures_ray.geometry import from_wkt, to_wkb
+
+    wkts = [
+        "POLYGON((0 0,4 0,4 4,0 4,0 0))",
+        "POLYGON((0 0,2 0,2 2,0 2,0 0),(0.5 0.5,1 0.5,1 1,0.5 1,0.5 0.5))",
+        "LINESTRING(0 0,3 4)",
+        "POINT(7 8)",
+        "POLYGON EMPTY",
+    ]
+    return pa.table({"gid": list(range(len(wkts))),
+                     "wkb": [to_wkb(from_wkt(w)) for w in wkts]})
+
+
+def test_geom_stats_stage(ray_session, wkb_table):
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.geometry import geom_stats
+
+    ds = rd.from_arrow(wkb_table).map_batches(geom_stats(), batch_format="pyarrow")
+    df = ds.to_pandas().sort_values("gid")
+    assert df["area"].tolist() == pytest.approx([16.0, 3.75, 0.0, 0.0, 0.0])
+    assert df["length"].tolist() == pytest.approx([16.0, 10.0, 5.0, 0.0, 0.0])
+    assert df["dimension"].tolist() == [2, 2, 1, 0, 2]
+    assert df["is_empty"].tolist() == [False, False, False, False, True]
+
+
+def test_geom_validate_stage(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.geometry import from_wkt, to_wkb
+    from simplefeatures_ray.stages.geometry import geom_validate
+
+    tbl = pa.table({
+        "wkb": [to_wkb(from_wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")),
+                to_wkb(from_wkt("POLYGON((0 0,2 2,2 0,0 2,0 0))"))],  # bowtie
+    })
+    df = rd.from_arrow(tbl).map_batches(geom_validate(), batch_format="pyarrow").to_pandas()
+    assert df["is_valid"].tolist() == [True, False]
+    assert "self-intersection" in df["invalid_reason"][1]
+
+
+def test_codec_stages(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.geometry import geojson_encode, twkb_encode, wkt_decode, wkt_encode
+
+    tbl = pa.table({"wkt": ["POINT(1 2)", "LINESTRING(0 0,1 1)", "NOT WKT"]})
+    ds = rd.from_arrow(tbl).map_batches(wkt_decode(), batch_format="pyarrow")
+    df = ds.to_pandas()
+    assert df["wkb"][0] is not None and df["wkb"][2] is None
+    assert df["parse_error"][2] is not None
+    ok = rd.from_arrow(pa.table({"wkb": [w for w in df["wkb"] if w is not None]}))
+    enc = ok.map_batches(wkt_encode(), batch_format="pyarrow") \
+            .map_batches(geojson_encode(), batch_format="pyarrow") \
+            .map_batches(twkb_encode(0), batch_format="pyarrow").to_pandas()
+    assert enc["wkt"].tolist() == ["POINT(1 2)", "LINESTRING(0 0,1 1)"]
+    assert enc["geojson"][0] == '{"type":"Point","coordinates":[1,2]}'
+    assert all(isinstance(b, bytes) and len(b) > 2 for b in enc["twkb"])
+
+
+def test_geom_transform_stage(ray_session, wkb_table):
+    import ray.data as rd
+
+    from simplefeatures_ray.geometry import from_wkb
+    from simplefeatures_ray.geometry.algorithms import area
+    from simplefeatures_ray.stages.geometry import geom_transform
+
+    # scale x2 via the TransformXY-style UDF hook
+    ds = rd.from_arrow(wkb_table).map_batches(
+        geom_transform(lambda g: g.map_coords(lambda a: a * 2.0)),
+        batch_format="pyarrow",
+    )
+    df = ds.to_pandas().sort_values("gid")
+    g0 = from_wkb(df["wkb"].iloc[0])
+    assert area(g0) == pytest.approx(64.0)  # 4x area
+
+
+def test_multimodal_pipeline(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.multimodal import (
+        DecodeImage,
+        ImageFeatures,
+        SampleFrames,
+        fake_media_table,
+    )
+
+    tbl = fake_media_table(64)
+    ds = rd.from_arrow(tbl)
+    ds = ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": True},
+                        batch_format="pyarrow", concurrency=1, batch_size=16)
+    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=1)
+    ds = ds.map_batches(SampleFrames, batch_format="pyarrow", concurrency=1)
+    df = ds.to_pandas()
+    assert len(df) == 64
+    assert len(df["img_features"][0]) == 7  # 3 means + 3 stds + gradient
+    assert len(df["frame_offsets"][0]) == 4
+    # deterministic: same payload -> same features
+    df2 = rd.from_arrow(tbl).map_batches(
+        DecodeImage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=1, batch_size=16
+    ).map_batches(ImageFeatures, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert np.allclose(np.stack(df.sort_values("media_id")["img_features"]),
+                       np.stack(df2.sort_values("media_id")["img_features"]))
+    # decode without fake raises (stub contract)
+    with pytest.raises(NotImplementedError):
+        DecodeImage()._decode(b"x")
+
+
+def test_minhash_finds_planted_dups(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.dedup import jaccard, minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain stays mainly on the plain and the cat sat on the mat")
+    texts = []
+    for i in range(40):
+        texts.append(f"document {i} " + " ".join(f"w{i}_{j}" for j in range(30)))
+    # plant near-duplicates
+    texts.append(base)
+    texts.append(base + " extra token")
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    pairs = minhash_lsh_pairs(rd.from_arrow(tbl), num_perm=64, bands=16).to_pandas()
+    planted = {(40, 41)}
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert planted <= found
+    assert jaccard(base, base + " extra token") > 0.8
+
+
+def test_simhash_finds_planted_dups(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.dedup import simhash_near_dup_pairs
+
+    texts = [f"unique document number {i} with words " + " ".join(
+        f"tok{i}_{j}" for j in range(20)) for i in range(30)]
+    base = "common text shared by the two planted duplicates " * 5
+    texts.append(base)
+    texts.append(base)  # exact dup: hamming 0, inside the banding guarantee
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    pairs = simhash_near_dup_pairs(rd.from_arrow(tbl), max_hamming=3).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (30, 31) in found
+
+
+def test_ann_brute_exact(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.ann import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": list(range(200)),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    out = brute_force_topk(rd.from_arrow(tbl), [0], vecs[:1], k=5).to_pandas()
+    # exact answer by numpy
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm[0]
+    want = set(np.argsort(-sims)[:5].tolist())
+    assert set(out["vec_id"]) == want
+    assert out.sort_values("rank")["vec_id"].iloc[0] == 0  # self is top
+
+
+def test_projection_stage(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.carto import WebMercator, project_batch
+
+    tbl = pa.table({"lon": [0.0, -180.0], "lat": [0.0, 0.0]})
+    df = rd.from_arrow(tbl).map_batches(
+        project_batch(WebMercator(zoom=2)), batch_format="pyarrow"
+    ).to_pandas()
+    assert df["x"].tolist() == pytest.approx([2.0, 0.0])
+    assert df["y"].tolist() == pytest.approx([2.0, 2.0])
