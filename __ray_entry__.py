@@ -300,6 +300,22 @@ def ann_cosine_topk(sf_dir: str):
     return _round_cols(out, {"cosine": 4})
 
 
+def emb_near_dup_pairs(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (threshold tuned to the
+    synthetic table's cosine distribution)."""
+    from simplefeatures_ray.functions.ann import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.4)
+
+
+def emb_near_dup_lsh(sf_dir: str):
+    from simplefeatures_ray.functions.ann import embedding_near_dup_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_lsh(ds, threshold=0.4, n_bits=6)
+
+
 def ann_ivf_topk(sf_dir: str):
     from simplefeatures_ray.functions.ann import ivf_topk
 
@@ -669,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norm_topk": emb_norm_topk,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "emb_near_dup_pairs": emb_near_dup_pairs,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
         # spatial
         "spatial_points_in_boxes": spatial_points_in_boxes,
         "spatial_grid_cells": spatial_grid_cells,
@@ -790,6 +808,16 @@ def oracle_sql() -> dict[str, str]:
                    FROM sims)
             SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
             FROM ranked WHERE rank < 5
+        """,
+        "emb_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
         """,
         "spatial_points_in_boxes": f"""
             SELECT pts.event_id, pts.x, pts.y, boxes.box_id

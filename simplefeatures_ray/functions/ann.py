@@ -194,3 +194,116 @@ def ivf_topk(ds, query_ids, query_matrix, k: int, *, n_clusters=16, nprobe=4,
         return df
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------- #
+# embedding near-duplicate detection
+# --------------------------------------------------------------------------- #
+
+
+class _AllPairsCosine:
+    """Batch kernel: rows of this batch vs the broadcast full matrix."""
+
+    def __init__(self, full_ref, threshold, id_col, vec_col):
+        import ray
+
+        self.ids, m = ray.get(full_ref)
+        self.m = _normalize(np.asarray(m, dtype=np.float64))
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mb = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float64))
+        ids_b = np.asarray(batch[self.id_col])
+        sims = mb @ self.m.T  # (nb, N)
+        ii, jj = np.nonzero(sims >= self.threshold)
+        ia = ids_b[ii]
+        ib = self.ids[jj]
+        keep = ia < ib  # dedupe + drop self-pairs
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "cosine": pa.array(np.round(sims[ii, jj][keep], 6)),
+            }
+        )
+
+
+def embedding_near_dup_pairs(ds, threshold: float, *, id_col="vec_id",
+                             vec_col="embedding", concurrency=(1, 4)):
+    """EXACT embedding-cosine near-dup pairs (id_a < id_b, cosine >= t).
+
+    The corpus matrix is broadcast once (ray.put); each batch multiplies
+    its rows against it — an O(N^2/p) exact sweep suitable when the
+    matrix fits in memory. For larger corpora use
+    embedding_near_dup_lsh (bucketed, approximate).
+    """
+    import ray
+
+    from .relational import collect_table
+
+    tbl = collect_table(ds.select_columns([id_col, vec_col]))
+    ids = np.asarray(tbl[id_col])
+    mat = np.asarray(tbl[vec_col].combine_chunks().values, dtype=np.float32).reshape(
+        len(ids), -1
+    )
+    full_ref = ray.put((ids, mat))
+    return ds.map_batches(
+        _AllPairsCosine,
+        fn_constructor_kwargs={"full_ref": full_ref, "threshold": threshold,
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+class _HyperplaneSig:
+    """Random-hyperplane LSH signature (seeded, deterministic)."""
+
+    def __init__(self, dim, n_bits=16, seed=99, vec_col="embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(n_bits, dim)).astype(np.float32)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        bits = (m @ self.planes.T) > 0
+        sig = np.zeros(len(m), dtype=np.uint64)
+        for b in range(bits.shape[1]):
+            sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+        return batch.append_column("lsh_bucket", pa.array(sig, pa.uint64()))
+
+
+def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
+                           vec_col="embedding", n_bits=12, concurrency=(1, 4)):
+    """Approximate near-dup pairs: hyperplane-LSH bucket groupby, exact
+    cosine verify within buckets. Scale path: the only shuffle carries
+    (bucket, id, vec) rows and near-identical vectors share buckets with
+    high probability."""
+    import pandas as pd
+
+    dim = len(ds.take(1)[0][vec_col])
+    sigs = ds.map_batches(
+        _HyperplaneSig,
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64})
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        ids = df[id_col].to_numpy()
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"id_a": np.minimum(ids[ii], ids[jj]),
+                             "id_b": np.maximum(ids[ii], ids[jj]),
+                             "cosine": np.round(sims[ii, jj], 6)})
+
+    cand = sigs.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )

@@ -427,7 +427,10 @@ def dump_coordinates(g: Geometry) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-def rotated_minimum_area_bounding_rectangle(g: Geometry) -> Geometry:
+def _calipers_best(g: Geometry, objective):
+    """Rotating calipers over hull edges; objective(w, h) -> score to
+    minimize. Returns the winning rectangle Geometry or the degenerate
+    hull (point/line)."""
     hull = convex_hull(g)
     if hull.tag != POLYGON:
         return hull
@@ -447,8 +450,9 @@ def rotated_minimum_area_bounding_rectangle(g: Geometry) -> Geometry:
         pv = ring @ v
         w = pu.max() - pu.min()
         h = pv.max() - pv.min()
-        if best is None or w * h < best[0]:
-            best = (w * h, u, v, pu.min(), pu.max(), pv.min(), pv.max())
+        score = objective(w, h)
+        if best is None or score < best[0]:
+            best = (score, u, v, pu.min(), pu.max(), pv.min(), pv.max())
     if best is None:
         return hull
     _, u, v, umin, umax, vmin, vmax = best
@@ -460,6 +464,16 @@ def rotated_minimum_area_bounding_rectangle(g: Geometry) -> Geometry:
         u * umin + v * vmin,
     ]
     return Geometry(POLYGON, 0, rings=[np.asarray(corners)])
+
+
+def rotated_minimum_area_bounding_rectangle(g: Geometry) -> Geometry:
+    return _calipers_best(g, lambda w, h: w * h)
+
+
+def rotated_minimum_width_bounding_rectangle(g: Geometry) -> Geometry:
+    """Minimize the rectangle's shorter side (reference
+    alg_rotating_calipers.go RotatedMinimumWidthBoundingRectangle)."""
+    return _calipers_best(g, lambda w, h: min(w, h))
 
 
 # --------------------------------------------------------------------------- #

@@ -169,3 +169,16 @@ def test_min_area_rect():
     g = from_wkt("POLYGON((0 0,2 2,1 3,-1 1,0 0))")
     r = rotated_minimum_area_bounding_rectangle(g)
     assert area(r) == pytest.approx(4.0)  # side lengths 2*sqrt2 and sqrt2
+
+
+def test_min_width_rect():
+    from simplefeatures_ray.geometry.algorithms import (
+        rotated_minimum_width_bounding_rectangle,
+    )
+
+    # long thin diagonal strip: min-width rect hugs the strip direction
+    g = from_wkt("POLYGON((0 0,10 10,10.5 10,0.5 0,0 0))")
+    r = rotated_minimum_width_bounding_rectangle(g)
+    ring = r.rings[0]
+    sides = np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1]))
+    assert min(sides[:2].min(), sides[1:3].min()) < 0.6  # narrow side ~0.35
