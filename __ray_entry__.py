@@ -222,6 +222,43 @@ def docs_quality(sf_dir: str):
     )
 
 
+def docs_quality_metrics(sf_dir: str):
+    """SQL-expressible quality features (n_chars, punct ratio, stopword
+    ratio) — the oracle-gated subset of the QualityScore stage."""
+    import re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"[A-Za-z']+")
+    punct_re = re.compile(r"[^\w\s]")
+    stop = ("the", "and", "of", "a", "to", "in", "is", "that", "for", "it")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        n_chars = np.zeros(n, dtype=np.int64)
+        punct_ratio = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        for i, s in enumerate(texts):
+            s = s or ""
+            n_chars[i] = len(s)
+            if not s:
+                continue
+            words = word_re.findall(s)
+            punct_ratio[i] = len(punct_re.findall(s)) / max(1, len(s))
+            if words:
+                stop_ratio[i] = sum(1 for w in words if w.lower() in stop) / len(words)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "punct_ratio": pa.array(np.round(punct_ratio, 6)),
+                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def docs_minhash_pairs(sf_dir: str):
     from simplefeatures_ray.functions.dedup import minhash_lsh_pairs
 
@@ -677,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_prefix": docs_dedup_prefix,
         "docs_lang_distribution": docs_lang_distribution,
         "docs_quality": docs_quality,
+        "docs_quality_metrics": docs_quality_metrics,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_fingerprint": docs_fingerprint,
@@ -784,6 +822,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_distribution": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "docs_quality_metrics": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   ROUND(CASE WHEN length(text) = 0 THEN 0
+                         ELSE array_length(regexp_extract_all(text, '[^\w\s]'))
+                              / CAST(greatest(1, length(text)) AS DOUBLE) END, 6)
+                       AS punct_ratio,
+                   ROUND(CASE WHEN array_length(regexp_extract_all(text, '[A-Za-z'']+')) = 0
+                         THEN 0
+                         ELSE len(list_filter(regexp_extract_all(text, '[A-Za-z'']+'),
+                              w -> lower(w) IN ('the','and','of','a','to','in','is','that','for','it')))
+                              / CAST(array_length(regexp_extract_all(text, '[A-Za-z'']+')) AS DOUBLE)
+                         END, 6) AS stop_ratio
+            FROM documents
         """,
         "emb_norm_topk": """
             SELECT vec_id,

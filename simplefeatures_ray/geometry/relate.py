@@ -115,7 +115,7 @@ def _node(da: _Decomp, db: _Decomp):
                 s = segs[i]
                 if on_segment(p[0], p[1], s[0], s[1], s[2], s[3]):
                     t = _seg_param(p, s)
-                    if 0.0 < t < 1.0:
+                    if 1e-9 < t < 1 - 1e-9:
                         cuts.setdefault(i, set()).add(t)
     pairs = _candidate_pairs(da.segs, db.segs)
     for i, j in pairs:
@@ -124,18 +124,18 @@ def _node(da: _Decomp, db: _Decomp):
         kind, data = segment_intersection(sa[:2], sa[2:], sb[:2], sb[2:])
         if kind == "none":
             continue
-        if kind == "point":
-            p = data
-            xpoints.add((p[0], p[1]))
-            cuts_a.setdefault(int(i), set()).add(_seg_param(p, sa))
-            cuts_b.setdefault(int(j), set()).add(_seg_param(p, sb))
-        else:  # overlap
-            p1, p2 = data
-            xpoints.add((p1[0], p1[1]))
-            xpoints.add((p2[0], p2[1]))
-            for p in (p1, p2):
-                cuts_a.setdefault(int(i), set()).add(_seg_param(p, sa))
-                cuts_b.setdefault(int(j), set()).add(_seg_param(p, sb))
+        pts = [data] if kind == "point" else list(data)
+        for p in pts:
+            # snap against FP noise: a crossing computed epsilon-inside a
+            # segment end would otherwise create a sliver sub-segment
+            # whose midpoint sits exactly on the other boundary
+            xpoints.add((round(p[0], 9) + 0.0, round(p[1], 9) + 0.0))
+            ta = _seg_param(p, sa)
+            tb = _seg_param(p, sb)
+            if 1e-9 < ta < 1 - 1e-9:
+                cuts_a.setdefault(int(i), set()).add(ta)
+            if 1e-9 < tb < 1 - 1e-9:
+                cuts_b.setdefault(int(j), set()).add(tb)
     return cuts_a, cuts_b, xpoints
 
 
