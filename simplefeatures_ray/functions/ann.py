@@ -304,6 +304,6 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
                              "cosine": np.round(sims[ii, jj], 6)})
 
     cand = sigs.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    from .dedup import dedup_pairs
+
+    return dedup_pairs(cand)

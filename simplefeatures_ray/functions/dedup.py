@@ -31,13 +31,13 @@ def _shingles(text: str, n: int = 3) -> set:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+import hashlib
+
+
 def _hash64(s: str) -> int:
-    # FNV-1a — stable across processes
-    h = 0xCBF29CE484222325
-    for b in s.encode():
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    # blake2b/8 — stable across processes, C speed (a pure-python FNV
+    # loop here dominated minhash wall time)
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
 class MinHashSignature:
@@ -113,19 +113,51 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, ngram=3, id_col="doc_id",
         lambda t: lsh_band_rows(t, num_perm, bands, id_col), batch_format="pyarrow"
     )
 
-    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df[id_col].to_numpy())
-        ids = np.unique(ids)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype({"id_a": np.int64, "id_b": np.int64})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    # Ray map_groups pays per-group overhead; with mostly-singleton band
+    # buckets that dominates. Shuffle on a COARSE partition of the band
+    # key (same co-location guarantee), then do the fine-grained grouping
+    # vectorized in pandas inside each partition.
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (np.asarray(t["band_key"], dtype=np.uint64) % np.uint64(256)).astype(np.int32)
+        return t.append_column("band_part", pa.array(part, pa.int32()))
 
-    pairs = bandrows.groupby("band_key").map_groups(pairs_in_group, batch_format="pandas")
-    # a pair can surface from several bands -> exact dedup on the pair key
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    bandrows = bandrows.map_batches(add_part, batch_format="pyarrow")
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in df.groupby("band_key", sort=False):
+            ids = np.unique(grp[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64})
+        df = pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+        return df.drop_duplicates()
+
+    pairs = bandrows.groupby("band_part").map_groups(pairs_in_part, batch_format="pandas")
+    return dedup_pairs(pairs)
+
+
+def dedup_pairs(pairs_ds, extra_cols=()):
+    """Distinct (id_a, id_b) rows: coarse-partition shuffle + vectorized
+    drop_duplicates per partition (a pair surfaces from several bands)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (np.asarray(t["id_a"], dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + np.asarray(t["id_b"], dtype=np.uint64))
+        return t.append_column("pair_part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    parts = pairs_ds.map_batches(add_part, batch_format="pyarrow")
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"]).drop(columns="pair_part")
+
+    return parts.groupby("pair_part").map_groups(uniq, batch_format="pandas")
 
 
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
@@ -202,20 +234,31 @@ def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text
 
     rows = sh.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        ids = df[id_col].to_numpy()
-        sims = df["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        hd = hamming64(sims[ia], sims[ib])
-        keep = hd <= max_hamming
-        return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": hd[keep].astype(np.int64)}
-        )
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (np.asarray(t["band_key"], dtype=np.uint64) % np.uint64(256)).astype(np.int32)
+        return t.append_column("band_part", pa.array(part, pa.int32()))
 
-    cand = rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda df: df.head(1), batch_format="pandas")
+    rows = rows.map_batches(add_part, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in df.groupby("band_key", sort=False):
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            if len(ids) < 2:
+                continue
+            sims = grp["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            hd = hamming64(sims[ia], sims[ib])
+            keep = hd <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame(
+                    {"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                     "hamming": hd[keep].astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64})
+        return pd.concat(out).drop_duplicates(["id_a", "id_b"])
+
+    cand = rows.groupby("band_part").map_groups(pairs, batch_format="pandas")
+    return dedup_pairs(cand)
