@@ -161,6 +161,62 @@ def events_by_type(sf_dir: str):
     return _cents_cols(out, ["total_value"])
 
 
+def events_tumbling_1h(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event type."""
+    from simplefeatures_ray.functions.windows import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window_agg(ds, "ts", 3600.0, "event_type", {
+        "n_events": (None, "count"),
+        "total_value": ("value", "sum"),
+    })
+    return _cents_cols(out, ["total_value"])
+
+
+def events_sliding_2h(sf_dir: str):
+    """Sliding windows: width 2h, slide 1h, per event type."""
+    from simplefeatures_ray.functions.windows import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window_agg(ds, "ts", 7200.0, 3600.0, "event_type", {
+        "n_events": (None, "count"),
+        "total_value": ("value", "sum"),
+    })
+    return _cents_cols(out, ["total_value"])
+
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: for each event, the latest order (by a shared derived
+    key) with o_orderdate <= ts."""
+    from simplefeatures_ray.functions.windows import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def ekey(t: pa.Table) -> pa.Table:
+        k = (np.asarray(t["user_id"], dtype=np.int64) % 100).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "join_key": pa.array(k)})
+
+    events = events.map_batches(ekey, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        k = (np.asarray(t["o_custkey"], dtype=np.int64) % 100).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_orderdate": t["o_orderdate"],
+                         "join_key": pa.array(k)})
+
+    orders = orders.map_batches(okey, batch_format="pyarrow")
+    out = asof_join(events, orders, key="join_key", ts_left="ts",
+                    ts_right="o_orderdate", right_cols=["o_orderkey"])
+
+    def finish(df):
+        df = df[["event_id", "join_key", "o_orderkey"]].copy()
+        df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype(np.int64)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def top_parts(sf_dir: str):
     from simplefeatures_ray.functions.relational import topk
 
@@ -708,6 +764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_revenue_topk": q3_revenue_topk,
         "region_customer_stats": region_customer_stats,
         "events_by_type": events_by_type,
+        "events_tumbling_1h": events_tumbling_1h,
+        "events_sliding_2h": events_sliding_2h,
+        "events_asof_orders": events_asof_orders,
         "top_parts": top_parts,
         # documents / text
         "docs_token_counts": docs_token_counts,
@@ -805,6 +864,31 @@ def oracle_sql() -> dict[str, str]:
         "top_parts": """
             SELECT p_partkey, p_name, p_retailprice
             FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 15
+        """,
+        "events_tumbling_1h": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_2h": """
+            WITH slid AS (
+              SELECT e.*, ((epoch_us(ts) // 3600000000) - k.k) * 3600 AS window_start
+              FROM events e CROSS JOIN (VALUES (0), (1)) k(k)
+              WHERE epoch_us(ts) >= ((epoch_us(ts) // 3600000000) - k.k) * 3600000000
+                AND epoch_us(ts) <  ((epoch_us(ts) // 3600000000) - k.k) * 3600000000
+                                     + 7200000000)
+            SELECT window_start, event_type, COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_value
+            FROM slid GROUP BY 1, 2
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, e.user_id % 100 AS join_key,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey
+            FROM events e
+            ASOF LEFT JOIN (SELECT o_orderkey, o_custkey % 100 AS jk, o_orderdate
+                            FROM orders) o
+              ON e.user_id % 100 = o.jk AND e.ts >= o.o_orderdate
         """,
         "docs_token_counts": r"""
             SELECT doc_id,

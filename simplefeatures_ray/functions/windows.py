@@ -1,0 +1,123 @@
+"""Windowed aggregates + as-of joins over event streams.
+
+Streaming-only concepts per SURVEY §2.10: the reference has none;
+engine-side, 'streaming' is Ray Data's pipelined block execution, and
+event-time semantics are expressed as deterministic window keys:
+
+  * tumbling windows: window key = epoch // width (pure map, combiner
+    aggregation — no per-event shuffle);
+  * sliding windows: each event flat-maps into the windows covering it,
+    then the same combiner aggregation;
+  * as-of join: bucket both sides by key, per-bucket pandas merge_asof
+    (sort-merge within co-located buckets — the guide's portable
+    pattern).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _epoch_us(col: pa.ChunkedArray) -> np.ndarray:
+    return np.asarray(pc.cast(col, pa.int64()))
+
+
+def tumbling_window_agg(ds, ts_col: str, width_s: float, keys, spec,
+                        combine: str = "driver"):
+    """Aggregate per (window, *keys). spec as in functions.agg.grouped_agg.
+    Adds window_start (epoch seconds, int64)."""
+    from .agg import grouped_agg
+
+    width_us = int(width_s * 1_000_000)
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = _epoch_us(t[ts_col])
+        start = (us // width_us) * width_us // 1_000_000
+        return t.append_column("window_start", pa.array(start, pa.int64()))
+
+    keyed = ds.map_batches(add_window, batch_format="pyarrow")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return grouped_agg(keyed, ["window_start"] + keys, spec, combine=combine)
+
+
+def sliding_window_agg(ds, ts_col: str, width_s: float, slide_s: float, keys, spec,
+                       combine: str = "driver"):
+    """Overlapping windows: event at t belongs to every window
+    [k*slide, k*slide + width) containing t — flat-map into window rows,
+    then combiner aggregation."""
+    from .agg import grouped_agg
+
+    width_us = int(width_s * 1_000_000)
+    slide_us = int(slide_s * 1_000_000)
+    n_windows = int(np.ceil(width_us / slide_us))
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = _epoch_us(t[ts_col])
+        parts = []
+        for k in range(n_windows):
+            start = ((us - k * slide_us) // slide_us) * slide_us
+            ok = (us >= start) & (us < start + width_us)
+            sub = t.filter(pa.array(ok))
+            if len(sub):
+                parts.append(sub.append_column(
+                    "window_start",
+                    pa.array((start[ok] // 1_000_000).astype(np.int64), pa.int64()),
+                ))
+        if not parts:
+            return t.slice(0, 0).append_column("window_start", pa.array([], pa.int64()))
+        return pa.concat_tables(parts)
+
+    keyed = ds.map_batches(explode, batch_format="pyarrow")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return grouped_agg(keyed, ["window_start"] + keys, spec, combine=combine)
+
+
+def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
+              right_cols, n_buckets: int = 32, direction: str = "backward"):
+    """For each left row, the latest right row with ts_right <= ts_left
+    (direction='backward') sharing `key`. Bucketed sort-merge: both sides
+    shuffle once on key%%B; merge_asof runs per bucket.
+
+    right_cols: columns of the right side to carry (suffixed _right if
+    clashing)."""
+
+    def add_bucket(col):
+        def kernel(t: pa.Table) -> pa.Table:
+            b = (np.asarray(t[col], dtype=np.int64) % n_buckets).astype(np.int32)
+            return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+        return kernel
+
+    lt = left_ds.map_batches(add_bucket(key), batch_format="pyarrow")
+    lt = lt.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+    rt = right_ds.map_batches(add_bucket(key), batch_format="pyarrow")
+    rt = rt.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == 0].drop(columns=["__side", "__bucket"])
+        rhs = df[df["__side"] == 1].drop(columns=["__side", "__bucket"])
+        lhs = lhs.dropna(axis=1, how="all").sort_values(ts_left, kind="mergesort")
+        rhs = rhs.dropna(axis=1, how="all")
+        rhs = rhs[[key, ts_right] + [c for c in right_cols if c in rhs.columns]]
+        rhs = rhs.sort_values(ts_right, kind="mergesort")
+        if len(lhs) == 0:
+            return lhs
+        if len(rhs) == 0:
+            for c in [ts_right] + list(right_cols):
+                lhs[c] = None
+            return lhs
+        return pd.merge_asof(
+            lhs, rhs, left_on=ts_left, right_on=ts_right, by=key,
+            direction=direction, suffixes=("", "_right"),
+        )
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

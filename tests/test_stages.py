@@ -186,3 +186,49 @@ def test_projection_stage(ray_session):
     ).to_pandas()
     assert df["x"].tolist() == pytest.approx([2.0, 0.0])
     assert df["y"].tolist() == pytest.approx([2.0, 2.0])
+
+
+def test_tumbling_and_sliding_windows(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.windows import sliding_window_agg, tumbling_window_agg
+
+    ts = pa.array([0, 1800, 3600, 5400, 7200], pa.timestamp("us")).cast(pa.timestamp("us"))
+    tbl = pa.table({
+        "ts": pa.array([v * 1_000_000 for v in [0, 1800, 3600, 5400, 7200]], pa.timestamp("us")),
+        "k": ["a", "a", "a", "b", "a"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    ds = rd.from_arrow(tbl)
+    out = tumbling_window_agg(ds, "ts", 3600.0, "k", {"n": (None, "count"), "s": ("v", "sum")})
+    df = out.to_pandas().sort_values(["window_start", "k"]).reset_index(drop=True)
+    assert df["window_start"].tolist() == [0, 3600, 3600, 7200]
+    assert df["n"].tolist() == [2, 1, 1, 1]
+    assert df["s"].tolist() == [3.0, 3.0, 4.0, 5.0]
+    # sliding width=7200 slide=3600: event at 3600 in windows [0,7200) and [3600,10800)
+    out2 = sliding_window_agg(ds, "ts", 7200.0, 3600.0, "k",
+                              {"n": (None, "count")})
+    df2 = out2.to_pandas()
+    row = df2[(df2["window_start"] == 0) & (df2["k"] == "a")]
+    assert row["n"].iloc[0] == 3  # events at 0, 1800, 3600
+
+
+def test_asof_join(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.windows import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4],
+        "key": [0, 0, 1, 1],
+        "t": [10, 30, 10, 5],
+    }))
+    right = rd.from_arrow(pa.table({
+        "key": [0, 0, 1],
+        "rt": [5, 20, 8],
+        "val": ["x", "y", "z"],
+    }))
+    out = asof_join(left, right, key="key", ts_left="t", ts_right="rt",
+                    right_cols=["val"]).to_pandas().sort_values("id")
+    vals = out["val"].tolist()
+    assert vals[:3] == ["x", "y", "z"] and (vals[3] is None or vals[3] != vals[3])
