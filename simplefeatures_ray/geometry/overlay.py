@@ -76,13 +76,26 @@ def _collect_segments(geoms):
     return np.concatenate(arrs, axis=0) if arrs else np.zeros((0, 4))
 
 
-def _node_all(segs: np.ndarray):
-    """Node a segment soup at all mutual intersections.
+def _node_all(segs: np.ndarray, points=()):
+    """Node a segment soup at all mutual intersections and at any of the
+    given 0D points lying on a segment (otherwise a sub-segment midpoint
+    can coincide with a point part and misclassify).
 
     Returns a set of undirected edges {(pkey, qkey)} (canonical order).
     """
+    from .predicates import on_segment
+
     n = len(segs)
     cuts = [None] * n
+    for p in points:
+        for i in range(n):
+            s = segs[i]
+            if on_segment(p[0], p[1], s[0], s[1], s[2], s[3]):
+                t = _seg_param(p, s)
+                if 1e-9 < t < 1 - 1e-9:
+                    if cuts[i] is None:
+                        cuts[i] = set()
+                    cuts[i].add(t)
     pairs = _candidate_pairs(segs, segs)
     for i, j in pairs:
         if j <= i:
@@ -372,7 +385,13 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
 
     # ---- noding of the combined linework ----------------------------------
     segs = _collect_segments([a, b])
-    edges = _node_all(segs) if len(segs) else set()
+    point_parts = [
+        (float(leaf.coords[0]), float(leaf.coords[1]))
+        for g in (a, b)
+        for leaf in g.flatten()
+        if leaf.tag == POINT and leaf.coords is not None
+    ]
+    edges = _node_all(segs, point_parts) if len(segs) else set()
 
     # ---- classify edge sides (vectorized over all edges) -------------------
     edge_list = sorted(edges)

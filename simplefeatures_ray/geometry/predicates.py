@@ -39,11 +39,23 @@ def orient(ox, oy, ax, ay, bx, by) -> float:
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
 
+# distance tolerance for on-boundary tests: snapped/noded intersection
+# points (9-decimal grid) must still register as lying on the original
+# linework; far below the overlay side-probe offset (1e-7)
+_ON_EPS = 2e-9
+
+
 def on_segment(px, py, ax, ay, bx, by) -> bool:
-    """Is p on closed segment ab?"""
-    if orient(ax, ay, bx, by, px, py) != 0.0:
+    """Is p on closed segment ab (within the engine's snap tolerance)?"""
+    cross = orient(ax, ay, bx, by, px, py)
+    seg_len = math.hypot(bx - ax, by - ay)
+    tol = _ON_EPS * max(1.0, abs(px), abs(py))
+    if abs(cross) > tol * max(seg_len, 1.0):
         return False
-    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+    return (
+        min(ax, bx) - tol <= px <= max(ax, bx) + tol
+        and min(ay, by) - tol <= py <= max(ay, by) + tol
+    )
 
 
 def segments_intersect(a, b, c, d) -> bool:
@@ -144,20 +156,23 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
 
 
 def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Boolean array: point lies exactly on the ring's boundary."""
+    """Boolean array: point lies on the ring's boundary (within the snap
+    tolerance _ON_EPS — see on_segment)."""
     on = np.zeros(len(px), dtype=bool)
     x1 = ring[:-1, 0]
     y1 = ring[:-1, 1]
     x2 = ring[1:, 0]
     y2 = ring[1:, 1]
+    tol = _ON_EPS * np.maximum(1.0, np.maximum(np.abs(px), np.abs(py)))
     for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
         lox, hix = (ex1, ex2) if ex1 <= ex2 else (ex2, ex1)
         loy, hiy = (ey1, ey2) if ey1 <= ey2 else (ey2, ey1)
-        box = (px >= lox) & (px <= hix) & (py >= loy) & (py <= hiy)
+        box = (px >= lox - tol) & (px <= hix + tol) & (py >= loy - tol) & (py <= hiy + tol)
         if not box.any():
             continue
         cross = (ex2 - ex1) * (py - ey1) - (ey2 - ey1) * (px - ex1)
-        on |= box & (cross == 0.0)
+        seg_len = math.hypot(ex2 - ex1, ey2 - ey1)
+        on |= box & (np.abs(cross) <= tol * max(seg_len, 1.0))
     return on
 
 

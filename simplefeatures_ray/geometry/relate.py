@@ -140,10 +140,22 @@ def _node(da: _Decomp, db: _Decomp):
 
 
 def _subseg_mids(d: _Decomp, cuts: dict):
-    """Yield (mx, my, is_ring) midpoints of the noded sub-segments."""
+    """Yield (mx, my, is_ring) midpoints of the noded sub-segments.
+
+    Cut params within 1e-9 of each other are merged and sliver
+    sub-segments skipped: two parameterizations of the same crossing can
+    differ in the last ULP, and the resulting zero-length 'sub-segment'
+    would have the crossing itself as its midpoint (a 0D element, already
+    handled via xpoints, masquerading as a 1D one)."""
     for i in range(len(d.segs)):
         seg = d.segs[i]
-        ts = sorted({0.0, 1.0} | {t for t in cuts.get(i, ()) if 0.0 < t < 1.0})
+        raw = sorted({0.0, 1.0} | {t for t in cuts.get(i, ()) if 0.0 < t < 1.0})
+        ts = [raw[0]]
+        for t in raw[1:]:
+            if t - ts[-1] > 1e-9:
+                ts.append(t)
+        if ts[-1] < 1.0:  # keep the endpoint (merge absorbed it)
+            ts[-1] = 1.0
         ax, ay, bx, by = seg
         for t0, t1 in zip(ts[:-1], ts[1:]):
             tm = (t0 + t1) / 2.0
