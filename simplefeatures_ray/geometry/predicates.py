@@ -39,17 +39,20 @@ def orient(ox, oy, ax, ay, bx, by) -> float:
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
 
-# distance tolerance for on-boundary tests: snapped/noded intersection
-# points (9-decimal grid) must still register as lying on the original
-# linework; far below the overlay side-probe offset (1e-7)
-_ON_EPS = 2e-9
+def _on_tol(scale: float) -> float:
+    """Distance tolerance for on-boundary tests: absorbs the 9-decimal
+    noding snap (5e-10 abs) plus FP noise that grows ~linearly with
+    coordinate magnitude, while staying far below real feature sizes
+    (1e-6 at coords ~1e6) and the overlay side-probe offset (1e-7 at
+    coords ~1)."""
+    return 1e-9 + 1e-13 * scale
 
 
 def on_segment(px, py, ax, ay, bx, by) -> bool:
     """Is p on closed segment ab (within the engine's snap tolerance)?"""
     cross = orient(ax, ay, bx, by, px, py)
     seg_len = math.hypot(bx - ax, by - ay)
-    tol = _ON_EPS * max(1.0, abs(px), abs(py))
+    tol = _on_tol(max(abs(px), abs(py)))
     if abs(cross) > tol * max(seg_len, 1.0):
         return False
     return (
@@ -163,7 +166,7 @@ def points_on_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     y1 = ring[:-1, 1]
     x2 = ring[1:, 0]
     y2 = ring[1:, 1]
-    tol = _ON_EPS * np.maximum(1.0, np.maximum(np.abs(px), np.abs(py)))
+    tol = _on_tol(np.maximum(np.abs(px), np.abs(py)))
     for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
         lox, hix = (ex1, ex2) if ex1 <= ex2 else (ex2, ex1)
         loy, hiy = (ey1, ey2) if ey1 <= ey2 else (ey2, ey1)

@@ -95,6 +95,21 @@ def _seg_param(p, seg):
     return ((p[0] - ax) * dx + (p[1] - ay) * dy) / denom
 
 
+def _t_eps(seg) -> float:
+    """Parameter-space tolerance matching the world-space snap tolerance
+    on this segment (a fixed t-epsilon is wrong by the segment length:
+    it would merge a genuine 1e-5 lens on a 1e6-long edge)."""
+    import math
+
+    from .predicates import _on_tol
+
+    ln = math.hypot(seg[2] - seg[0], seg[3] - seg[1])
+    if ln == 0:
+        return 0.5
+    scale = max(abs(seg[0]), abs(seg[1]), abs(seg[2]), abs(seg[3]))
+    return min(0.5, _on_tol(scale) / ln)
+
+
 def _node(da: _Decomp, db: _Decomp):
     """Split both linework sets at mutual intersections.
 
@@ -115,7 +130,8 @@ def _node(da: _Decomp, db: _Decomp):
                 s = segs[i]
                 if on_segment(p[0], p[1], s[0], s[1], s[2], s[3]):
                     t = _seg_param(p, s)
-                    if 1e-9 < t < 1 - 1e-9:
+                    te = _t_eps(s)
+                    if te < t < 1 - te:
                         cuts.setdefault(i, set()).add(t)
     pairs = _candidate_pairs(da.segs, db.segs)
     for i, j in pairs:
@@ -132,9 +148,9 @@ def _node(da: _Decomp, db: _Decomp):
             xpoints.add((round(p[0], 9) + 0.0, round(p[1], 9) + 0.0))
             ta = _seg_param(p, sa)
             tb = _seg_param(p, sb)
-            if 1e-9 < ta < 1 - 1e-9:
+            if _t_eps(sa) < ta < 1 - _t_eps(sa):
                 cuts_a.setdefault(int(i), set()).add(ta)
-            if 1e-9 < tb < 1 - 1e-9:
+            if _t_eps(sb) < tb < 1 - _t_eps(sb):
                 cuts_b.setdefault(int(j), set()).add(tb)
     return cuts_a, cuts_b, xpoints
 
@@ -149,10 +165,11 @@ def _subseg_mids(d: _Decomp, cuts: dict):
     handled via xpoints, masquerading as a 1D one)."""
     for i in range(len(d.segs)):
         seg = d.segs[i]
+        te = _t_eps(seg)
         raw = sorted({0.0, 1.0} | {t for t in cuts.get(i, ()) if 0.0 < t < 1.0})
         ts = [raw[0]]
         for t in raw[1:]:
-            if t - ts[-1] > 1e-9:
+            if t - ts[-1] > te:
                 ts.append(t)
         if ts[-1] < 1.0:  # keep the endpoint (merge absorbed it)
             ts[-1] = 1.0
@@ -187,18 +204,41 @@ def relate(a: Geometry, b: Geometry) -> str:
     II = IB = IE = BI = BB = BE = EI = EB = F
     ga, gb = da.geom, db.geom
 
-    # ---- A's point parts (all in I(A)) ------------------------------------
-    for p in da.pts:
-        loc = locate_point(p[0], p[1], gb)
+    # batched classification: collect every probe point per side, locate
+    # them all with ONE vectorized pass per geometry (PreparedGeometry)
+    from .prepared import PreparedGeometry
+
+    prep_a = PreparedGeometry(ga)
+    prep_b = PreparedGeometry(gb)
+
+    a_mids = list(_subseg_mids(da, cuts_a))
+    b_mids = list(_subseg_mids(db, cuts_b))
+    xp = sorted(xpoints)
+
+    def _locs(prep, pts2):
+        if not pts2:
+            return np.zeros(0, dtype=np.int8)
+        arr = np.asarray(pts2, dtype=np.float64)
+        return prep.locate_points(arr[:, 0], arr[:, 1])
+
+    loc_a_pts = _locs(prep_b, da.pts)
+    loc_b_pts = _locs(prep_a, db.pts)
+    loc_a_mids = _locs(prep_b, [(m[0], m[1]) for m in a_mids])
+    loc_b_mids = _locs(prep_a, [(m[0], m[1]) for m in b_mids])
+    loc_a_bnd = _locs(prep_b, sorted(da.line_bnd))
+    loc_b_bnd = _locs(prep_a, sorted(db.line_bnd))
+    loc_xp_a = _locs(prep_a, xp)
+    loc_xp_b = _locs(prep_b, xp)
+
+    # ---- point parts (all in the respective interiors) --------------------
+    for loc in loc_a_pts:
         if loc == INTERIOR:
             II = max(II, 0)
         elif loc == BOUNDARY:
             IB = max(IB, 0)
         else:
             IE = max(IE, 0)
-    # ---- B's point parts --------------------------------------------------
-    for p in db.pts:
-        loc = locate_point(p[0], p[1], ga)
+    for loc in loc_b_pts:
         if loc == INTERIOR:
             II = max(II, 0)
         elif loc == BOUNDARY:
@@ -215,13 +255,14 @@ def relate(a: Geometry, b: Geometry) -> str:
     dbB = db.dim_boundary()
 
     # ---- A's noded sub-segments ------------------------------------------
-    for mx, my, is_ring in _subseg_mids(da, cuts_a):
-        loc = locate_point(mx, my, gb)
+    for (mx, my, is_ring), loc in zip(a_mids, loc_a_mids):
         if is_ring:  # element of B(A)
             if loc == INTERIOR:
                 BI = max(BI, min(1, diB))
                 if db.polys:
                     II = max(II, 2)  # boundary inside B => area overlap
+                    # and E(A) grows across it into B (B ⊃ A or A-hole)
+                    EI = max(EI, 2)
             elif loc == BOUNDARY:
                 BB = max(BB, max(0, min(1, dbB)))
             else:
@@ -235,8 +276,7 @@ def relate(a: Geometry, b: Geometry) -> str:
             else:
                 IE = max(IE, 1)
     # ---- B's noded sub-segments ------------------------------------------
-    for mx, my, is_ring in _subseg_mids(db, cuts_b):
-        loc = locate_point(mx, my, ga)
+    for (mx, my, is_ring), loc in zip(b_mids, loc_b_mids):
         if is_ring:  # element of B(B)
             if loc == INTERIOR:
                 IB = max(IB, min(1, diA))
@@ -258,26 +298,15 @@ def relate(a: Geometry, b: Geometry) -> str:
             else:
                 EI = max(EI, 1)
 
-    # symmetric area fix: A's boundary strictly inside B => E(A) grows into
-    # B (B ⊃ A or A-hole): E(A)∩I(B)=2
-    # (mirror of the IE fix above)
-    if db.polys and da.polys:
-        for mx, my, is_ring in _subseg_mids(da, cuts_a):
-            if is_ring and locate_point(mx, my, gb) == INTERIOR:
-                EI = max(EI, 2)
-                break
-
     # ---- line boundary endpoints (0D boundary elements) -------------------
-    for p in da.line_bnd:
-        loc = locate_point(p[0], p[1], gb)
+    for loc in loc_a_bnd:
         if loc == INTERIOR:
             BI = max(BI, 0)
         elif loc == BOUNDARY:
             BB = max(BB, 0)
         else:
             BE = max(BE, 0)
-    for p in db.line_bnd:
-        loc = locate_point(p[0], p[1], ga)
+    for loc in loc_b_bnd:
         if loc == INTERIOR:
             IB = max(IB, 0)
         elif loc == BOUNDARY:
@@ -286,9 +315,7 @@ def relate(a: Geometry, b: Geometry) -> str:
             EB = max(EB, 0)
 
     # ---- 0D noding points -------------------------------------------------
-    for p in xpoints:
-        la = locate_point(p[0], p[1], ga)
-        lb = locate_point(p[0], p[1], gb)
+    for la, lb in zip(loc_xp_a, loc_xp_b):
         if la == INTERIOR and lb == INTERIOR:
             II = max(II, 0)
         elif la == INTERIOR and lb == BOUNDARY:
@@ -360,8 +387,15 @@ def _match_any(matrix: str, *masks: str) -> bool:
 
 
 def equals(a, b) -> bool:
+    """Topological equality (JTS equalsTopo semantics: same point set AND
+    same topological dimension — a point is not equal to a zero-length
+    line even though their point sets coincide)."""
     if a.is_empty() and b.is_empty():
         return True
+    if a.is_empty() != b.is_empty():
+        return False
+    if a.dimension() != b.dimension():
+        return False
     return relate_matches(relate(a, b), "T*F**FFF*")
 
 
