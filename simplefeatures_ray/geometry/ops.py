@@ -40,22 +40,30 @@ def is_simple(g: Geometry):
             seen.add(k)
         return True
     if t == LINESTRING:
-        if len(g.coords) < 2:
-            return True
-        closed = bool(np.array_equal(g.coords[0], g.coords[-1]))
-        return _curve_self_intersects(g.coords, closed=closed) is None
+        from .validate import collapse_repeated
+
+        coords = collapse_repeated(g.coords)
+        if len(coords) < 2:
+            return True  # empty / zero-length lines are simple
+        closed = bool(np.array_equal(coords[0], coords[-1]))
+        return _curve_self_intersects(coords, closed=closed) is None
     if t == MULTILINESTRING:
         lines = [l for l in g.geoms if len(l.coords) >= 2]
         for l in lines:
             if not is_simple(l):
                 return False
-        # pairwise intersections only at shared boundary points
-        bnd = _linework_boundary_points([l.coords for l in lines])
-        allowed = bnd | {
-            (float(l.coords[i][0]), float(l.coords[i][1]))
-            for l in lines
-            for i in (0, -1)
-        }
+
+        # JTS rule: an intersection point between two elements must be a
+        # BOUNDARY point (endpoint) of BOTH elements; closed elements
+        # have no boundary, so any contact with a closed element fails.
+        def endpoints(l):
+            c = l.coords
+            if np.array_equal(c[0], c[-1]):
+                return set()  # closed: no boundary
+            return {(round(float(c[0][0]), 9), round(float(c[0][1]), 9)),
+                    (round(float(c[-1][0]), 9), round(float(c[-1][1]), 9))}
+
+        eps = [endpoints(l) for l in lines]
         for i in range(len(lines)):
             for j in range(i + 1, len(lines)):
                 sa = np.concatenate([lines[i].coords[:-1, :2], lines[i].coords[1:, :2]], axis=1)
@@ -68,11 +76,18 @@ def is_simple(g: Geometry):
                         return False
                     if kind == "point":
                         p = (round(data[0], 9), round(data[1], 9))
-                        if p not in {(round(a[0], 9), round(a[1], 9)) for a in allowed}:
+                        if p not in eps[i] or p not in eps[j]:
                             return False
         return True
-    if t in (POLYGON, MULTIPOLYGON):
-        return True  # valid polygons are simple by definition
+    if t == POLYGON:
+        # JTS isSimple(polygon): each ring must be a simple closed curve
+        for r in g.rings:
+            ring = Geometry(LINESTRING, 0, coords=r[:, :2].copy())
+            if not is_simple(ring):
+                return False
+        return True
+    if t == MULTIPOLYGON:
+        return all(is_simple(p) for p in g.geoms)
     return None  # GC: undefined
 
 

