@@ -272,6 +272,8 @@ def fmt_float(x: float) -> str:
     strconv.FormatFloat(-1) semantics)."""
     if x != x:
         return "NaN"
+    if math.isinf(x):
+        return "Inf" if x > 0 else "-Inf"
     if x == int(x) and abs(x) <= 1e15:
         s = str(int(x))
         if x == 0.0 and math.copysign(1.0, x) < 0:

@@ -258,13 +258,23 @@ def test_interior_point(a, b, op, a1, a2, a3, expected):
 
 
 _NG_OPS = {"intersectionNG": "intersection", "unionNG": "union",
-           "differenceNG": "difference", "symdifferenceNG": "symmetric_difference"}
+           "differenceNG": "difference", "symdifferenceNG": "symmetric_difference",
+           "intersection": "intersection", "union": "union",
+           "difference": "difference", "symdifference": "symmetric_difference"}
 
 NG = (
     _cases(f"{GENERAL}/TestNGOverlayA.xml", set(_NG_OPS))
     + _cases(f"{GENERAL}/TestNGOverlayL.xml", set(_NG_OPS))
     + _cases(f"{GENERAL}/TestNGOverlayP.xml", set(_NG_OPS))
     + _cases(f"{GENERAL}/TestNGOverlayEmpty.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestNGOverlayGC.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestOverlayAA.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestOverlayLA.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestOverlayLL.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestOverlayPA.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestOverlayPL.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestOverlayPP.xml", set(_NG_OPS))
+    + _cases(f"{GENERAL}/TestOverlayEmpty.xml", set(_NG_OPS))
 )
 
 
