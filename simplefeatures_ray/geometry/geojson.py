@@ -107,7 +107,11 @@ def from_geojson(doc) -> Geometry:
 
 
 def _num(v: float):
+    import math
+
     f = float(v)
+    if f == 0.0 and math.copysign(1.0, f) < 0:
+        return f  # keep -0.0 (int() would drop the sign)
     return int(f) if f == int(f) and abs(f) < 1e15 else f
 
 
