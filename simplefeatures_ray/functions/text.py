@@ -126,11 +126,11 @@ class Fingerprint:
 
     @staticmethod
     def fnv1a(data: bytes) -> int:
-        h = 0xCBF29CE484222325
-        for b in data:
-            h ^= b
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+        # blake2b/8: process-stable and C-speed (a python FNV byte loop
+        # dominated the per-page analysis cost)
+        import hashlib
+
+        return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
     def rolling_min(self, data: bytes) -> int:
         k = self.k

@@ -48,7 +48,10 @@ def geotag_join_tiles(
         extract_geotags_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-    ).select_columns(["url", "lang", "has_geo", "lat", "lon"])
+    ).select_columns(
+        ["url", "lang", "has_geo", "lat", "lon",
+         "n_tokens", "quality", "lang_pred", "fingerprint"]
+    )
 
     geo = extracted.filter(expr="has_geo")
     geo = geo.map_batches(encode_cells(res), batch_format="pyarrow")
@@ -78,7 +81,8 @@ def geotag_join_tiles(
         batch_format="pyarrow",
     )
     out = out.select_columns(
-        [c for c in ("url", "lat", "lon", "cell", "poly_id", "poly_name", "tile_id")
+        [c for c in ("url", "lat", "lon", "cell", "poly_id", "poly_name", "tile_id",
+                     "n_tokens", "quality", "lang_pred", "fingerprint")
          if c in out.schema().names]
     )
     if final_sort:

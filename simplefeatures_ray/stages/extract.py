@@ -22,10 +22,13 @@ class ExtractGeotags:
 
     Emits one row per input page:
       url, warc_ts, lang, text, has_geo (bool), lat, lon (first geotag,
-      NaN when absent), n_geotags.
+      NaN when absent), n_geotags — and, with analyze=True (the flagship
+    default), the per-page text-analysis columns a training-data
+    pipeline computes in the same pass over the decoded text:
+    n_tokens, quality, lang_pred, fingerprint.
     """
 
-    def __init__(self):
+    def __init__(self, analyze: bool = True):
         # compiled once per actor (reference pattern: PreparedGeometry-style
         # amortized setup, SURVEY.md §2.3)
         self.comment = re.compile(rb"<!--.*?-->", re.S)
@@ -34,6 +37,14 @@ class ExtractGeotags:
             rb'<meta\s+name="geo\.position"\s+content="([-0-9.]+);([-0-9.]+)"'
         )
         self.icbm = re.compile(rb"ICBM:\s*([-0-9.]+),\s*([-0-9.]+)")
+        self.analyze = analyze
+        if analyze:
+            from ..functions.text import Fingerprint, LangId, QualityScore, TokenCount
+
+            self.tok = TokenCount()
+            self.quality = QualityScore()
+            self.langid = LangId()
+            self.fingerprint = Fingerprint()
 
     def extract_one(self, html: bytes):
         tags = [(float(a), float(b)) for a, b in self.geo_meta.findall(html)]
@@ -66,6 +77,11 @@ class ExtractGeotags:
                 "n_geotags": pa.array(n_tags),
             }
         )
+        if self.analyze:
+            out = self.tok(out)
+            out = self.quality(out)
+            out = self.langid(out)
+            out = self.fingerprint(out)
         return out
 
 

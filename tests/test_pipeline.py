@@ -18,7 +18,10 @@ def small_run(ray_session):
 def test_flagship_output_shape(small_run):
     df = small_run
     assert len(df) > 0
-    assert list(df.columns) == ["url", "lat", "lon", "cell", "poly_id", "poly_name", "tile_id"]
+    assert list(df.columns) == [
+        "url", "lat", "lon", "cell", "poly_id", "poly_name", "tile_id",
+        "n_tokens", "quality", "lang_pred", "fingerprint",
+    ]
     # sorted by (tile_id, url)
     key = list(zip(df["tile_id"], df["url"]))
     assert key == sorted(key)
