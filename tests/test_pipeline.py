@@ -96,3 +96,28 @@ def test_semi_and_anti_modes(ray_session):
                           batch_format="pyarrow").count()
     assert semi + anti == n_geo
     assert semi > 0 and anti > 0
+
+
+def test_golden_output_hash(ray_session):
+    """Pinned content hash of the flagship output at a fixed input — the
+    bit-for-bit regression gate (north rule: reproduce join rows and tile
+    ids exactly). If an intentional semantic change moves this hash,
+    update the pin in the same commit and say why."""
+    import hashlib
+
+    from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
+    from simplefeatures_ray.sources.pages import pages_dataset
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    df = geotag_join_tiles(pages_dataset(3000), make_polygons(64)).to_pandas()
+    df = df.reindex(sorted(df.columns), axis=1)
+    digest = hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+    df2 = geotag_join_tiles(
+        pages_dataset(3000, override_num_blocks=2), make_polygons(64), batch_size=333
+    ).to_pandas().reindex(sorted(df.columns), axis=1)
+    assert hashlib.sha256(df2.to_csv(index=False).encode()).hexdigest() == digest
+    # pin (update deliberately, never casually):
+    assert digest == GOLDEN_FLAGSHIP_3000, digest
+
+
+GOLDEN_FLAGSHIP_3000 = "ef70a1e3da6020fea142f3468085be0039199fb60f5cff371827ffc20af7a58f"
