@@ -166,7 +166,10 @@ def _side_points(p, q):
     dy = q[1] - p[1]
     ln = math.hypot(dx, dy)
     scale = max(1.0, abs(mx), abs(my))
-    eps = 1e-7 * scale
+    # additive + small-slope: must stay ABOVE the snap tolerance (_on_tol)
+    # but far BELOW feature sizes even at large coordinates (a 1e-7*scale
+    # offset at UTM-scale coords overshoots a 1-unit-wide buffer)
+    eps = 1e-7 + 1e-9 * scale
     nx = -dy / ln
     ny = dx / ln
     return (mx + nx * eps, my + ny * eps), (mx - nx * eps, my - ny * eps), (mx, my)
@@ -197,16 +200,60 @@ def _ring_area(coords) -> float:
     return s / 2.0
 
 
+def _repair_directed(directed, tol: float):
+    """Bridge near-coincident arrangement defects.
+
+    Near-tangent crossings create slivers thinner than any probe epsilon;
+    their edges get dropped, leaving dead-end vertices (in-degree !=
+    out-degree). Greedily connect each arriving dead-end to the nearest
+    departing dead-end within `tol` — the two vertices are two numerical
+    images of the same topological point.
+    """
+    from collections import Counter
+
+    outd = Counter(u for u, _v in directed)
+    ind = Counter(v for _u, v in directed)
+    verts = set(outd) | set(ind)
+    need_out = []  # in > out: an edge arrives but nothing leaves
+    need_in = []  # out > in
+    for v in verts:
+        d = ind[v] - outd[v]
+        if d > 0:
+            need_out.extend([v] * d)
+        elif d < 0:
+            need_in.extend([v] * (-d))
+    if not need_out or not need_in:
+        return directed
+    added = set(directed)
+    used = [False] * len(need_in)
+    for y in need_out:
+        best = None
+        for i, x in enumerate(need_in):
+            if used[i]:
+                continue
+            dist = math.hypot(x[0] - y[0], x[1] - y[1])
+            if dist <= tol and (best is None or dist < best[0]):
+                best = (dist, i)
+        if best is not None:
+            used[best[1]] = True
+            x = need_in[best[1]]
+            if x != y:
+                added.add((y, x))
+    return added
+
+
 def _trace_rings(directed):
     """Trace closed rings from selected-region-on-left directed edges.
 
+    Walks with the clockwise-next rule and PEELS a ring whenever the walk
+    revisits ANY vertex of the current path (not only the start) — robust
+    to repaired/defect chains that merge several rings into one walk.
     directed: set of (u, v) vertex-key pairs. Returns list of vertex-key
     rings (closed: first == last).
     """
     out_edges: dict = {}
     for u, v in directed:
         out_edges.setdefault(u, []).append(v)
-    # sort outgoing targets by angle (CCW)
     ang = {}
     for u, targets in out_edges.items():
         targets.sort(key=lambda v: math.atan2(v[1] - u[1], v[0] - u[0]))
@@ -216,32 +263,46 @@ def _trace_rings(directed):
     for start in sorted(directed):
         if start not in unused:
             continue
-        ring = [start[0]]
-        cur = start
-        for _ in range(len(directed) + 1):
-            unused.discard(cur)
-            u, v = cur
-            ring.append(v)
+        path = [start[0], start[1]]
+        pos = {start[0]: 0, start[1]: 1}
+        unused.discard(start)
+        guard = len(directed) * 2 + 4
+        while guard > 0:
+            guard -= 1
+            u, v = path[-2], path[-1]
             targets = out_edges.get(v, [])
-            if not targets:
-                break  # dangling (shouldn't happen for area boundaries)
             back = math.atan2(u[1] - v[1], u[0] - v[0])
-            angles = ang[v]
-            # clockwise-next from the reverse direction: largest angle
-            # strictly below `back`, wrapping to the overall largest
+            angles = ang.get(v, [])
+            # clockwise-next from the reverse direction among UNUSED edges:
+            # largest angle strictly below `back`, wrapping to the largest
             best_i = None
+            fallback_i = None
             for i, a in enumerate(angles):
-                if a < back - 1e-12:
-                    if best_i is None or a > angles[best_i]:
-                        best_i = i
+                if (v, targets[i]) not in unused:
+                    continue
+                if fallback_i is None or a > angles[fallback_i]:
+                    fallback_i = i
+                if a < back - 1e-12 and (best_i is None or a > angles[best_i]):
+                    best_i = i
             if best_i is None:
-                best_i = max(range(len(angles)), key=lambda i: angles[i])
-            nxt = (v, targets[best_i])
-            cur = nxt
-            if cur == start:
-                break
-        if len(ring) >= 4 and ring[0] == ring[-1]:
-            rings.append(ring)
+                best_i = fallback_i
+            if best_i is None:
+                break  # dead end: drop the remaining (defect) chain
+            nxt_v = targets[best_i]
+            unused.discard((v, nxt_v))
+            if nxt_v in pos:
+                j = pos[nxt_v]
+                ring = path[j:] + [nxt_v]
+                if len(ring) >= 4:
+                    rings.append(ring)
+                for w in path[j + 1 :]:
+                    pos.pop(w, None)
+                path = path[: j + 1]
+                if len(path) == 1:
+                    break  # walk fully peeled
+            else:
+                path.append(nxt_v)
+                pos[nxt_v] = len(path) - 1
     return rings
 
 
@@ -359,6 +420,42 @@ def _compose(points, lines, areal) -> Geometry:
     return Geometry(GEOMETRYCOLLECTION, 0, geoms=parts)
 
 
+_LOCAL_FRAME_LIMIT = 10000.0
+
+
+def _frame_shift(geoms):
+    """Integer translation bringing large coordinates near the origin.
+
+    Far-from-origin inputs (UTM/web-mercator metres) break the fixed
+    probe/snap epsilons: a near-tangent lens can be thinner than the
+    scaled epsilon. Working in a local frame keeps epsilons at their
+    ~1e-7 base resolution. Returns (dx, dy) or None when unneeded.
+    """
+    xs = []
+    for g in geoms:
+        xy = g.all_xy()
+        if len(xy):
+            xs.append(xy)
+    if not xs:
+        return None
+    allxy = np.concatenate(xs, axis=0)
+    mx = np.abs(allxy).max()
+    if mx <= _LOCAL_FRAME_LIMIT:
+        return None
+    c = allxy.mean(axis=0)
+    return (float(np.round(c[0])), float(np.round(c[1])))
+
+
+def _shift_geom(g: Geometry, dx: float, dy: float) -> Geometry:
+    def fn(arr):
+        out = arr.copy()
+        out[:, 0] += dx
+        out[:, 1] += dy
+        return out
+
+    return g.map_coords(fn)
+
+
 def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     """Point-set overlay of two geometries.
 
@@ -369,6 +466,11 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
     """
     if op not in _OPS:
         raise ValueError(f"unknown overlay op {op!r}")
+    shift = _frame_shift([a, b])
+    if shift is not None:
+        res = overlay(_shift_geom(a, -shift[0], -shift[1]),
+                      _shift_geom(b, -shift[0], -shift[1]), op)
+        return _shift_geom(res, shift[0], shift[1])
     sel = _OPS[op]
 
     dim_a = a.dimension() if not a.is_empty() else -1
@@ -407,7 +509,7 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
         ln[ln == 0] = 1.0
         nx = -d[:, 1] / ln
         ny = d[:, 0] / ln
-        eps = 1e-7 * np.maximum(1.0, np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
+        eps = 1e-7 + 1e-9 * np.maximum(1.0, np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
         lx, ly = mid[:, 0] + nx * eps, mid[:, 1] + ny * eps
         rx, ry = mid[:, 0] - nx * eps, mid[:, 1] - ny * eps
         a_l = _inside_many(a, lx, ly)
@@ -426,6 +528,9 @@ def overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
                 leftover_edges.append((i, p, q))
         # s_l and s_r: interior edge of the result, drop
 
+    if boundary_directed:
+        diag = float(np.hypot(*(E.reshape(-1, 2).max(axis=0) - E.reshape(-1, 2).min(axis=0)))) if edge_list else 1.0
+        boundary_directed = _repair_directed(boundary_directed, 1e-4 * max(diag, 1e-6))
     rings = _trace_rings(boundary_directed)
     areal = _assemble_polygons(rings) if rings else None
 
@@ -531,6 +636,10 @@ def union_many(geoms) -> Geometry:
         return Geometry(GEOMETRYCOLLECTION, 0, geoms=[])
     if len(items) == 1:
         return items[0]
+    shift = _frame_shift(items)
+    if shift is not None:
+        res = union_many([_shift_geom(g, -shift[0], -shift[1]) for g in items])
+        return _shift_geom(res, shift[0], shift[1])
     all_areal = all(
         leaf.tag == POLYGON for g in items for leaf in g.flatten() if not leaf.is_empty()
     )
@@ -549,7 +658,7 @@ def union_many(geoms) -> Geometry:
         ln[ln == 0] = 1.0
         nx = -d[:, 1] / ln
         ny = d[:, 0] / ln
-        eps = 1e-7 * np.maximum(1.0, np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
+        eps = 1e-7 + 1e-9 * np.maximum(1.0, np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
         lx, ly = mid[:, 0] + nx * eps, mid[:, 1] + ny * eps
         rx, ry = mid[:, 0] - nx * eps, mid[:, 1] - ny * eps
         in_l = np.zeros(len(edge_list), dtype=bool)
@@ -566,6 +675,9 @@ def union_many(geoms) -> Geometry:
                 boundary_directed.add((p, q))
             elif in_r[i] and not in_l[i]:
                 boundary_directed.add((q, p))
+        allv = E.reshape(-1, 2)
+        diag = float(np.hypot(*(allv.max(axis=0) - allv.min(axis=0))))
+        boundary_directed = _repair_directed(boundary_directed, 1e-4 * max(diag, 1e-6))
         rings = _trace_rings(boundary_directed)
         out = _assemble_polygons(rings)
         return out

@@ -288,6 +288,32 @@ def test_overlay_ng(a, b, op, a1, a2, a3, expected):
     _assert_geom_close(got, expected)
 
 
+BUFFER = _cases(f"{GENERAL}/TestBuffer.xml", {"buffer"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", BUFFER)
+def test_buffer(a, b, op, a1, a2, a3, expected):
+    """JTS buffers use the same 8-segments-per-quadrant arc
+    discretization; compare by area/length/envelope with a relative
+    tolerance (JTS's BufferResultMatcher is likewise tolerance-based)."""
+    from simplefeatures_ray.geometry.algorithms import area, envelope, length
+    from simplefeatures_ray.geometry.buffer import buffer
+
+    g = _pick(a, b, a1)
+    got = buffer(g, float(a2), quad_segments=8)
+    want = _geom(expected)
+    if want.is_empty():
+        assert got.is_empty() or area(got) < 1e-9
+        return
+    aw = area(want)
+    ag = area(got)
+    assert ag == pytest.approx(aw, rel=2e-2, abs=1e-6), (ag, aw)
+    ew = envelope(want)
+    eg = envelope(got)
+    scale = max(abs(v) for v in ew) + 1.0
+    assert np.allclose(eg, ew, atol=2e-2 * scale), (eg, ew)
+
+
 DENSIFY = _cases(f"{GENERAL}/TestDensify.xml", {"densify"})
 
 
