@@ -104,9 +104,12 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
 
     import pandas as pd
 
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
+
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df["__side"] == 0].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        rhs = df[df["__side"] == 1].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        lhs = df[df["__side"] == 0][lcols]
+        rhs = df[df["__side"] == 1][rcols]
         how = {"inner": "inner", "left outer": "left"}.get(join_type, "inner")
         return lhs.merge(rhs, on=key, how=how)
 

@@ -221,7 +221,8 @@ def test_boundary(a, b, op, a1, a2, a3, expected):
     _assert_geom_close(boundary(_pick(a, b, a1)), expected)
 
 
-HULL = _cases(f"{GENERAL}/TestConvexHull.xml", {"convexhull", "convexHull"})
+HULL = _cases(f"{GENERAL}/TestConvexHull.xml", {"convexhull", "convexHull"}) + \
+    _cases(f"{GENERAL}/TestConvexHull-big.xml", {"convexhull", "convexHull"})
 
 
 @pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", HULL)

@@ -32,9 +32,14 @@ _PRED_MAP = {
 }
 
 
+GENERAL_DIR = "/root/reference/internal/jtsport/xmltest/testdata/general"
+
+
 def _load_cases():
     cases = []
-    for path in sorted(glob.glob(os.path.join(SUITE_DIR, "TestRelate*.xml"))):
+    paths = sorted(glob.glob(os.path.join(SUITE_DIR, "TestRelate*.xml")))
+    paths += sorted(glob.glob(os.path.join(GENERAL_DIR, "TestRelate*.xml")))
+    for path in paths:
         suite = os.path.basename(path)
         if "big" in suite:
             continue  # the -big suite duplicates AA at larger coordinates

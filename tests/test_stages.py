@@ -232,3 +232,53 @@ def test_asof_join(ray_session):
                     right_cols=["val"]).to_pandas().sort_values("id")
     vals = out["val"].tolist()
     assert vals[:3] == ["x", "y", "z"] and (vals[3] is None or vals[3] != vals[3])
+
+
+def test_salted_map_groups_matches_plain(ray_session):
+    import ray.data as rd
+
+    import pandas as pd
+    from simplefeatures_ray.stages.shuffle import detect_hot_keys, salted_map_groups
+
+    tbl = pa.table({
+        "cell": ([7] * 500 + [1] * 20 + [2] * 30),  # cell 7 is hot
+        "url": [f"u{i}" for i in range(550)],
+        "v": np.arange(550, dtype=float),
+    })
+    ds = rd.from_arrow(tbl)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cell": [df["cell"].iloc[0]], "s": [df["v"].sum()],
+                             "n": [len(df)]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cell": [df["cell"].iloc[0]], "s": [df["s"].sum()],
+                             "n": [df["n"].sum()]})
+
+    hist = ds.to_pandas().groupby("cell").size().reset_index(name="n")
+    hot = detect_hot_keys(pa.Table.from_pandas(hist), "cell", "n", threshold=100)
+    assert hot == [7]
+    salted = salted_map_groups(ds, "cell", per_group, merge, hot_keys=hot,
+                               n_salts=8, hash_col="url").to_pandas()
+    plain = ds.to_pandas().groupby("cell").agg(s=("v", "sum"), n=("v", "size")).reset_index()
+    merged = salted.sort_values("cell").reset_index(drop=True)
+    plain = plain.sort_values("cell").reset_index(drop=True)
+    assert merged["n"].tolist() == plain["n"].tolist()
+    assert merged["s"].tolist() == pytest.approx(plain["s"].tolist())
+
+
+def test_bucketed_join_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import broadcast_join, bucketed_join
+
+    left = pa.table({"k": list(range(100)) * 2, "lv": list(range(200))})
+    right = pa.table({"k": list(range(0, 100, 2)), "rv": [f"r{i}" for i in range(0, 100, 2)]})
+    b1 = broadcast_join(rd.from_arrow(left), right, keys="k").to_pandas()
+    b2 = bucketed_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                       n_buckets=8).to_pandas()
+    s1 = b1.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    s2 = b2.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    # the union inside bucketed_join promotes int columns to float (nullable)
+    s2 = s2.astype({"k": "int64", "lv": "int64"})
+    assert s1.astype({"k": "int64", "lv": "int64"}).equals(s2)
