@@ -322,6 +322,30 @@ def docs_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, num_perm=64, bands=16)
 
 
+def docs_minhash_verified(sf_dir: str):
+    """MinHash candidates verified by exact n-gram Jaccard (the classic
+    candidate->verify dedup pipeline; rows-only)."""
+    from simplefeatures_ray.functions.dedup import jaccard, minhash_lsh_pairs
+    from simplefeatures_ray.functions.relational import collect_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, num_perm=64, bands=16)
+    texts = {
+        int(i): t
+        for i, t in zip(*(collect_table(ds).column(c).to_pylist() for c in ("doc_id", "text")))
+    }
+
+    def verify(t: pa.Table) -> pa.Table:
+        ja = [
+            round(jaccard(texts.get(int(a), ""), texts.get(int(b), "")), 6)
+            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())
+        ]
+        out = t.append_column("jaccard", pa.array(ja, pa.float64()))
+        return out.filter(pa.compute.greater_equal(out["jaccard"], 0.5))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 def docs_simhash_pairs(sf_dir: str):
     from simplefeatures_ray.functions.dedup import simhash_near_dup_pairs
 
@@ -447,6 +471,56 @@ def spatial_points_in_boxes(sf_dir: str):
                          "box_id": t["poly_id"]})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def spatial_semi_join(sf_dir: str):
+    """Semi join: events whose point falls in >= 1 box (lowest box_id)."""
+    import ray
+
+    from simplefeatures_ray.pipelines.corpus import boxes_as_polygon_table, events_xy
+    from simplefeatures_ray.stages.join import build_polygon_index, spatial_join_batch
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    index_ref = ray.put(build_polygon_index(boxes_as_polygon_table()))
+    out = pts.map_batches(
+        spatial_join_batch,
+        fn_kwargs={"index_ref": index_ref, "mode": "semi", "x_col": "x", "y_col": "y"},
+        batch_format="pyarrow",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "first_box_id": t["poly_id"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def spatial_anti_join(sf_dir: str):
+    """Anti join: events whose point falls in NO box."""
+    import ray
+
+    from simplefeatures_ray.pipelines.corpus import boxes_as_polygon_table, events_xy
+    from simplefeatures_ray.stages.join import build_polygon_index, spatial_join_batch
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    index_ref = ray.put(build_polygon_index(boxes_as_polygon_table()))
+    out = pts.map_batches(
+        spatial_join_batch,
+        fn_kwargs={"index_ref": index_ref, "mode": "anti", "x_col": "x", "y_col": "y"},
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["event_id"])
 
 
 def spatial_grid_cells(sf_dir: str):
@@ -775,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs_quality,
         "docs_quality_metrics": docs_quality_metrics,
         "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
@@ -786,6 +861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": emb_near_dup_lsh,
         # spatial
         "spatial_points_in_boxes": spatial_points_in_boxes,
+        "spatial_semi_join": spatial_semi_join,
+        "spatial_anti_join": spatial_anti_join,
         "spatial_grid_cells": spatial_grid_cells,
         "spatial_knn_boxes": spatial_knn_boxes,
         # geometry kernels
@@ -962,6 +1039,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN {join_boxes_sql('boxes')}
               ON pts.x BETWEEN boxes.minx AND boxes.maxx
              AND pts.y BETWEEN boxes.miny AND boxes.maxy
+        """,
+        "spatial_semi_join": f"""
+            SELECT pts.event_id,
+                   MIN(boxes.box_id) AS first_box_id
+            FROM {event_points_sql('pts')}
+            JOIN {join_boxes_sql('boxes')}
+              ON pts.x BETWEEN boxes.minx AND boxes.maxx
+             AND pts.y BETWEEN boxes.miny AND boxes.maxy
+            GROUP BY pts.event_id
+        """,
+        "spatial_anti_join": f"""
+            SELECT pts.event_id
+            FROM {event_points_sql('pts')}
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {join_boxes_sql('boxes')}
+              WHERE pts.x BETWEEN boxes.minx AND boxes.maxx
+                AND pts.y BETWEEN boxes.miny AND boxes.maxy)
         """,
         "spatial_grid_cells": f"""
             SELECT CAST(floor(x / 5.0) AS BIGINT) AS cell_x,
