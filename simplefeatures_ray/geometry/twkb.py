@@ -219,13 +219,20 @@ def _read_rings(r: _Reader, cur: _DeltaCursor):
 
 def to_twkb(g: Geometry, prec_xy: int = 0, *, prec_z: int = 0, prec_m: int = 0,
             with_size: bool = False, with_bbox: bool = False,
-            close_rings: bool = False) -> bytes:
+            close_rings: bool = False, id_list=None) -> bytes:
     """Encode at the given decimal precisions (prec_xy in -8..+7;
-    reference MarshalTWKB options twkb_write.go:63-100)."""
+    reference MarshalTWKB options twkb_write.go:63-100). id_list attaches
+    per-element ids to a multi geometry (reference WithIDList option)."""
     if not -8 <= prec_xy <= 7:
         raise GeometryError("TWKB XY precision must be in -8..7")
+    if id_list is not None:
+        if g.tag not in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+            raise GeometryError("TWKB id list requires a multi geometry")
+        if len(id_list) != len(g.geoms):
+            raise GeometryError("TWKB id list length must match element count")
     out = bytearray()
-    _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close_rings)
+    _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close_rings,
+                    id_list=id_list)
     return bytes(out)
 
 
@@ -251,7 +258,8 @@ class _Quantizer:
                 self.prev[d] = row[d]
 
 
-def _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close_rings):
+def _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close_rings,
+                    id_list=None):
     has_z = bool(g.ctype & 0b01)
     has_m = bool(g.ctype & 0b10)
     dims = g.dim
@@ -268,6 +276,8 @@ def _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close
         meta |= 0x01
     if with_size:
         meta |= 0x02
+    if id_list is not None and not empty:
+        meta |= 0x04
     if has_z or has_m:
         meta |= 0x08
     if empty:
@@ -283,7 +293,7 @@ def _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close
     if not empty:
         q = _Quantizer(dims, scales)
         all_rows = []
-        _write_body(body, g, q, all_rows, close_rings)
+        _write_body(body, g, q, all_rows, close_rings, id_list=id_list)
         if with_bbox:
             bbox = bytearray()
             arr = np.asarray(all_rows)
@@ -298,7 +308,13 @@ def _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close
     out.extend(body)
 
 
-def _write_body(body, g, q, all_rows, close_rings):
+def _write_ids(body, id_list):
+    if id_list is not None:
+        for v in id_list:
+            write_varint(body, zigzag(int(v)))
+
+
+def _write_body(body, g, q, all_rows, close_rings, id_list=None):
     t = g.tag
     if t == POINT:
         rows = q.quantize(g.coords.reshape(1, -1))
@@ -317,6 +333,7 @@ def _write_body(body, g, q, all_rows, close_rings):
     if t == MULTIPOINT:
         pts = [p for p in g.geoms if p.coords is not None]
         write_varint(body, len(pts))
+        _write_ids(body, id_list)
         for p in pts:
             rows = q.quantize(p.coords.reshape(1, -1))
             all_rows.extend(rows)
@@ -324,6 +341,7 @@ def _write_body(body, g, q, all_rows, close_rings):
         return
     if t == MULTILINESTRING:
         write_varint(body, len(g.geoms))
+        _write_ids(body, id_list)
         for l in g.geoms:
             rows = q.quantize(l.coords)
             all_rows.extend(rows)
@@ -332,11 +350,13 @@ def _write_body(body, g, q, all_rows, close_rings):
         return
     if t == MULTIPOLYGON:
         write_varint(body, len(g.geoms))
+        _write_ids(body, id_list)
         for p in g.geoms:
             _write_rings(body, p.rings, q, all_rows, close_rings)
         return
     # GC: nested full TWKB values share nothing with the outer cursor
     write_varint(body, len(g.geoms))
+    _write_ids(body, id_list)
     for sub in g.geoms:
         sub_out = bytearray()
         _write_geometry(sub_out, sub, 0, 0, 0, False, False, close_rings)

@@ -135,3 +135,21 @@ def test_twkb_ring_closing():
     assert len(b_open) < len(b_closed)
     assert from_twkb(b_open) == g
     assert from_twkb(b_closed) == g
+
+
+def test_twkb_id_list_write():
+    from simplefeatures_ray.geometry import GeometryError
+
+    g = from_wkt("MULTIPOINT((1 2),(3 4),(5 6))")
+    buf = to_twkb(g, 0, id_list=[10, -5, 42])
+    assert twkb_id_list(buf) == [10, -5, 42]
+    assert to_wkt(from_twkb(buf)) == "MULTIPOINT((1 2),(3 4),(5 6))"
+    # with size + bbox headers too
+    buf2 = to_twkb(from_wkt("MULTIPOLYGON(((0 0,2 0,2 2,0 0)))"), 0,
+                   id_list=[7], with_size=True, with_bbox=True)
+    assert twkb_id_list(buf2) == [7]
+    assert from_twkb(buf2) == from_wkt("MULTIPOLYGON(((0 0,2 0,2 2,0 0)))")
+    with pytest.raises(GeometryError):
+        to_twkb(from_wkt("POINT(1 2)"), 0, id_list=[1])
+    with pytest.raises(GeometryError):
+        to_twkb(g, 0, id_list=[1, 2])
