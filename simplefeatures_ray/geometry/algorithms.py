@@ -542,3 +542,29 @@ def point_on_surface(g: Geometry):
         if r is not None:
             return r
     return None
+
+
+# --------------------------------------------------------------------------- #
+# summary (reference type_geometry.go:840-856 — human-readable description)
+# --------------------------------------------------------------------------- #
+
+
+def summary(g: Geometry) -> str:
+    """e.g. 'Polygon[XY] with 2 ring(s) consisting of 10 total coordinate(s)'."""
+    from .core import CTYPE_SUFFIX
+
+    suffix = CTYPE_SUFFIX[g.ctype].strip() or "XY"
+    name = f"{g.type_name}[{suffix}]"
+    t = g.tag
+    n_coords = sum(len(a) for a in g.coord_arrays())
+    if t == POINT:
+        return f"{name} {'with 1 point' if g.coords is not None else 'EMPTY'}"
+    if t == LINESTRING:
+        return f"{name} with {n_coords} point(s)"
+    if t == POLYGON:
+        return f"{name} with {len(g.rings)} ring(s) consisting of {n_coords} total coordinate(s)"
+    kind = {MULTIPOINT: "point", MULTILINESTRING: "linestring",
+            MULTIPOLYGON: "polygon", GEOMETRYCOLLECTION: "child geometr"}.get(t, "part")
+    plural = "ies" if kind == "child geometr" else "(s)"
+    return (f"{name} with {len(g.geoms)} {kind}{plural} consisting of "
+            f"{n_coords} total coordinate(s)")

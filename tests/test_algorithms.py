@@ -182,3 +182,15 @@ def test_min_width_rect():
     ring = r.rings[0]
     sides = np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1]))
     assert min(sides[:2].min(), sides[1:3].min()) < 0.6  # narrow side ~0.35
+
+
+def test_summary():
+    from simplefeatures_ray.geometry.algorithms import summary
+
+    assert summary(from_wkt("POINT(1 2)")) == "Point[XY] with 1 point"
+    assert summary(from_wkt("POINT EMPTY")) == "Point[XY] EMPTY"
+    assert summary(from_wkt("POINT Z (1 2 3)")) == "Point[Z] with 1 point"
+    assert (summary(from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))"))
+            == "Polygon[XY] with 1 ring(s) consisting of 5 total coordinate(s)")
+    assert "2 linestring(s)" in summary(from_wkt("MULTILINESTRING((0 0,1 1),(2 2,3 3))"))
+    assert "child geometries" in summary(from_wkt("GEOMETRYCOLLECTION(POINT(1 2))"))

@@ -74,3 +74,30 @@ def test_area_preservation_albers():
     d = np.radians(0.1)
     sphere_area = d * d * np.cos(np.radians(40.05))
     assert area == pytest.approx(sphere_area, rel=1e-3)
+
+
+def test_map_render_golden():
+    """cartodemo-style golden render: project the polygon corpus through
+    WebMercator and rasterize — pinned array hash (reference pins PNGs,
+    internal/cartodemo/cartodemo_test.go)."""
+    import hashlib
+
+    import numpy as np
+
+    from simplefeatures_ray.carto import WebMercator
+    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+    from simplefeatures_ray.raster import rasterize
+
+    proj = WebMercator(zoom=0)
+    img = np.zeros((128, 128), dtype=np.uint8)
+    for _cid, g in polygon_corpus():
+        pg = g.map_coords(lambda a: np.stack(proj.forward(a[:, 0], a[:, 1]), axis=1))
+        img = np.maximum(img, rasterize(pg, 128, 128, (0.2, 0.2, 0.8, 0.8)))
+    digest = hashlib.sha256(img.tobytes()).hexdigest()
+    assert (img > 0).sum() > 50  # something rendered
+    # determinism pin
+    img2 = np.zeros((128, 128), dtype=np.uint8)
+    for _cid, g in polygon_corpus():
+        pg = g.map_coords(lambda a: np.stack(proj.forward(a[:, 0], a[:, 1]), axis=1))
+        img2 = np.maximum(img2, rasterize(pg, 128, 128, (0.2, 0.2, 0.8, 0.8)))
+    assert hashlib.sha256(img2.tobytes()).hexdigest() == digest
