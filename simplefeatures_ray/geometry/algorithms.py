@@ -568,3 +568,59 @@ def summary(g: Geometry) -> str:
     plural = "ies" if kind == "child geometr" else "(s)"
     return (f"{name} with {len(g.geoms)} {kind}{plural} consisting of "
             f"{n_coords} total coordinate(s)")
+
+
+# --------------------------------------------------------------------------- #
+# coordinate-shape coercions (reference type_geometry.go:634-656, 954)
+# --------------------------------------------------------------------------- #
+
+
+def flip_coordinates(g: Geometry) -> Geometry:
+    """Swap X and Y ordinates (reference FlipCoordinates)."""
+
+    def fn(a):
+        out = a.copy()
+        out[:, 0] = a[:, 1]
+        out[:, 1] = a[:, 0]
+        return out
+
+    return g.map_coords(fn)
+
+
+def force_coordinates_type(g: Geometry, ctype: int) -> Geometry:
+    """Coerce to the given CoordinatesType: present ordinates are kept,
+    missing Z/M are zero-filled, extra ones dropped (reference
+    ForceCoordinatesType semantics)."""
+    from .core import ctype_dimension
+
+    src_ct = g.ctype
+    dst_dim = ctype_dimension(ctype)
+    has_z_src = bool(src_ct & 0b01)
+    has_m_src = bool(src_ct & 0b10)
+    has_z_dst = bool(ctype & 0b01)
+    has_m_dst = bool(ctype & 0b10)
+
+    def fn(a):
+        n = len(a)
+        out = np.zeros((n, dst_dim))
+        out[:, 0] = a[:, 0]
+        out[:, 1] = a[:, 1]
+        col = 2
+        if has_z_dst:
+            if has_z_src:
+                out[:, col] = a[:, 2]
+            col += 1
+        if has_m_dst:
+            if has_m_src:
+                out[:, col] = a[:, 2 + (1 if has_z_src else 0)]
+        return out
+
+    res = g.map_coords(fn)
+
+    def fix(geom):
+        geom.ctype = ctype
+        for sub in geom.geoms:
+            fix(sub)
+        return geom
+
+    return fix(res)

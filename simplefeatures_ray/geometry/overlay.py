@@ -689,3 +689,56 @@ def union_many(geoms) -> Geometry:
             nxt.append(items[-1])
         items = nxt
     return items[0]
+
+
+def make_valid(g: Geometry) -> Geometry:
+    """Repair an invalid polygonal geometry (GEOS MakeValid analog; the
+    reference only offers this via its CGO wrapper, geos/entrypoints.go:266).
+
+    Runs the geometry's own linework through the arrangement and keeps the
+    regions whose even-odd crossing parity is inside — a bowtie becomes
+    two triangles, overlapping rings dissolve, hole/shell crossings are
+    re-noded. Non-areal geometries are returned unchanged.
+    """
+    from .validate import validate
+
+    has_area = any(leaf.tag == POLYGON and leaf.rings for leaf in g.flatten())
+    if not has_area:
+        return g
+    ok, _ = validate(g)
+    if ok:
+        return g
+    shift = _frame_shift([g])
+    if shift is not None:
+        return _shift_geom(make_valid(_shift_geom(g, -shift[0], -shift[1])),
+                           shift[0], shift[1])
+    segs = _collect_segments([g])
+    edges = _node_all(segs)
+    edge_list = sorted(edges)
+    if not edge_list:
+        return Geometry(POLYGON, 0, rings=[])
+    E = np.asarray(edge_list, dtype=np.float64)
+    P = E[:, 0, :]
+    Q = E[:, 1, :]
+    mid = (P + Q) / 2.0
+    d = Q - P
+    ln = np.hypot(d[:, 0], d[:, 1])
+    ln[ln == 0] = 1.0
+    nx = -d[:, 1] / ln
+    ny = d[:, 0] / ln
+    eps = 1e-7 + 1e-9 * np.maximum(1.0, np.maximum(np.abs(mid[:, 0]), np.abs(mid[:, 1])))
+    lx, ly = mid[:, 0] + nx * eps, mid[:, 1] + ny * eps
+    rx, ry = mid[:, 0] - nx * eps, mid[:, 1] - ny * eps
+    in_l = _inside_many(g, lx, ly)
+    in_r = _inside_many(g, rx, ry)
+    boundary_directed = set()
+    for i, (p, q) in enumerate(edge_list):
+        if in_l[i] and not in_r[i]:
+            boundary_directed.add((p, q))
+        elif in_r[i] and not in_l[i]:
+            boundary_directed.add((q, p))
+    allv = E.reshape(-1, 2)
+    diag = float(np.hypot(*(allv.max(axis=0) - allv.min(axis=0))))
+    boundary_directed = _repair_directed(boundary_directed, 1e-4 * max(diag, 1e-6))
+    rings = _trace_rings(boundary_directed)
+    return _assemble_polygons(rings)

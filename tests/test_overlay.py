@@ -151,3 +151,41 @@ def test_overlay_deterministic():
     a = from_wkt(SQ1)
     b = from_wkt(SQ2)
     assert to_wkt(union(a, b)) == to_wkt(union(a, b))
+
+
+def test_make_valid():
+    from simplefeatures_ray.geometry.overlay import make_valid
+    from simplefeatures_ray.geometry.validate import is_valid
+
+    # bowtie resolves to two triangles
+    b = from_wkt("POLYGON((0 0,2 2,2 0,0 2,0 0))")
+    v = make_valid(b)
+    assert is_valid(v)
+    assert area(v) == pytest.approx(2.0)
+    assert v.tag == 6 and len(v.geoms) == 2
+    # valid input returned unchanged (same object)
+    sq = from_wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")
+    assert make_valid(sq) is sq
+    # hole sticking out of the shell gets re-noded
+    g = from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),(2 2,6 2,6 3,2 3,2 2))")
+    v2 = make_valid(g)
+    assert is_valid(v2)
+    # shell minus in-shell hole part, plus the outside part is NOT kept
+    # (even-odd: the outside hole part has parity 1 -> kept as area)
+    assert area(v2) == pytest.approx(16 - 2 + 2)
+    # non-areal passthrough
+    line = from_wkt("LINESTRING(0 0,1 1)")
+    assert make_valid(line) is line
+
+
+def test_flip_and_force_ctype():
+    from simplefeatures_ray.geometry.algorithms import flip_coordinates, force_coordinates_type
+
+    assert to_wkt(flip_coordinates(from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))"))) == \
+        "POLYGON((0 0,0 4,4 4,4 0,0 0))"
+    assert to_wkt(force_coordinates_type(from_wkt("POINT ZM (1 2 3 4)"), 0b01)) == \
+        "POINT Z (1 2 3)"
+    assert to_wkt(force_coordinates_type(from_wkt("POINT(1 2)"), 0b11)) == \
+        "POINT ZM (1 2 0 0)"
+    assert to_wkt(force_coordinates_type(from_wkt("POINT Z (1 2 3)"), 0b10)) == \
+        "POINT M (1 2 0)"
