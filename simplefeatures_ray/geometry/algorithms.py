@@ -137,8 +137,7 @@ def _centroid_weight(g: Geometry):
             dx = xy - x0
             cross = dx[:-1, 0] * dx[1:, 1] - dx[1:, 0] * dx[:-1, 1]
             a = 0.5 * float(cross.sum())
-            tri_c = x0 + (dx[:-1] + dx[1:]) @ np.eye(2) / 3.0 * 1.0
-            # triangle centroids: x0 + (d_i + d_{i+1})/3
+            # triangle centroids: x0 + (d_i + d_{i+1})/3, weighted by cross/2
             contrib = ((dx[:-1] + dx[1:]) / 3.0 * cross[:, None] * 0.5).sum(axis=0)
             if i == 0:
                 sgn = 1.0

@@ -28,10 +28,6 @@ from .core import (
 )
 
 
-def _zigzag(v: int) -> int:
-    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
-
-
 def zigzag(v: int) -> int:
     return ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1) if v < 0 else (v << 1)
 
