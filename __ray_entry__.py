@@ -984,6 +984,31 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_distribution": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
         """,
+        "docs_langid_pred": r"""
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     list_transform(list_slice(regexp_extract_all(text, '[\w'']+'), 1, 200),
+                                    w -> lower(w)) AS ws
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang,
+                len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS s_en,
+                len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','auf'))) AS s_de,
+                len(list_filter(ws, w -> w IN ('le','la','les','et','est','un','une','de','que','pour'))) AS s_fr,
+                len(list_filter(ws, w -> w IN ('el','la','los','y','es','un','una','de','que','por'))) AS s_es,
+                len(list_filter(ws, w -> w IN ('o','a','os','e','é','um','uma','de','que','para'))) AS s_pt
+              FROM scored)
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_pt THEN 'en'
+                     WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_pt THEN 'de'
+                     WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_pt THEN 'fr'
+                     WHEN s_es > 0 AND s_es >= s_pt THEN 'es'
+                     WHEN s_pt > 0 THEN 'pt'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM s
+        """,
         "docs_quality_metrics": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

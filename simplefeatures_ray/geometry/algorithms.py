@@ -623,3 +623,83 @@ def force_coordinates_type(g: Geometry, ctype: int) -> Geometry:
         return geom
 
     return fix(res)
+
+
+# --------------------------------------------------------------------------- #
+# concave hull — k-nearest-neighbours (Moreira & Santos 2007, public
+# literature; fills the reference's GEOS-only ConcaveHull slot,
+# geos/entrypoints.go:331, with a different published algorithm)
+# --------------------------------------------------------------------------- #
+
+
+def concave_hull(g: Geometry, k: int = 3) -> Geometry:
+    """Concave hull of the geometry's points. k controls tightness
+    (3 = tightest); falls back to the convex hull when the walk cannot
+    close. Deterministic."""
+    from .predicates import points_in_polygon, segments_intersect
+
+    pts = np.unique(g.all_xy(), axis=0)
+    n = len(pts)
+    if n < 3:
+        return convex_hull(g)
+    k = max(3, min(k, n - 1))
+
+    while k < n:
+        hull = _knn_hull_walk(pts, k)
+        if hull is not None:
+            ring = np.asarray(hull + [hull[0]], dtype=np.float64)
+            inside = points_in_polygon(pts[:, 0], pts[:, 1], [ring])
+            if (inside >= 0).all():
+                if ring_signed_area(ring) < 0:
+                    ring = ring[::-1].copy()
+                return Geometry(POLYGON, 0, rings=[ring])
+        k += 1
+    return convex_hull(g)
+
+
+def _knn_hull_walk(pts: np.ndarray, k: int):
+    from .predicates import segments_intersect
+
+    n = len(pts)
+    start_idx = int(np.lexsort((pts[:, 0], pts[:, 1]))[0])  # lowest y, then x
+    visited = np.zeros(n, dtype=bool)
+    cur = start_idx
+    visited[cur] = True
+    hull = [tuple(pts[cur])]
+    heading = 0.0  # incoming direction of travel; +x at the lowest point
+    for _ in range(n * 2):
+        cx, cy = pts[cur]
+        cand = np.flatnonzero(~visited)
+        if len(hull) > 3:
+            cand = np.append(cand, start_idx)  # allow closing
+        if len(cand) == 0:
+            return None
+        d = np.hypot(pts[cand, 0] - cx, pts[cand, 1] - cy)
+        nearest = cand[np.argsort(d, kind="stable")[: k]]
+        # walk with the interior on the LEFT: pick the candidate with the
+        # MOST CLOCKWISE (minimum CCW) turn from the incoming heading
+        angles = np.arctan2(pts[nearest, 1] - cy, pts[nearest, 0] - cx)
+        turns = (angles - heading + np.pi) % (2 * np.pi) - np.pi  # (-pi, pi]
+        order = nearest[np.argsort(turns, kind="stable")]
+        chosen = None
+        for idx in order:
+            px, py = pts[idx]
+            # candidate edge must not cross existing hull edges
+            ok = True
+            for i in range(len(hull) - 2):  # skip adjacent edge
+                if segments_intersect((cx, cy), (px, py), hull[i], hull[i + 1]):
+                    if (px, py) != hull[i] and (px, py) != hull[i + 1]:
+                        ok = False
+                        break
+            if ok:
+                chosen = int(idx)
+                break
+        if chosen is None:
+            return None
+        if chosen == start_idx:
+            return hull
+        hull.append(tuple(pts[chosen]))
+        visited[chosen] = True
+        heading = np.arctan2(pts[chosen, 1] - cy, pts[chosen, 0] - cx)
+        cur = chosen
+    return None

@@ -194,3 +194,25 @@ def test_summary():
             == "Polygon[XY] with 1 ring(s) consisting of 5 total coordinate(s)")
     assert "2 linestring(s)" in summary(from_wkt("MULTILINESTRING((0 0,1 1),(2 2,3 3))"))
     assert "child geometries" in summary(from_wkt("GEOMETRYCOLLECTION(POINT(1 2))"))
+
+
+def test_concave_hull():
+    from simplefeatures_ray.geometry.algorithms import concave_hull
+    from simplefeatures_ray.geometry.core import Geometry, MULTIPOINT
+    from simplefeatures_ray.geometry.predicates import points_in_polygon
+    from simplefeatures_ray.geometry.validate import is_valid
+
+    # L-shaped grid: concave hull recovers the true outline (area 64),
+    # far below the convex hull's 82
+    pts = np.array([(i, j) for i in range(11) for j in range(11)
+                    if i <= 4 or j <= 4], float)
+    mp = Geometry(MULTIPOINT, 0, geoms=[Geometry.point(x, y) for x, y in pts])
+    ch = concave_hull(mp, k=3)
+    assert is_valid(ch)
+    assert area(ch) == pytest.approx(64.0)
+    assert (points_in_polygon(pts[:, 0], pts[:, 1], ch.rings) >= 0).all()
+    # degenerate inputs fall back to convex-hull behavior
+    assert to_wkt(concave_hull(from_wkt("MULTIPOINT((0 0),(1 1))"))) == "LINESTRING(0 0,1 1)"
+    assert to_wkt(concave_hull(from_wkt("POINT(5 5)"))) == "POINT(5 5)"
+    # deterministic
+    assert to_wkt(concave_hull(mp, k=3)) == to_wkt(concave_hull(mp, k=3))
