@@ -53,8 +53,46 @@ def _segment_rect(a, b, r: float, extend_a=0.0, extend_b=0.0) -> Geometry | None
     return Geometry(POLYGON, 0, rings=[ring])
 
 
+def _join_patch(v, p_prev, p_next, r: float, join_style: str, mitre_limit: float):
+    """Filler polygon for the OUTER side of an interior vertex when the
+    join is not round: bevel = triangle, mitre = quad capped at
+    mitre_limit*r (falls back to bevel beyond the limit)."""
+    d1 = v - p_prev
+    d2 = p_next - v
+    l1 = math.hypot(d1[0], d1[1])
+    l2 = math.hypot(d2[0], d2[1])
+    if l1 == 0 or l2 == 0:
+        return None
+    u1 = d1 / l1
+    u2 = d2 / l2
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    if abs(cross) < 1e-12:
+        return None  # collinear: rectangles already join seamlessly
+    # outer side: right of travel for a left turn, left for a right turn
+    sign = -1.0 if cross > 0 else 1.0
+    n1 = np.array([-u1[1], u1[0]]) * sign
+    n2 = np.array([-u2[1], u2[0]]) * sign
+    a = v + n1 * r  # outer corner of the incoming rectangle
+    b = v + n2 * r  # outer corner of the outgoing rectangle
+    if join_style == "bevel":
+        ring = np.array([v, a, b, v])
+        return Geometry(POLYGON, 0, rings=[ring])
+    # mitre: intersect the two offset lines a + t*u1 and b - s*u2
+    denom = u1[0] * (-u2[1]) - u1[1] * (-u2[0])
+    if denom == 0:
+        return None
+    t = ((b[0] - a[0]) * (-u2[1]) - (b[1] - a[1]) * (-u2[0])) / denom
+    m = a + u1 * t
+    if math.hypot(m[0] - v[0], m[1] - v[1]) > mitre_limit * r:
+        ring = np.array([v, a, b, v])  # beyond the limit: bevel
+    else:
+        ring = np.array([v, a, m, b, v])
+    return Geometry(POLYGON, 0, rings=[ring])
+
+
 def _buffer_linework(coords: np.ndarray, r: float, quad_segments: int,
-                     cap_style: str, closed: bool) -> list[Geometry]:
+                     cap_style: str, closed: bool, join_style: str = "round",
+                     mitre_limit: float = 5.0) -> list[Geometry]:
     parts = []
     n = len(coords)
     xy = coords[:, :2]
@@ -65,20 +103,45 @@ def _buffer_linework(coords: np.ndarray, r: float, quad_segments: int,
         rect = _segment_rect(xy[i], xy[i + 1], r, ext_a, ext_b)
         if rect is not None:
             parts.append(rect)
-    # vertex discs: round joins everywhere; endpoints only for round caps
-    for i in range(n):
-        endpoint = (i == 0 or i == n - 1) and not closed
-        if endpoint and cap_style != "round":
-            continue
-        parts.append(_disc(xy[i, 0], xy[i, 1], r, quad_segments))
+    if join_style == "round":
+        # vertex discs: round joins everywhere; endpoints only for round caps
+        for i in range(n):
+            endpoint = (i == 0 or i == n - 1) and not closed
+            if endpoint and cap_style != "round":
+                continue
+            parts.append(_disc(xy[i, 0], xy[i, 1], r, quad_segments))
+    else:
+        # mitre/bevel: fill the outer wedge at interior vertices
+        if closed:
+            # ring vertices 0..n-2 (last duplicates the first)
+            for i in range(n - 1):
+                p_prev = xy[i - 1] if i > 0 else xy[n - 2]
+                p_next = xy[i + 1]
+                patch = _join_patch(xy[i], p_prev, p_next, r, join_style, mitre_limit)
+                if patch is not None:
+                    parts.append(patch)
+        else:
+            for i in range(1, n - 1):
+                patch = _join_patch(xy[i], xy[i - 1], xy[i + 1], r, join_style, mitre_limit)
+                if patch is not None:
+                    parts.append(patch)
+        if not closed and cap_style == "round":
+            parts.append(_disc(xy[0, 0], xy[0, 1], r, quad_segments))
+            parts.append(_disc(xy[-1, 0], xy[-1, 1], r, quad_segments))
     return parts
 
 
 def buffer(g: Geometry, dist: float, quad_segments: int = 8,
-           cap_style: str = "round") -> Geometry:
-    """Buffered geometry (always areal or empty)."""
+           cap_style: str = "round", join_style: str = "round",
+           mitre_limit: float = 5.0) -> Geometry:
+    """Buffered geometry (always areal or empty). join_style:
+    round | mitre | bevel (reference BufferOption joins,
+    alg_buffer.go:44-124); mitre_limit caps spike length at sharp
+    angles (falls back to bevel beyond it)."""
     if cap_style not in ("round", "flat", "square"):
         raise ValueError(f"unknown cap style {cap_style!r}")
+    if join_style not in ("round", "mitre", "bevel"):
+        raise ValueError(f"unknown join style {join_style!r}")
     if g.is_empty():
         return Geometry(POLYGON, 0, rings=[])
     if dist == 0:
@@ -95,20 +158,23 @@ def buffer(g: Geometry, dist: float, quad_segments: int = 8,
         if dist < 0:
             return Geometry(POLYGON, 0, rings=[])
         closed = bool(np.array_equal(g.coords[0], g.coords[-1]))
-        return union_many(_buffer_linework(g.coords, dist, quad_segments, cap_style, closed))
+        return union_many(_buffer_linework(g.coords, dist, quad_segments, cap_style,
+                                           closed, join_style, mitre_limit))
     if t == POLYGON:
         if not g.rings:
             return Geometry(POLYGON, 0, rings=[])
         ring_parts = []
         for ring in g.rings:
-            ring_parts.extend(_buffer_linework(ring, abs(dist), quad_segments, "round", True))
+            ring_parts.extend(_buffer_linework(ring, abs(dist), quad_segments, "round",
+                                               True, join_style, mitre_limit))
         boundary_buf = union_many(ring_parts)
         if dist > 0:
             return union_many([g, boundary_buf])
         return difference(g, boundary_buf)
     # multis / collections: union of part buffers (negative dist only
     # meaningful for areal parts)
-    parts = [buffer(sub, dist, quad_segments, cap_style) for sub in g.flatten()]
+    parts = [buffer(sub, dist, quad_segments, cap_style, join_style, mitre_limit)
+             for sub in g.flatten()]
     parts = [p for p in parts if not p.is_empty()]
     if not parts:
         return Geometry(POLYGON, 0, rings=[])

@@ -87,3 +87,21 @@ def test_vectorize_multi_blob():
     assert g.tag == 6 and area(g) == pytest.approx(8.0)
     # collinear pixel vertices removed
     assert all(len(p.rings[0]) == 5 for p in g.geoms)
+
+
+def test_buffer_join_styles():
+    from simplefeatures_ray.geometry.buffer import buffer
+
+    bend = from_wkt("LINESTRING(0 0,5 0,5 5)")
+    assert area(buffer(bend, 1.0, cap_style="flat", join_style="mitre")) == pytest.approx(20.0)
+    assert area(buffer(bend, 1.0, cap_style="flat", join_style="bevel")) == pytest.approx(19.5)
+    sq = from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert area(buffer(sq, 1.0, join_style="mitre")) == pytest.approx(36.0)  # exact (w+2r)^2
+    assert area(buffer(sq, 1.0, join_style="bevel")) == pytest.approx(34.0)
+    # mitre limit: a needle-sharp bend falls back to bevel
+    sharp = from_wkt("LINESTRING(0 0,10 0,0 0.5)")
+    limited = buffer(sharp, 1.0, cap_style="flat", join_style="mitre", mitre_limit=2.0)
+    unlimited = buffer(sharp, 1.0, cap_style="flat", join_style="mitre", mitre_limit=100.0)
+    assert area(limited) < area(unlimited)
+    with pytest.raises(ValueError):
+        buffer(sq, 1.0, join_style="chamfer")

@@ -315,6 +315,27 @@ def test_buffer(a, b, op, a1, a2, a3, expected):
     assert np.allclose(eg, ew, atol=2e-2 * scale), (eg, ew)
 
 
+MITRE = _cases(f"{GENERAL}/TestBufferMitredJoin.xml", {"bufferMitredJoin"})
+
+
+@pytest.mark.parametrize("a,b,op,a1,a2,a3,expected", MITRE)
+def test_buffer_mitred(a, b, op, a1, a2, a3, expected):
+    from simplefeatures_ray.geometry.algorithms import area, envelope
+    from simplefeatures_ray.geometry.buffer import buffer
+
+    g = _pick(a, b, a1)
+    got = buffer(g, float(a2), join_style="mitre")
+    want = _geom(expected)
+    if want.is_empty():
+        assert got.is_empty() or area(got) < 1e-9
+        return
+    assert area(got) == pytest.approx(area(want), rel=2e-2), (area(got), area(want))
+    ew = envelope(want)
+    eg = envelope(got)
+    scale = max(abs(v) for v in ew) + 1.0
+    assert np.allclose(eg, ew, atol=1e-5 * scale), (eg, ew)
+
+
 DENSIFY = _cases(f"{GENERAL}/TestDensify.xml", {"densify"})
 
 
