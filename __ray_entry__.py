@@ -211,6 +211,9 @@ def events_asof_orders(sf_dir: str):
 
     def finish(df):
         df = df[["event_id", "join_key", "o_orderkey"]].copy()
+        # the union of the two sides floats event_id (NaN on right-side
+        # rows) — restore int64 so the oracle compare hashes identically
+        df["event_id"] = df["event_id"].astype(np.int64)
         df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype(np.int64)
         return df
 
@@ -960,11 +963,16 @@ def oracle_sql() -> dict[str, str]:
             FROM slid GROUP BY 1, 2
         """,
         "events_asof_orders": """
+            -- Right side pre-reduced to one row per (jk, o_orderdate) by
+            -- max o_orderkey: the same deterministic tie-break the engine's
+            -- asof_join applies (functions/windows.py), so ASOF has no ties.
             SELECT e.event_id, e.user_id % 100 AS join_key,
                    COALESCE(o.o_orderkey, -1) AS o_orderkey
             FROM events e
-            ASOF LEFT JOIN (SELECT o_orderkey, o_custkey % 100 AS jk, o_orderdate
-                            FROM orders) o
+            ASOF LEFT JOIN (SELECT o_custkey % 100 AS jk, o_orderdate,
+                                   max(o_orderkey) AS o_orderkey
+                            FROM orders
+                            GROUP BY jk, o_orderdate) o
               ON e.user_id % 100 = o.jk AND e.ts >= o.o_orderdate
         """,
         "docs_token_counts": r"""

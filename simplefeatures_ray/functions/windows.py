@@ -75,13 +75,22 @@ def sliding_window_agg(ds, ts_col: str, width_s: float, slide_s: float, keys, sp
 
 
 def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
-              right_cols, n_buckets: int = 32, direction: str = "backward"):
+              right_cols, n_buckets: int = 32, direction: str = "backward",
+              tie_break: str | None = None):
     """For each left row, the latest right row with ts_right <= ts_left
     (direction='backward') sharing `key`. Bucketed sort-merge: both sides
     shuffle once on key%%B; merge_asof runs per bucket.
 
     right_cols: columns of the right side to carry (suffixed _right if
-    clashing)."""
+    clashing).
+
+    tie_break: column used to pick ONE right row when several share the
+    same (key, ts_right) — the row with the maximum tie_break value wins.
+    Without it, merge_asof's pick among tied timestamps depends on block
+    arrival order and is nondeterministic across runs. Defaults to the
+    first entry of right_cols."""
+    if tie_break is None and right_cols:
+        tie_break = right_cols[0]
 
     def add_bucket(col):
         def kernel(t: pa.Table) -> pa.Table:
@@ -107,7 +116,15 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
         lhs = lhs.dropna(axis=1, how="all").sort_values(ts_left, kind="mergesort")
         rhs = rhs.dropna(axis=1, how="all")
         rhs = rhs[[key, ts_right] + [c for c in right_cols if c in rhs.columns]]
-        rhs = rhs.sort_values(ts_right, kind="mergesort")
+        if tie_break is not None and tie_break in rhs.columns:
+            # Deterministic tie-break: keep the max-tie_break row per
+            # (key, ts_right). Sorting by [ts_right, tie_break] keeps the
+            # ts ordering merge_asof requires while making keep="last"
+            # pick the maximum.
+            rhs = rhs.sort_values([ts_right, tie_break], kind="mergesort")
+            rhs = rhs.drop_duplicates(subset=[key, ts_right], keep="last")
+        else:
+            rhs = rhs.sort_values(ts_right, kind="mergesort")
         if len(lhs) == 0:
             return lhs
         if len(rhs) == 0:

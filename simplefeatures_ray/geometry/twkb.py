@@ -289,7 +289,8 @@ def _write_geometry(out, g, prec_xy, prec_z, prec_m, with_size, with_bbox, close
     if not empty:
         q = _Quantizer(dims, scales)
         all_rows = []
-        _write_body(body, g, q, all_rows, close_rings, id_list=id_list)
+        _write_body(body, g, q, all_rows, close_rings, id_list=id_list,
+                    precs=(prec_xy, prec_z, prec_m))
         if with_bbox:
             bbox = bytearray()
             arr = np.asarray(all_rows)
@@ -310,7 +311,8 @@ def _write_ids(body, id_list):
             write_varint(body, zigzag(int(v)))
 
 
-def _write_body(body, g, q, all_rows, close_rings, id_list=None):
+def _write_body(body, g, q, all_rows, close_rings, id_list=None,
+                precs=(0, 0, 0)):
     t = g.tag
     if t == POINT:
         rows = q.quantize(g.coords.reshape(1, -1))
@@ -327,7 +329,13 @@ def _write_body(body, g, q, all_rows, close_rings, id_list=None):
         _write_rings(body, g.rings, q, all_rows, close_rings)
         return
     if t == MULTIPOINT:
+        # Empty points are unrepresentable inside a TWKB multipoint: filter
+        # them AND their ids in lockstep, else the reader mis-aligns the
+        # id stream against the written element count.
         pts = [p for p in g.geoms if p.coords is not None]
+        if id_list is not None:
+            id_list = [v for p, v in zip(g.geoms, id_list)
+                       if p.coords is not None]
         write_varint(body, len(pts))
         _write_ids(body, id_list)
         for p in pts:
@@ -350,12 +358,15 @@ def _write_body(body, g, q, all_rows, close_rings, id_list=None):
         for p in g.geoms:
             _write_rings(body, p.rings, q, all_rows, close_rings)
         return
-    # GC: nested full TWKB values share nothing with the outer cursor
+    # GC: nested full TWKB values share nothing with the outer cursor, but
+    # inherit the parent's precisions (reference twkb_write.go copytwkbWriter:
+    # "Same precision as in parent").
     write_varint(body, len(g.geoms))
     _write_ids(body, id_list)
     for sub in g.geoms:
         sub_out = bytearray()
-        _write_geometry(sub_out, sub, 0, 0, 0, False, False, close_rings)
+        _write_geometry(sub_out, sub, precs[0], precs[1], precs[2],
+                        False, False, close_rings)
         body.extend(sub_out)
 
 

@@ -19,12 +19,18 @@ def add_salt(ds, key_col: str, hot_keys, n_salts: int, hash_col: str):
     """Append a deterministic `salt` column: hash(hash_col) % n_salts for
     rows whose key is in hot_keys, else 0. hot_keys is a small set,
     broadcast by closure capture (fine: it is tiny)."""
+    from ..functions.dedup import _hash64
+
     hot = set(int(k) for k in hot_keys)
 
     def kernel(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch[key_col].fill_null(0), dtype=np.uint64)
+        # blake2b-based hash: builtin hash() on str is PYTHONHASHSEED-
+        # randomized per worker process, which would break the documented
+        # deterministic-salt contract.
         hv = np.array(
-            [hash(v) & 0x7FFFFFFF for v in batch[hash_col].to_pylist()], dtype=np.int64
+            [_hash64(str(v)) & 0x7FFFFFFF for v in batch[hash_col].to_pylist()],
+            dtype=np.int64,
         )
         is_hot = np.isin(keys.astype(np.int64), np.fromiter(hot, dtype=np.int64))
         salt = np.where(is_hot, hv % n_salts, 0).astype(np.int32)

@@ -153,3 +153,26 @@ def test_twkb_id_list_write():
         to_twkb(from_wkt("POINT(1 2)"), 0, id_list=[1])
     with pytest.raises(GeometryError):
         to_twkb(g, 0, id_list=[1, 2])
+
+
+def test_twkb_gc_inherits_parent_precision():
+    # Reference twkb_write.go copytwkbWriter: nested GC elements encode at
+    # the SAME precision as the parent — prec 0 would truncate to integers.
+    g = from_wkt("GEOMETRYCOLLECTION(POINT(1.2345 2.3456),LINESTRING(0.5 0.5,1.25 1.75))")
+    buf = to_twkb(g, 4)
+    assert to_wkt(from_twkb(buf)) == (
+        "GEOMETRYCOLLECTION(POINT(1.2345 2.3456),LINESTRING(0.5 0.5,1.25 1.75))"
+    )
+    # Z/M precisions inherit too
+    gz = from_wkt("GEOMETRYCOLLECTION(POINT Z (1.25 2.5 3.125))")
+    bufz = to_twkb(gz, 2, prec_z=3)
+    assert to_wkt(from_twkb(bufz)) == "GEOMETRYCOLLECTION(POINT Z (1.25 2.5 3.125))"
+
+
+def test_twkb_multipoint_id_list_with_empty_elements():
+    # Empty points are dropped on the wire; ids must be dropped in lockstep
+    # so the id stream stays aligned with the written element count.
+    g = from_wkt("MULTIPOINT((1 2),EMPTY,(3 4))")
+    buf = to_twkb(g, 0, id_list=[10, 20, 30])
+    assert twkb_id_list(buf) == [10, 30]
+    assert to_wkt(from_twkb(buf)) == "MULTIPOINT((1 2),(3 4))"
