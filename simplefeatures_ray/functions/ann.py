@@ -259,51 +259,75 @@ def embedding_near_dup_pairs(ds, threshold: float, *, id_col="vec_id",
 
 
 class _HyperplaneSig:
-    """Random-hyperplane LSH signature (seeded, deterministic)."""
+    """Random-hyperplane LSH signatures (seeded, deterministic).
 
-    def __init__(self, dim, n_bits=16, seed=99, vec_col="embedding"):
+    n_tables independent hash tables of n_bits each (OR-amplification):
+    each input row explodes into n_tables rows keyed (lsh_table,
+    lsh_bucket) so a pair is a candidate if ANY table co-buckets it.
+    More tables -> higher recall at fixed verify cost per bucket; more
+    bits -> smaller buckets (cheaper verify, lower per-table recall)."""
+
+    def __init__(self, dim, n_bits=16, n_tables=1, seed=99, vec_col="embedding"):
         rng = np.random.default_rng(seed)
-        self.planes = rng.normal(size=(n_bits, dim)).astype(np.float32)
+        self.planes = rng.normal(size=(n_tables, n_bits, dim)).astype(np.float32)
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.vec_col))
-        bits = (m @ self.planes.T) > 0
-        sig = np.zeros(len(m), dtype=np.uint64)
-        for b in range(bits.shape[1]):
-            sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
-        return batch.append_column("lsh_bucket", pa.array(sig, pa.uint64()))
+        n_tables, n_bits, _ = self.planes.shape
+        n = len(m)
+        parts = []
+        for ti in range(n_tables):
+            bits = (m @ self.planes[ti].T) > 0
+            sig = np.zeros(n, dtype=np.uint64)
+            for b in range(n_bits):
+                sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+            parts.append(batch
+                         .append_column("lsh_table", pa.array(np.full(n, ti, np.int32)))
+                         .append_column("lsh_bucket", pa.array(sig, pa.uint64())))
+        return pa.concat_tables(parts)
 
 
 def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
-                           vec_col="embedding", n_bits=12, concurrency=(1, 4)):
+                           vec_col="embedding", n_bits=12, n_tables=1,
+                           concurrency=(1, 4)):
     """Approximate near-dup pairs: hyperplane-LSH bucket groupby, exact
-    cosine verify within buckets. Scale path: the only shuffle carries
-    (bucket, id, vec) rows and near-identical vectors share buckets with
-    high probability."""
+    cosine verify within buckets, distinct-pair final. Scale path: the
+    only shuffle carries n_tables x (table, bucket, id, vec) rows and
+    near-identical vectors share buckets with high probability.
+
+    Recall tuning: 1 - (1 - (1 - theta/pi)^n_bits)^n_tables for a pair at
+    angle theta. Low thresholds (wide angles) need many tables."""
     import pandas as pd
 
     dim = len(ds.take(1)[0][vec_col])
     sigs = ds.map_batches(
         _HyperplaneSig,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "vec_col": vec_col},
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits,
+                               "n_tables": n_tables, "vec_col": vec_col},
         batch_format="pyarrow",
         concurrency=concurrency,
     )
 
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "cosine": pd.Series([], dtype=np.float64)})
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64})
+            return empty.copy()
         m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
         ids = df[id_col].to_numpy()
         sims = m @ m.T
         ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if not len(ii):
+            return empty.copy()
         return pd.DataFrame({"id_a": np.minimum(ids[ii], ids[jj]),
                              "id_b": np.maximum(ids[ii], ids[jj]),
                              "cosine": np.round(sims[ii, jj], 6)})
 
-    cand = sigs.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+    cand = sigs.groupby(["lsh_table", "lsh_bucket"]).map_groups(
+        pairs, batch_format="pandas")
     from .dedup import dedup_pairs
 
     return dedup_pairs(cand)
