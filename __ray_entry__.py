@@ -616,122 +616,178 @@ def spatial_knn_boxes(sf_dir: str):
 # --------------------------------------------------------------------------- #
 
 
-def geom_area(sf_dir: str):
-    from simplefeatures_ray.geometry.algorithms import area
-    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+def _corpus_ds(geoms, parallelism: int = 4):
+    """(case_id, Geometry) list -> Ray Dataset with a WKB column — the
+    geom_* gates exercise the engine's map_batches stage kernels, not
+    driver loops."""
+    import ray.data as rd
 
-    rows = [(cid, round(area(g), 6)) for cid, g in polygon_corpus()]
-    return pa.table(
-        {"case_id": pa.array([r[0] for r in rows], pa.int64()),
-         "area": pa.array([r[1] for r in rows], pa.float64())}
-    )
+    from simplefeatures_ray.geometry.wkb import to_wkb
+
+    t = pa.table({
+        "case_id": pa.array([cid for cid, _ in geoms], pa.int64()),
+        "wkb": pa.array([to_wkb(g) for _, g in geoms], pa.binary()),
+    })
+    return rd.from_arrow(t).repartition(parallelism)
+
+
+def geom_area(sf_dir: str):
+    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+    from simplefeatures_ray.stages.geometry import geom_stats
+
+    ds = _corpus_ds(polygon_corpus())
+    out = ds.map_batches(geom_stats(), batch_format="pyarrow")
+    return _round_cols(out.select_columns(["case_id", "area"]), {"area": 6})
 
 
 def geom_length(sf_dir: str):
-    from simplefeatures_ray.geometry.algorithms import length
     from simplefeatures_ray.pipelines.corpus import linestring_corpus
+    from simplefeatures_ray.stages.geometry import geom_stats
 
-    rows = [(cid, round(length(g), 6)) for cid, g in linestring_corpus()]
-    return pa.table(
-        {"case_id": pa.array([r[0] for r in rows], pa.int64()),
-         "length": pa.array([r[1] for r in rows], pa.float64())}
-    )
+    ds = _corpus_ds(linestring_corpus())
+    out = ds.map_batches(geom_stats(), batch_format="pyarrow")
+    return _round_cols(out.select_columns(["case_id", "length"]), {"length": 6})
 
 
 def geom_envelope(sf_dir: str):
-    from simplefeatures_ray.geometry.algorithms import envelope
     from simplefeatures_ray.pipelines.corpus import polygon_corpus
+    from simplefeatures_ray.stages.geometry import geom_stats
 
-    recs = {"case_id": [], "minx": [], "miny": [], "maxx": [], "maxy": []}
-    for cid, g in polygon_corpus():
-        e = envelope(g)
-        recs["case_id"].append(cid)
-        recs["minx"].append(e[0])
-        recs["miny"].append(e[1])
-        recs["maxx"].append(e[2])
-        recs["maxy"].append(e[3])
-    return pa.table(recs)
+    ds = _corpus_ds(polygon_corpus())
+    out = ds.map_batches(geom_stats(), batch_format="pyarrow")
+    return out.select_columns(["case_id", "minx", "miny", "maxx", "maxy"])
 
 
 def geom_centroid(sf_dir: str):
-    from simplefeatures_ray.geometry.algorithms import centroid
     from simplefeatures_ray.pipelines.corpus import polygon_corpus
+    from simplefeatures_ray.stages.geometry import geom_stats
 
-    recs = {"case_id": [], "cx": [], "cy": []}
-    for cid, g in polygon_corpus():
-        c = centroid(g)
-        recs["case_id"].append(cid)
-        recs["cx"].append(round(c[0], 6))
-        recs["cy"].append(round(c[1], 6))
-    return pa.table(recs)
+    ds = _corpus_ds(polygon_corpus())
+    out = ds.map_batches(geom_stats(), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "case_id": t["case_id"],
+            "cx": pa.compute.round(t["centroid_x"], ndigits=6),
+            "cy": pa.compute.round(t["centroid_y"], ndigits=6),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def geom_pip_convex(sf_dir: str):
-    from simplefeatures_ray.geometry.predicates import points_in_polygon
+    """Probe-grid PIP against every convex corpus polygon: probes stream
+    as a Dataset; the (tiny) polygon list is broadcast once via ray.put
+    and each batch runs the vectorized crossing-number kernel per
+    polygon."""
+    import ray
+    import ray.data as rd
+
     from simplefeatures_ray.pipelines.corpus import point_probe_grid, polygon_corpus
 
     probes = point_probe_grid()
-    px = np.array([p[1] for p in probes])
-    py = np.array([p[2] for p in probes])
-    pid = np.array([p[0] for p in probes], dtype=np.int64)
-    out_p, out_c = [], []
-    for cid, g in polygon_corpus():
-        if len(g.rings) != 1:
-            continue  # convex-only oracle
-        loc = points_in_polygon(px, py, g.rings)
-        hit = loc >= 0
-        out_p.append(pid[hit])
-        out_c.append(np.full(int(hit.sum()), cid, dtype=np.int64))
-    return pa.table(
-        {"probe_id": pa.array(np.concatenate(out_p)), "case_id": pa.array(np.concatenate(out_c))}
-    )
+    pts = rd.from_arrow(pa.table({
+        "probe_id": pa.array([p[0] for p in probes], pa.int64()),
+        "x": pa.array([p[1] for p in probes], pa.float64()),
+        "y": pa.array([p[2] for p in probes], pa.float64()),
+    })).repartition(4)
+
+    polys = [(cid, g) for cid, g in polygon_corpus() if len(g.rings) == 1]
+    polys_ref = ray.put(polys)
+
+    class PIPKernel:
+        def __init__(self):
+            self.polys = ray.get(polys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from simplefeatures_ray.geometry.predicates import points_in_polygon
+
+            px = np.asarray(t["x"])
+            py = np.asarray(t["y"])
+            pid = np.asarray(t["probe_id"])
+            out_p, out_c = [], []
+            for cid, g in self.polys:
+                hit = points_in_polygon(px, py, g.rings) >= 0
+                out_p.append(pid[hit])
+                out_c.append(np.full(int(hit.sum()), cid, dtype=np.int64))
+            return pa.table({
+                "probe_id": pa.array(np.concatenate(out_p) if out_p else np.array([], np.int64)),
+                "case_id": pa.array(np.concatenate(out_c) if out_c else np.array([], np.int64)),
+            })
+
+    return pts.map_batches(PIPKernel, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def _box_pairs_ds():
+    """All JOIN_BOXES pairs (box_a < box_b) as a small Dataset."""
+    import ray.data as rd
+
+    from simplefeatures_ray.pipelines.corpus import JOIN_BOXES
+
+    recs = {k: [] for k in ("box_a", "box_b", "ax0", "ay0", "ax1", "ay1",
+                            "bx0", "by0", "bx1", "by1")}
+    for ia, (aid, ax0, ay0, ax1, ay1) in enumerate(JOIN_BOXES):
+        for bid, bx0, by0, bx1, by1 in JOIN_BOXES[ia + 1:]:
+            for k, v in zip(recs, (aid, bid, ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)):
+                recs[k].append(v)
+    t = pa.table({k: pa.array(v) for k, v in recs.items()})
+    return rd.from_arrow(t).repartition(3)
+
+
+def _pair_box_geoms(t: pa.Table):
+    from simplefeatures_ray.geometry.core import POLYGON, Geometry
+
+    def box_geom(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return Geometry(POLYGON, 0, rings=[ring])
+
+    a = [box_geom(*xyxy) for xyxy in zip(*(np.asarray(t[c]) for c in ("ax0", "ay0", "ax1", "ay1")))]
+    b = [box_geom(*xyxy) for xyxy in zip(*(np.asarray(t[c]) for c in ("bx0", "by0", "bx1", "by1")))]
+    return a, b
 
 
 def geom_overlay_boxes(sf_dir: str):
-    """Overlay set ops on all JOIN_BOXES pairs; areas checked against an
+    """Overlay set ops on all JOIN_BOXES pairs, run as a map_batches
+    stage over a pair Dataset; areas checked against an
     interval-arithmetic oracle (exact for axis-aligned rectangles)."""
-    from simplefeatures_ray.geometry.algorithms import area
-    from simplefeatures_ray.geometry.core import POLYGON, Geometry
-    from simplefeatures_ray.geometry.overlay import overlay
-    from simplefeatures_ray.pipelines.corpus import JOIN_BOXES
 
-    def box_geom(x0, y0, x1, y1):
-        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-        return Geometry(POLYGON, 0, rings=[ring])
+    def kernel(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.geometry.algorithms import area
+        from simplefeatures_ray.geometry.overlay import overlay
 
-    recs = {"box_a": [], "box_b": [], "inter_area": [], "union_area": [],
-            "diff_area": [], "symdiff_area": []}
-    for ia, (aid, ax0, ay0, ax1, ay1) in enumerate(JOIN_BOXES):
-        for bid, bx0, by0, bx1, by1 in JOIN_BOXES[ia + 1:]:
-            ga = box_geom(ax0, ay0, ax1, ay1)
-            gb = box_geom(bx0, by0, bx1, by1)
-            recs["box_a"].append(aid)
-            recs["box_b"].append(bid)
-            recs["inter_area"].append(round(area(overlay(ga, gb, "intersection")), 6))
-            recs["union_area"].append(round(area(overlay(ga, gb, "union")), 6))
-            recs["diff_area"].append(round(area(overlay(ga, gb, "difference")), 6))
-            recs["symdiff_area"].append(round(area(overlay(ga, gb, "symmetric_difference")), 6))
-    return pa.table(recs)
+        ga, gb = _pair_box_geoms(t)
+        ops = ("intersection", "union", "difference", "symmetric_difference")
+        cols = {name: np.zeros(len(ga)) for name in ops}
+        for i, (a, b) in enumerate(zip(ga, gb)):
+            for name in ops:
+                cols[name][i] = round(area(overlay(a, b, name)), 6)
+        return pa.table({
+            "box_a": t["box_a"], "box_b": t["box_b"],
+            "inter_area": pa.array(cols["intersection"]),
+            "union_area": pa.array(cols["union"]),
+            "diff_area": pa.array(cols["difference"]),
+            "symdiff_area": pa.array(cols["symmetric_difference"]),
+        })
+
+    return _box_pairs_ds().map_batches(kernel, batch_format="pyarrow")
 
 
 def geom_relate_boxes(sf_dir: str):
-    """DE-9IM matrices for all JOIN_BOXES pairs (rows-only; gated in
-    pytest against pinned matrices — DE-9IM is not SQL-expressible)."""
-    from simplefeatures_ray.geometry.core import POLYGON, Geometry
-    from simplefeatures_ray.geometry.relate import relate
-    from simplefeatures_ray.pipelines.corpus import JOIN_BOXES
+    """DE-9IM matrices for all JOIN_BOXES pairs, run as a map_batches
+    stage; gated by a rectangle case-analysis SQL oracle (DE-9IM for
+    axis-aligned rectangles is expressible via interval relations)."""
 
-    def box_geom(x0, y0, x1, y1):
-        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-        return Geometry(POLYGON, 0, rings=[ring])
+    def kernel(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.geometry.relate import relate
 
-    recs = {"box_a": [], "box_b": [], "de9im": []}
-    for ia, (aid, *ca) in enumerate(JOIN_BOXES):
-        for bid, *cb in JOIN_BOXES[ia + 1:]:
-            recs["box_a"].append(aid)
-            recs["box_b"].append(bid)
-            recs["de9im"].append(relate(box_geom(*ca), box_geom(*cb)))
-    return pa.table(recs)
+        ga, gb = _pair_box_geoms(t)
+        mats = [relate(a, b) for a, b in zip(ga, gb)]
+        return pa.table({
+            "box_a": t["box_a"], "box_b": t["box_b"],
+            "de9im": pa.array(mats, pa.string()),
+        })
+
+    return _box_pairs_ds().map_batches(kernel, batch_format="pyarrow")
 
 
 def proj_web_mercator(sf_dir: str):
@@ -758,18 +814,27 @@ def proj_web_mercator(sf_dir: str):
 
 
 def geom_buffer_stats(sf_dir: str):
-    """Buffer areas over the polygon corpus (rows-only; discretized-arc
-    areas are gated in pytest against closed forms)."""
-    from simplefeatures_ray.geometry.algorithms import area
-    from simplefeatures_ray.geometry.buffer import buffer
+    """Buffer areas over the polygon corpus, run as a map_batches stage
+    over the WKB corpus Dataset (rows-only; discretized-arc areas are
+    gated in pytest against closed forms)."""
+
     from simplefeatures_ray.pipelines.corpus import polygon_corpus
 
-    recs = {"case_id": [], "buf_area_pos": [], "buf_area_neg": []}
-    for cid, g in polygon_corpus():
-        recs["case_id"].append(cid)
-        recs["buf_area_pos"].append(round(area(buffer(g, 0.5, quad_segments=8)), 6))
-        recs["buf_area_neg"].append(round(area(buffer(g, -0.2)), 6))
-    return pa.table(recs)
+    def kernel(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.geometry.algorithms import area
+        from simplefeatures_ray.geometry.buffer import buffer
+        from simplefeatures_ray.geometry.wkb import from_wkb
+
+        gs = [from_wkb(w) for w in t["wkb"].to_pylist()]
+        pos = np.array([round(area(buffer(g, 0.5, quad_segments=8)), 6) for g in gs])
+        neg = np.array([round(area(buffer(g, -0.2)), 6) for g in gs])
+        return pa.table({
+            "case_id": t["case_id"],
+            "buf_area_pos": pa.array(pos),
+            "buf_area_neg": pa.array(neg),
+        })
+
+    return _corpus_ds(polygon_corpus()).map_batches(kernel, batch_format="pyarrow")
 
 
 def raster_tiles(sf_dir: str):
@@ -1232,6 +1297,59 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(area_a - ia, 6) AS diff_area,
                    ROUND(area_a + area_b - 2 * ia, 6) AS symdiff_area
             FROM pairs
+        """,
+        # DE-9IM for axis-aligned rectangles is fully determined by the
+        # interval relations of the two coordinate ranges — a pure CASE
+        # analysis, independent of the engine's general relate() machinery.
+        "geom_relate_boxes": f"""
+            WITH pairs AS (
+              SELECT a.box_id AS box_a, b.box_id AS box_b,
+                     a.minx ax0, a.miny ay0, a.maxx ax1, a.maxy ay1,
+                     b.minx bx0, b.miny by0, b.maxx bx1, b.maxy by1
+              FROM {join_boxes_sql('a')} CROSS JOIN {join_boxes_sql('b')}
+              WHERE a.box_id < b.box_id),
+            q AS (
+              SELECT *,
+                GREATEST(ax0,bx0) AS ix0, LEAST(ax1,bx1) AS ix1,
+                GREATEST(ay0,by0) AS iy0, LEAST(ay1,by1) AS iy1,
+                (ax0>=bx0 AND ax1<=bx1 AND ay0>=by0 AND ay1<=by1) AS a_in_b,
+                (bx0>=ax0 AND bx1<=ax1 AND by0>=ay0 AND by1<=ay1) AS b_in_a,
+                (ax0>bx0 AND ax1<bx1 AND ay0>by0 AND ay1<by1) AS a_in_b_strict,
+                (bx0>ax0 AND bx1<ax1 AND by0>ay0 AND by1<ay1) AS b_in_a_strict
+              FROM pairs),
+            e AS (
+              SELECT *,
+                (ix0<=ix1 AND iy0<=iy1) AS closed_meet,
+                (ix0<ix1 AND iy0<iy1) AS open_meet,
+                ( (bx0>ax0 AND bx0<ax1 AND GREATEST(ay0,by0)<LEAST(ay1,by1))
+               OR (bx1>ax0 AND bx1<ax1 AND GREATEST(ay0,by0)<LEAST(ay1,by1))
+               OR (by0>ay0 AND by0<ay1 AND GREATEST(ax0,bx0)<LEAST(ax1,bx1))
+               OR (by1>ay0 AND by1<ay1 AND GREATEST(ax0,bx0)<LEAST(ax1,bx1))
+                ) AS b_edge_in_a,
+                ( (ax0>bx0 AND ax0<bx1 AND GREATEST(ay0,by0)<LEAST(ay1,by1))
+               OR (ax1>bx0 AND ax1<bx1 AND GREATEST(ay0,by0)<LEAST(ay1,by1))
+               OR (ay0>by0 AND ay0<by1 AND GREATEST(ax0,bx0)<LEAST(ax1,bx1))
+               OR (ay1>by0 AND ay1<by1 AND GREATEST(ax0,bx0)<LEAST(ax1,bx1))
+                ) AS a_edge_in_b,
+                ( ((ax0=bx0 OR ax0=bx1 OR ax1=bx0 OR ax1=bx1)
+                   AND GREATEST(ay0,by0)<LEAST(ay1,by1))
+               OR ((ay0=by0 OR ay0=by1 OR ay1=by0 OR ay1=by1)
+                   AND GREATEST(ax0,bx0)<LEAST(ax1,bx1))
+                ) AS bb_dim1
+              FROM q)
+            SELECT box_a, box_b,
+              concat(
+                CASE WHEN open_meet THEN '2' ELSE 'F' END,
+                CASE WHEN b_edge_in_a THEN '1' ELSE 'F' END,
+                CASE WHEN a_in_b THEN 'F' ELSE '2' END,
+                CASE WHEN a_edge_in_b THEN '1' ELSE 'F' END,
+                CASE WHEN NOT closed_meet OR a_in_b_strict OR b_in_a_strict THEN 'F'
+                     WHEN bb_dim1 THEN '1' ELSE '0' END,
+                CASE WHEN a_in_b THEN 'F' ELSE '1' END,
+                CASE WHEN b_in_a THEN 'F' ELSE '2' END,
+                CASE WHEN b_in_a THEN 'F' ELSE '1' END,
+                '2') AS de9im
+            FROM e
         """,
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),
