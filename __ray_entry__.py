@@ -25,9 +25,16 @@ import pyarrow as pa
 
 
 def _read(sf_dir: str, name: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    # strip the pandas metadata blob from the schema: Ray's block schema
+    # dedup can't hash dict-valued metadata and warns on every read
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _round_cols(ds, spec: dict):

@@ -82,12 +82,30 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     one groupby shuffle per side; B bounds per-task memory."""
     import pyarrow.compute as pc
 
+    def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
+        if pa.types.is_integer(col.type):
+            h = pc.cast(col, pa.int64())
+            b = (pc.bit_wise_and(h, n_buckets - 1)
+                 if (n_buckets & (n_buckets - 1)) == 0 else pc.mod(h, n_buckets))
+            return pc.cast(b, pa.int32())
+        # string/binary keys (URLs, doc hashes): stable content hash, seed-
+        # independent across processes. Hash unique values only (dictionary
+        # encode bounds the Python loop to the batch's distinct keys).
+        from .dedup import _hash64
+
+        d = pc.dictionary_encode(col).combine_chunks()
+        chunks = d.chunks if isinstance(d, pa.ChunkedArray) else [d]
+        out = []
+        for ch in chunks:
+            uniq = np.fromiter(
+                (_hash64(str(v)) % n_buckets for v in ch.dictionary.to_pylist()),
+                dtype=np.int32, count=len(ch.dictionary))
+            out.append(uniq[np.asarray(ch.indices)])
+        return pa.array(np.concatenate(out) if out else np.array([], np.int32),
+                        pa.int32())
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pc.cast(t[key], pa.int64())
-        b = pc.bit_wise_and(h, n_buckets - 1) if (n_buckets & (n_buckets - 1)) == 0 else None
-        if b is None:
-            b = pc.mod(h, n_buckets)
-        return t.append_column("__bucket", pc.cast(b, pa.int32()))
+        return t.append_column("__bucket", _bucket_of(t[key]))
 
     lt = left_ds.map_batches(add_bucket, batch_format="pyarrow")
     rt = right_ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -113,6 +131,9 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         how = {"inner": "inner", "left outer": "left"}.get(join_type, "inner")
         return lhs.merge(rhs, on=key, how=how)
 
+    from .windows import align_union_schema
+
+    lt, rt = align_union_schema(lt, rt)
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 

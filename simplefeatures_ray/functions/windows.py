@@ -24,6 +24,30 @@ def _epoch_us(col: pa.ChunkedArray) -> np.ndarray:
     return np.asarray(pc.cast(col, pa.int64()))
 
 
+def align_union_schema(ds_a, ds_b):
+    """Pad both Datasets with typed null columns so their schemas match
+    (same names, same order) before a union — mismatched block schemas
+    trigger per-bundle warnings and pandas dtype upcasts downstream."""
+    sa, sb = ds_a.schema(), ds_b.schema()
+    names = list(sa.names) + [n for n in sb.names if n not in sa.names]
+    types = {}
+    for s in (sa, sb):
+        for n, t in zip(s.names, s.types):
+            types.setdefault(n, t)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in t.column_names:
+                cols.append(pc.cast(t[n], types[n]))
+            else:
+                cols.append(pa.nulls(len(t), types[n]))
+        return pa.table(dict(zip(names, cols)))
+
+    return ds_a.map_batches(pad, batch_format="pyarrow"), \
+        ds_b.map_batches(pad, batch_format="pyarrow")
+
+
 def tumbling_window_agg(ds, ts_col: str, width_s: float, keys, spec,
                         combine: str = "driver"):
     """Aggregate per (window, *keys). spec as in functions.agg.grouped_agg.
@@ -136,5 +160,6 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
             direction=direction, suffixes=("", "_right"),
         )
 
+    lt, rt = align_union_schema(lt, rt)
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

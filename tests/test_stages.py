@@ -282,3 +282,21 @@ def test_bucketed_join_matches_broadcast(ray_session):
     # the union inside bucketed_join promotes int columns to float (nullable)
     s2 = s2.astype({"k": "int64", "lv": "int64"})
     assert s1.astype({"k": "int64", "lv": "int64"}).equals(s2)
+
+
+def test_bucketed_join_string_keys(ray_session):
+    """URL-style string join keys through the large-x-large bucketed join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import bucketed_join
+
+    urls = [f"https://example.com/page/{i}" for i in range(200)]
+    left = rd.from_arrow(pa.table({"url": urls * 2, "clicks": list(range(400))}))
+    right = rd.from_arrow(pa.table({"url": urls[::2], "rank": list(range(100))}))
+    out = bucketed_join(left, right, "url", n_buckets=16).to_pandas()
+    # every even-index url matches twice (left has each url twice)
+    assert len(out) == 200
+    assert set(out.columns) >= {"url", "clicks", "rank"}
+    m = out[out["url"] == "https://example.com/page/0"]
+    assert sorted(m["clicks"].tolist()) == [0, 200]
