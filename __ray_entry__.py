@@ -832,13 +832,22 @@ def geom_buffer_stats(sf_dir: str):
         from simplefeatures_ray.geometry.buffer import buffer
         from simplefeatures_ray.geometry.wkb import from_wkb
 
+        from simplefeatures_ray.geometry.core import LINESTRING, Geometry
+
         gs = [from_wkb(w) for w in t["wkb"].to_pylist()]
         pos = np.array([round(area(buffer(g, 0.5, quad_segments=8)), 6) for g in gs])
         neg = np.array([round(area(buffer(g, -0.2)), 6) for g in gs])
+        # single-sided buffer of the shell ring travelled as a line
+        ss = np.array([
+            round(area(buffer(Geometry(LINESTRING, 0, coords=g.rings[0]),
+                              0.3, single_sided=True)), 6)
+            for g in gs
+        ])
         return pa.table({
             "case_id": t["case_id"],
             "buf_area_pos": pa.array(pos),
             "buf_area_neg": pa.array(neg),
+            "buf_area_ss": pa.array(ss),
         })
 
     return _corpus_ds(polygon_corpus()).map_batches(kernel, batch_format="pyarrow")

@@ -131,9 +131,107 @@ def _buffer_linework(coords: np.ndarray, r: float, quad_segments: int,
     return parts
 
 
+def _side_join_patch(v, p_prev, p_next, r: float, left: bool, join_style: str,
+                     mitre_limit: float, quad_segments: int):
+    """Filler polygon on the CHOSEN side of a vertex for single-sided
+    buffers — only needed when the turn opens a gap on that side (right
+    turns for the left side, left turns for the right side)."""
+    d1 = v - p_prev
+    d2 = p_next - v
+    l1 = math.hypot(d1[0], d1[1])
+    l2 = math.hypot(d2[0], d2[1])
+    if l1 == 0 or l2 == 0:
+        return None
+    u1 = d1 / l1
+    u2 = d2 / l2
+    cross = u1[0] * u2[1] - u1[1] * u2[0]
+    if abs(cross) < 1e-12:
+        return None
+    if left and cross > 0:
+        return None  # left turn: offsets overlap on the left, no gap
+    if not left and cross < 0:
+        return None
+    sign = 1.0 if left else -1.0
+    n1 = np.array([-u1[1], u1[0]]) * sign
+    n2 = np.array([-u2[1], u2[0]]) * sign
+    a = v + n1 * r
+    b = v + n2 * r
+    if join_style == "round":
+        # circular sector from n1 to n2 sweeping across the gap
+        a1 = math.atan2(n1[1], n1[0])
+        a2 = math.atan2(n2[1], n2[0])
+        sweep = a2 - a1
+        # the gap side sweep is opposite the turn direction
+        if left and sweep > 0:
+            sweep -= 2 * math.pi
+        if not left and sweep < 0:
+            sweep += 2 * math.pi
+        steps = max(1, int(math.ceil(abs(sweep) / (math.pi / 2) * quad_segments)))
+        ang = a1 + sweep * np.arange(steps + 1) / steps
+        arc = np.stack([v[0] + r * np.cos(ang), v[1] + r * np.sin(ang)], axis=1)
+        ring = np.concatenate([[v], arc, [v]], axis=0)
+        return Geometry(POLYGON, 0, rings=[ring])
+    if join_style == "bevel":
+        return Geometry(POLYGON, 0, rings=[np.array([v, a, b, v])])
+    # mitre
+    denom = u1[0] * (-u2[1]) - u1[1] * (-u2[0])
+    if denom == 0:
+        return None
+    t = ((b[0] - a[0]) * (-u2[1]) - (b[1] - a[1]) * (-u2[0])) / denom
+    m = a + u1 * t
+    if math.hypot(m[0] - v[0], m[1] - v[1]) > mitre_limit * r:
+        ring = np.array([v, a, b, v])
+    else:
+        ring = np.array([v, a, m, b, v])
+    return Geometry(POLYGON, 0, rings=[ring])
+
+
+def _single_sided_linework(coords: np.ndarray, dist: float, quad_segments: int,
+                           join_style: str, mitre_limit: float,
+                           closed: bool) -> list[Geometry]:
+    """Parts for a single-sided line buffer: one-sided segment rectangles
+    (bounded by the line itself) + side-pinned join patches. Positive
+    dist = left-hand side, negative = right (reference
+    geom/alg_buffer.go:103-112); caps are forced flat."""
+    left = dist > 0
+    r = abs(dist)
+    sign = 1.0 if left else -1.0
+    xy = coords[:, :2]
+    n = len(xy)
+    parts: list[Geometry] = []
+    for i in range(n - 1):
+        a, b = xy[i], xy[i + 1]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        ln = math.hypot(dx, dy)
+        if ln == 0:
+            continue
+        nx, ny = -dy / ln * sign, dx / ln * sign
+        ring = np.array([
+            [a[0], a[1]], [b[0], b[1]],
+            [b[0] + nx * r, b[1] + ny * r],
+            [a[0] + nx * r, a[1] + ny * r],
+            [a[0], a[1]],
+        ])
+        parts.append(Geometry(POLYGON, 0, rings=[ring]))
+    if closed:
+        for i in range(n - 1):
+            p_prev = xy[i - 1] if i > 0 else xy[n - 2]
+            patch = _side_join_patch(xy[i], p_prev, xy[i + 1], r, left,
+                                     join_style, mitre_limit, quad_segments)
+            if patch is not None:
+                parts.append(patch)
+    else:
+        for i in range(1, n - 1):
+            patch = _side_join_patch(xy[i], xy[i - 1], xy[i + 1], r, left,
+                                     join_style, mitre_limit, quad_segments)
+            if patch is not None:
+                parts.append(patch)
+    return parts
+
+
 def buffer(g: Geometry, dist: float, quad_segments: int = 8,
            cap_style: str = "round", join_style: str = "round",
-           mitre_limit: float = 5.0) -> Geometry:
+           mitre_limit: float = 5.0, single_sided: bool = False) -> Geometry:
     """Buffered geometry (always areal or empty). join_style:
     round | mitre | bevel (reference BufferOption joins,
     alg_buffer.go:44-124); mitre_limit caps spike length at sharp
@@ -155,9 +253,12 @@ def buffer(g: Geometry, dist: float, quad_segments: int = 8,
             return Geometry(POLYGON, 0, rings=[])
         return _disc(float(g.coords[0]), float(g.coords[1]), dist, quad_segments)
     if t == LINESTRING:
+        closed = bool(np.array_equal(g.coords[0], g.coords[-1]))
+        if single_sided:
+            return union_many(_single_sided_linework(
+                g.coords, dist, quad_segments, join_style, mitre_limit, closed))
         if dist < 0:
             return Geometry(POLYGON, 0, rings=[])
-        closed = bool(np.array_equal(g.coords[0], g.coords[-1]))
         return union_many(_buffer_linework(g.coords, dist, quad_segments, cap_style,
                                            closed, join_style, mitre_limit))
     if t == POLYGON:
@@ -173,7 +274,8 @@ def buffer(g: Geometry, dist: float, quad_segments: int = 8,
         return difference(g, boundary_buf)
     # multis / collections: union of part buffers (negative dist only
     # meaningful for areal parts)
-    parts = [buffer(sub, dist, quad_segments, cap_style, join_style, mitre_limit)
+    parts = [buffer(sub, dist, quad_segments, cap_style, join_style, mitre_limit,
+                    single_sided=single_sided)
              for sub in g.flatten()]
     parts = [p for p in parts if not p.is_empty()]
     if not parts:

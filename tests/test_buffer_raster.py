@@ -105,3 +105,37 @@ def test_buffer_join_styles():
     assert area(limited) < area(unlimited)
     with pytest.raises(ValueError):
         buffer(sq, 1.0, join_style="chamfer")
+
+
+def test_buffer_single_sided():
+    """Reference alg_buffer_test.go 'single sided positive/negative':
+    positive dist buffers the LEFT of the line, negative the RIGHT, caps
+    forced flat."""
+    from simplefeatures_ray.geometry.ops import exact_equals
+
+    ls = from_wkt("LINESTRING(0 0,1 0)")
+    pos = buffer(ls, 1, single_sided=True)
+    assert exact_equals(pos, from_wkt("POLYGON((1 0,0 0,0 1,1 1,1 0))"),
+                        ignore_order=True)
+    neg = buffer(ls, -1, single_sided=True)
+    assert exact_equals(neg, from_wkt("POLYGON((0 0,1 0,1 -1,0 -1,0 0))"),
+                        ignore_order=True)
+
+
+def test_buffer_single_sided_turns():
+    # left turn on the left side: rectangles overlap, no join gap
+    ls = from_wkt("LINESTRING(0 0,2 0,2 2)")
+    left = buffer(ls, 1, single_sided=True)
+    assert abs(area(left) - 3.0) < 1e-9
+    # right side opens a quarter-circle gap at the corner (round join)
+    right = buffer(ls, -1, single_sided=True)
+    import math
+    sector = 0.5 * 8 * math.sin(math.pi / 2 / 8)  # inscribed quarter arc, qs=8
+    assert abs(area(right) - (4.0 + sector)) < 1e-9
+    # bevel join: triangle instead of the arc
+    right_bevel = buffer(ls, -1, single_sided=True, join_style="bevel")
+    assert abs(area(right_bevel) - 4.5) < 1e-9
+    # mitre join below the limit: full square corner
+    right_mitre = buffer(ls, -1, single_sided=True, join_style="mitre",
+                         mitre_limit=2.0)
+    assert abs(area(right_mitre) - 5.0) < 1e-9
