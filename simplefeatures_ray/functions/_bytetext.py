@@ -1,0 +1,194 @@
+"""Vectorized byte-level text machinery for the analysis kernels.
+
+Counting regex matches per row (tokens, words, punctuation, stopword
+hits) is the hot path of the extract stage. RE2 string kernels pay per
+MATCH (~25 us/page at ~200 matches) and numpy LUT gathers / cumsums are
+memory-bound on this box; this module therefore sticks to the cheap
+primitives measured fastest here: comparison-built class masks
+(SIMD-friendly), np.add.reduceat for per-row reduction, and nonzero()
+only where run positions are genuinely needed.
+
+Exactness contract: byte-class logic is exact for ASCII rows (ASCII
+char classes never match UTF-8 continuation/lead bytes, so masks are
+sound on mixed buffers, but Python's unicode-aware \\w / isspace need
+the real regex). Rows flagged non-ASCII (or containing an apostrophe,
+for the BPE-ish token rule's absorption subtlety) are recomputed with
+the per-row reference implementation — semantics stay bit-identical.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# python re \s == str.split() whitespace for ASCII: {9-13, 28-31, 32}
+
+
+def ws_mask(b: np.ndarray) -> np.ndarray:
+    return ((b >= 9) & (b <= 13)) | ((b >= 28) & (b <= 32))
+
+
+def letter_mask(b: np.ndarray) -> np.ndarray:
+    f = b | np.uint8(32)  # fold case
+    return (f >= 97) & (f <= 122)
+
+
+def digit_mask(b: np.ndarray) -> np.ndarray:
+    return (b >= 48) & (b <= 57)
+
+
+def word_mask(b: np.ndarray) -> np.ndarray:  # python \w, ASCII part
+    return letter_mask(b) | digit_mask(b) | (b == 95)
+
+
+def apo_mask(b: np.ndarray) -> np.ndarray:
+    return b == 39
+
+
+def lower_bytes(b: np.ndarray) -> np.ndarray:
+    up = (b >= 65) & (b <= 90)
+    return np.where(up, b + np.uint8(32), b)
+
+
+class BatchText:
+    """Zero-copy view of a string column as one byte buffer + offsets."""
+
+    def __init__(self, col):
+        arr = pc.cast(col, pa.large_binary()).combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        self.n = len(arr)
+        raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        self.offsets = raw_off[arr.offset:arr.offset + self.n + 1]
+        self.buf = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                    if arr.buffers()[2] is not None else np.zeros(0, np.uint8))
+        self._arr = arr
+        self._nonascii = None
+        self._empty = None  # rows with offsets[i] == offsets[i+1]
+
+    def row_text(self, i: int) -> str:
+        b = self._arr[i].as_py()
+        return b.decode("utf-8", errors="replace") if b is not None else ""
+
+    @property
+    def nonascii_rows(self) -> np.ndarray:
+        """Row indices containing any byte >= 0x80."""
+        if self._nonascii is None:
+            self._nonascii = np.nonzero(self.count(self.buf >= 0x80) > 0)[0]
+        return self._nonascii
+
+    def count(self, mask: np.ndarray) -> np.ndarray:
+        """Per-row count of True positions (int64)."""
+        if not len(self.buf):
+            return np.zeros(self.n, dtype=np.int64)
+        if self._empty is None:
+            self._empty = self.offsets[:-1] == self.offsets[1:]
+        idx = np.minimum(self.offsets[:-1], len(self.buf) - 1)
+        out = np.add.reduceat(mask, idx).astype(np.int64)
+        out[self._empty] = 0
+        return out
+
+    def _start_mask(self, mask: np.ndarray) -> np.ndarray:
+        starts = mask.copy()
+        starts[1:] &= ~mask[:-1]
+        inner = self.offsets[1:-1]
+        if len(inner):
+            starts[inner] = mask[inner]
+        return starts
+
+    def run_start_counts(self, mask: np.ndarray) -> np.ndarray:
+        """Per-row number of maximal True runs (row-boundary aware)."""
+        return self.count(self._start_mask(mask))
+
+    def runs(self, mask: np.ndarray):
+        """(starts, lengths, row_ids) of maximal True runs, split at row
+        boundaries. row_ids ascending."""
+        starts_m = self._start_mask(mask)
+        ends_m = mask.copy()
+        ends_m[:-1] &= ~mask[1:]
+        inner = self.offsets[1:-1]
+        if len(inner):
+            prev = inner - 1
+            ends_m[prev] = mask[prev]
+        starts = np.nonzero(starts_m)[0]
+        ends = np.nonzero(ends_m)[0]
+        lengths = ends - starts + 1
+        row_ids = np.searchsorted(self.offsets, starts, side="right") - 1
+        return starts, lengths, row_ids
+
+
+def pack_word(w: str) -> int:
+    """Lowercased word -> little-endian uint64 key (ASCII words <= 8B)."""
+    b = w.encode()
+    assert len(b) <= 8
+    return int.from_bytes(b.ljust(8, b"\0"), "little")
+
+
+def word_keys(bt: BatchText, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """uint64 key of the first min(len, 8) lowercased bytes of each run.
+    Keys of words longer than 8 bytes include byte 7, so they cannot
+    collide with any <= 8-byte stopword key."""
+    if not len(starts):
+        return np.zeros(0, dtype=np.uint64)
+    padded = np.concatenate([bt.buf, np.zeros(8, np.uint8)])
+    key = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(8):
+        sel = lengths > j
+        bj = lower_bytes(padded[starts + j]).astype(np.uint64)
+        key |= np.where(sel, bj, np.uint64(0)) << np.uint64(8 * j)
+    return key
+
+
+def stop_hits(bt: BatchText, mask: np.ndarray, stop_sets,
+              max_words: int | None = None):
+    """Per-row stopword-hit counts for one or more stopword sets sharing
+    one word-run pass over the class `mask`. stop_sets: iterables of
+    lowercase words (non-ASCII words dropped — unreachable in ASCII
+    rows). Returns (scores [S, n], n_words_per_row)."""
+    starts, lengths, row_ids = bt.runs(mask)
+    keys = word_keys(bt, starts, lengths)
+    n_words = np.bincount(row_ids, minlength=bt.n).astype(np.int64)
+    row_sel = row_ids
+    if max_words is not None and len(starts) and n_words.max() > max_words:
+        # rank of each run within its row (row_ids ascending)
+        rank = np.arange(len(starts)) - np.searchsorted(row_ids, row_ids)
+        sel = rank < max_words
+        keys = keys[sel]
+        row_sel = row_ids[sel]
+    out = np.zeros((len(stop_sets), bt.n), dtype=np.int64)
+    for si, words in enumerate(stop_sets):
+        ks = np.array([pack_word(w) for w in words if w.isascii()],
+                      dtype=np.uint64)
+        hit = np.isin(keys, ks)
+        out[si] = np.bincount(row_sel[hit], minlength=bt.n)
+    return out, n_words
+
+
+def normalize_ws_lower(bt: BatchText):
+    """Vectorized twin of ' '.join(text.lower().split()): lowercase,
+    collapse whitespace runs to single spaces, strip ends. Returns
+    (compact uint8 buffer, new int64 offsets). Exact for ASCII rows."""
+    buf, offsets = bt.buf, bt.offsets
+    if not len(buf):
+        return buf, np.zeros(bt.n + 1, dtype=np.int64)
+    w = ws_mask(buf)
+    nonws = ~w
+    idx_nonws = np.nonzero(nonws)[0]
+    # per row: first and last non-ws positions (sentinel when none)
+    fi = np.searchsorted(idx_nonws, offsets[:-1], side="left")
+    li = np.searchsorted(idx_nonws, offsets[1:], side="left") - 1
+    has = li >= fi
+    first_nw = np.where(has, idx_nonws[np.minimum(fi, len(idx_nonws) - 1)], -1)
+    last_nw = np.where(has, idx_nonws[np.maximum(li, 0)], -1)
+    # ws run starts, kept only strictly inside (first_nw, last_nw)
+    ws_starts = np.nonzero(bt._start_mask(w))[0]
+    srow = np.searchsorted(offsets, ws_starts, side="right") - 1
+    kept_ws = ws_starts[(ws_starts > first_nw[srow]) & (ws_starts < last_nw[srow])]
+    keep = nonws.copy()
+    keep[kept_ws] = True
+    out = lower_bytes(buf)
+    out[w] = 32
+    out = out[keep]
+    rowcounts = bt.count(keep)
+    new_offsets = np.concatenate(([0], np.cumsum(rowcounts, dtype=np.int64)))
+    return out, new_offsets

