@@ -29,6 +29,8 @@ def geotag_join_tiles(
     concurrency: int | tuple | None = None,
     batch_size: int = 2048,
     final_sort: bool = True,
+    branch_cache: str = "spill",
+    spill_dir: str | None = None,
 ):
     """pages Dataset + polygon table -> Dataset of
     (url, lat, lon, cell, poly_id[, poly_name], tile_id).
@@ -64,11 +66,23 @@ def geotag_join_tiles(
     )
 
     # The DAG branches here (histogram + final output both read `joined`);
-    # without a checkpoint Ray would re-execute extract+join per branch.
-    # `joined` is post-filter/post-projection — a small fraction of input
-    # bytes (html already dropped) — so pinning it is bounded; at cluster
-    # scale the object store spills it rather than recomputing the scan.
-    joined = joined.materialize()
+    # without a branch cache Ray would re-execute extract+join per branch.
+    # Default branch_cache="spill": write the (post-filter, post-
+    # projection) join output once to parquet and serve both branches
+    # from disk — bounded by output bytes, resumable, and never pins
+    # O(output) in the object store. branch_cache="materialize" keeps
+    # the in-object-store variant for small interactive runs.
+    if branch_cache == "materialize":
+        joined = joined.materialize()
+    else:
+        import tempfile
+
+        import ray.data as rd
+
+        spill_dir = spill_dir or tempfile.mkdtemp(prefix="sfray-branch-",
+                                                  dir="/tmp")
+        joined.write_parquet(spill_dir)
+        joined = rd.read_parquet(spill_dir)
 
     # two-stage histogram over joined pages; tiny result -> driver
     hist = cell_histogram(joined.select_columns(["cell"]))
