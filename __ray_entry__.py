@@ -888,19 +888,21 @@ def raster_tiles(sf_dir: str):
 
 
 def media_features(sf_dir: str):
-    """Multimodal stub pipeline: fake-decode -> features -> frame sample
-    (rows-only; deterministic)."""
+    """Multimodal pipeline with REAL image decode: the payloads are PNG
+    bytes produced by the engine's own pure-python codec, decoded back
+    (all scanline filters supported) and resized in the actor-pool
+    decode stage — no fake path (rows-only; deterministic)."""
     import ray.data as rd
 
     from simplefeatures_ray.stages.multimodal import (
         DecodeImage,
         ImageFeatures,
         SampleFrames,
-        fake_media_table,
+        real_media_table,
     )
 
-    ds = rd.from_arrow(fake_media_table(256))
-    ds = ds.map_batches(DecodeImage, fn_constructor_kwargs={"fake": True},
+    ds = rd.from_arrow(real_media_table(256))
+    ds = ds.map_batches(DecodeImage,
                         batch_format="pyarrow", concurrency=2, batch_size=64)
     ds = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2)
     ds = ds.map_batches(SampleFrames, batch_format="pyarrow", concurrency=2)

@@ -24,8 +24,12 @@ def _payload_seed(data: bytes) -> int:
 class DecodeImage:
     """binary payload -> (pixels fixed_size_list<uint8>, height, width).
 
-    Real deployments plug a codec (PIL/turbojpeg) into `_decode`; here
-    the deterministic fake synthesizes an image from the payload hash.
+    Real decode path: the engine's own pure-python PNG / PPM codec
+    (simplefeatures_ray.imagecodec — zlib is stdlib, no image libraries
+    needed), followed by a deterministic nearest-neighbour resize to
+    target_size. JPEG and other formats would plug into `_decode` the
+    same way; `fake=True` keeps the hash-seeded synthetic decoder for
+    payloads that are not real images (e.g. the synthetic media table).
     """
 
     def __init__(self, target_size=(32, 32), fake: bool = False,
@@ -35,13 +39,27 @@ class DecodeImage:
         self.bytes_col = bytes_col
 
     def _decode(self, data: bytes) -> np.ndarray:
-        if not self.fake:
+        from ..imagecodec import PNG_SIG, png_decode, ppm_decode, resize_nearest
+
+        data = data or b""
+        if data[:8] == PNG_SIG:
+            img = png_decode(data)
+        elif data[:2] == b"P6":
+            img = ppm_decode(data)
+        elif self.fake:
+            rng = np.random.default_rng(_payload_seed(data))
+            return rng.integers(0, 256, size=(self.h, self.w, 3), dtype=np.uint8)
+        else:
             raise NotImplementedError(
-                "image codecs not available in this environment; "
-                "construct DecodeImage(fake=True) for the deterministic stub"
+                "unrecognised image payload (PNG and PPM decode natively; "
+                "other codecs are not available in this environment — "
+                "construct DecodeImage(fake=True) for the deterministic stub)"
             )
-        rng = np.random.default_rng(_payload_seed(data))
-        return rng.integers(0, 256, size=(self.h, self.w, 3), dtype=np.uint8)
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3]
+        return resize_nearest(img, self.h, self.w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         imgs = [self._decode(b) for b in batch[self.bytes_col].to_pylist()]
@@ -106,6 +124,33 @@ class SampleFrames:
         return out.append_column(
             "frame_hashes", pa.array([h.tolist() for h in hashes], pa.list_(pa.int64()))
         )
+
+
+def real_media_table(n: int, size: int = 24) -> pa.Table:
+    """Deterministic media table whose image payloads are REAL PNG bytes
+    (engine's own codec): (media_id, image_bytes, video_bytes). Pixel
+    content is a seeded gradient+noise pattern per id."""
+    from ..imagecodec import png_encode
+
+    ids = np.arange(n, dtype=np.int64)
+    imgs = []
+    vids = []
+    for i in ids:
+        rng = np.random.default_rng(1000 + int(i))
+        yy, xx = np.mgrid[0:size, 0:size]
+        base = ((yy * 5 + xx * 3 + int(i) * 17) % 256).astype(np.uint8)
+        noise = rng.integers(0, 64, size=(size, size, 3), dtype=np.uint8)
+        img = (base[:, :, None].astype(np.int32) + noise).astype(np.uint8)
+        imgs.append(png_encode(img))
+        h2 = hashlib.sha256(f"vid{i}".encode()).digest()
+        vids.append((h2 * 8)[:256])
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "image_bytes": pa.array(imgs, pa.binary()),
+            "video_bytes": pa.array(vids, pa.binary()),
+        }
+    )
 
 
 def fake_media_table(n: int, payload_bytes: int = 256) -> pa.Table:
