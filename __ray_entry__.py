@@ -820,6 +820,42 @@ def proj_web_mercator(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def geom_coverage_union(sf_dir: str):
+    """Coverage fast-path union over 4 deterministic tile grids (one row
+    per grid): n_tiles, union area, connected-component count. The SQL
+    oracle recomputes components with a recursive-CTE flood fill — an
+    independent computation, not the engine's edge graph."""
+    import ray.data as rd
+
+    def kernel(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.geometry.algorithms import area
+        from simplefeatures_ray.geometry.core import (
+            GEOMETRYCOLLECTION, MULTIPOLYGON, POLYGON, Geometry,
+        )
+        from simplefeatures_ray.geometry.coverage import coverage_union
+
+        out = {"group_id": [], "n_tiles": [], "union_area": [], "n_polygons": []}
+        for g in np.asarray(t["group_id"]):
+            tiles = []
+            for i in range(6):
+                for j in range(6):
+                    if (i * 7 + j * 13 + int(g) * 3) % 5 == 0:
+                        continue
+                    ring = np.array([[i, j], [i + 1, j], [i + 1, j + 1],
+                                     [i, j + 1], [i, j]], dtype=np.float64)
+                    tiles.append(Geometry(POLYGON, 0, rings=[ring]))
+            u = coverage_union(Geometry(GEOMETRYCOLLECTION, 0, geoms=tiles))
+            npolys = len(u.geoms) if u.tag == MULTIPOLYGON else (0 if u.is_empty() else 1)
+            out["group_id"].append(int(g))
+            out["n_tiles"].append(len(tiles))
+            out["union_area"].append(int(round(area(u))))
+            out["n_polygons"].append(npolys)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    ds = rd.from_arrow(pa.table({"group_id": pa.array([0, 1, 2, 3], pa.int64())}))
+    return ds.repartition(2).map_batches(kernel, batch_format="pyarrow")
+
+
 def geom_buffer_stats(sf_dir: str):
     """Buffer areas over the polygon corpus, run as a map_batches stage
     over the WKB corpus Dataset (rows-only; discretized-arc areas are
@@ -990,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_overlay_boxes": geom_overlay_boxes,
         "geom_relate_boxes": geom_relate_boxes,
         "geom_buffer_stats": geom_buffer_stats,
+        "geom_coverage_union": geom_coverage_union,
         # projections / raster / multimodal
         "proj_web_mercator": proj_web_mercator,
         "raster_tiles": raster_tiles,
@@ -1368,6 +1405,35 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN b_in_a THEN 'F' ELSE '1' END,
                 '2') AS de9im
             FROM e
+        """,
+        # connected components of each tile grid via recursive-CTE label
+        # flood (4-adjacency); union area of a valid coverage = tile count
+        "geom_coverage_union": """
+            WITH RECURSIVE grids AS (
+              SELECT g.group_id, i.i, j.j, i.i * 6 + j.j AS cell
+              FROM range(4) g(group_id), range(6) i(i), range(6) j(j)
+              WHERE (i.i * 7 + j.j * 13 + g.group_id * 3) % 5 <> 0),
+            edges AS (
+              SELECT a.group_id, a.cell AS u, b.cell AS v
+              FROM grids a JOIN grids b
+                ON a.group_id = b.group_id
+               AND ((abs(a.i - b.i) = 1 AND a.j = b.j)
+                 OR (abs(a.j - b.j) = 1 AND a.i = b.i))),
+            walk(group_id, cell, label) AS (
+              SELECT group_id, cell, cell FROM grids
+              UNION
+              SELECT e.group_id, e.v, w.label
+              FROM walk w JOIN edges e
+                ON e.group_id = w.group_id AND e.u = w.cell),
+            comp AS (
+              SELECT group_id, cell, MIN(label) AS root
+              FROM walk GROUP BY group_id, cell)
+            SELECT g.group_id,
+                   COUNT(*) AS n_tiles,
+                   COUNT(*) AS union_area,
+                   (SELECT COUNT(DISTINCT root) FROM comp c
+                    WHERE c.group_id = g.group_id) AS n_polygons
+            FROM grids g GROUP BY g.group_id
         """,
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),

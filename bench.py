@@ -117,7 +117,7 @@ def single_run(num_cpus: int, include_queries: bool = True) -> dict:
     return result
 
 
-SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "500000"))
+SCALING_PAGES = int(os.environ.get("GRAFT_SCALING_PAGES", "2000000"))
 SCALING_PAGES_HI = int(os.environ.get("GRAFT_SCALING_PAGES_HI", "2000000"))
 
 

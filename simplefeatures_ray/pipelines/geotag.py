@@ -75,12 +75,15 @@ def geotag_join_tiles(
     if branch_cache == "materialize":
         joined = joined.materialize()
     else:
+        import atexit
+        import shutil
         import tempfile
 
         import ray.data as rd
 
-        spill_dir = spill_dir or tempfile.mkdtemp(prefix="sfray-branch-",
-                                                  dir="/tmp")
+        if spill_dir is None:
+            spill_dir = tempfile.mkdtemp(prefix="sfray-branch-", dir="/tmp")
+            atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
         joined.write_parquet(spill_dir)
         joined = rd.read_parquet(spill_dir)
 
