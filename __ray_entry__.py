@@ -820,6 +820,43 @@ def proj_web_mercator(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def proj_epsg_chain(sf_dir: str):
+    """Composed CRS chain through the EPSG registry: event lon/lat
+    (EPSG:4326) -> EPSG:3857 -> EPSG:4087, exercising transformer
+    composition through the 4326 hub (reference proj/proj.go:56-108
+    closed with a spherical EPSG subset). Compared in EARTH-RADIUS units
+    so rounding is scale-free on both sides."""
+    from simplefeatures_ray.carto import R_EARTH
+    from simplefeatures_ray.crs import TransformCRS
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    to_3857 = TransformCRS("EPSG:4326", "EPSG:3857", out_x="mx", out_y="my")
+    to_4087 = TransformCRS("EPSG:3857", "EPSG:4087", x_col="mx", y_col="my",
+                           out_x="ex", out_y="ey")
+    out = pts.map_batches(to_3857, batch_format="pyarrow")
+    out = out.map_batches(to_4087, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = R_EARTH
+        return pa.table({
+            "event_id": t["event_id"],
+            "wx": pa.array(np.round(np.asarray(t["mx"]) / r, 7)),
+            "wy": pa.array(np.round(np.asarray(t["my"]) / r, 7)),
+            "ex": pa.array(np.round(np.asarray(t["ex"]) / r, 7)),
+            "ey": pa.array(np.round(np.asarray(t["ey"]) / r, 7)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def geom_coverage_union(sf_dir: str):
     """Coverage fast-path union over 4 deterministic tile grids (one row
     per grid): n_tiles, union area, connected-component count. The SQL
@@ -1027,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_relate_boxes": geom_relate_boxes,
         "geom_buffer_stats": geom_buffer_stats,
         "geom_coverage_union": geom_coverage_union,
+        "proj_epsg_chain": proj_epsg_chain,
         # projections / raster / multimodal
         "proj_web_mercator": proj_web_mercator,
         "raster_tiles": raster_tiles,
@@ -1405,6 +1443,14 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN b_in_a THEN 'F' ELSE '1' END,
                 '2') AS de9im
             FROM e
+        """,
+        "proj_epsg_chain": f"""
+            SELECT event_id,
+                   ROUND(radians(x), 7) AS wx,
+                   ROUND(ln(tan(pi()/4 + radians(y)/2)), 7) AS wy,
+                   ROUND(radians(x), 7) AS ex,
+                   ROUND(radians(y), 7) AS ey
+            FROM {event_points_sql('pts')}
         """,
         # connected components of each tile grid via recursive-CTE label
         # flood (4-adjacency); union area of a valid coverage = tile count

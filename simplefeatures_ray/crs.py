@@ -1,0 +1,132 @@
+"""Small EPSG-code CRS registry + composed transforms.
+
+The reference wraps C-PROJ for arbitrary CRSs (proj/proj.go:56-108 —
+CGO, out of scope in this environment). This module closes the
+practical gap with a spherical-model EPSG subset composed entirely from
+the engine's own carto projections: every transform routes through
+EPSG:4326 (lon/lat degrees) as the hub, so any registered pair
+composes (src.reverse ∘ dst.forward).
+
+Registered codes:
+  EPSG:4326   WGS84 lon/lat degrees (axis order x=lon, y=lat)
+  EPSG:3857   Web-Mercator meters (spherical, the web-tile standard)
+  EPSG:4087   World Equidistant Cylindrical (plate carrée, meters)
+  EPSG:326zz  UTM zone zz north (zz = 01..60), spherical form
+  EPSG:327zz  UTM zone zz south
+
+Note: all projections use the engine's spherical earth model
+(R_EARTH); ellipsoidal datum shifts are out of scope, matching the
+reference's split between carto/ (spherical, pure Go) and proj/ (CGO).
+"""
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from .carto import R_EARTH, UTM, Equirectangular
+
+
+class _LonLat:
+    """EPSG:4326 — the identity hub."""
+
+    def forward(self, lon, lat):
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+    def reverse(self, x, y):
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+
+
+class _WebMercatorMeters:
+    """EPSG:3857: x = R*lam, y = R*ln(tan(pi/4 + phi/2))."""
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        return R_EARTH * lam, R_EARTH * np.log(np.tan(np.pi / 4 + phi / 2))
+
+    def reverse(self, x, y):
+        lam = np.asarray(x, dtype=np.float64) / R_EARTH
+        phi = 2 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / R_EARTH)) - np.pi / 2
+        return np.degrees(lam), np.degrees(phi)
+
+
+class _EquirectangularMeters:
+    """EPSG:4087: plate carrée at the equator, meters."""
+
+    def __init__(self):
+        self._p = Equirectangular(std_parallel=0.0)
+
+    def forward(self, lon, lat):
+        return self._p.forward(lon, lat)
+
+    def reverse(self, x, y):
+        return self._p.reverse(x, y)
+
+
+_UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
+
+
+def crs_for(code: str):
+    """Projection object for an EPSG code string (raises KeyError)."""
+    code = code.upper().replace(" ", "")
+    if code == "EPSG:4326":
+        return _LonLat()
+    if code == "EPSG:3857":
+        return _WebMercatorMeters()
+    if code == "EPSG:4087":
+        return _EquirectangularMeters()
+    m = _UTM_RE.match(code)
+    if m:
+        zone = int(m.group(2))
+        if not 1 <= zone <= 60:
+            raise KeyError(f"bad UTM zone in {code}")
+        return UTM(zone, south=m.group(1) == "7")
+    raise KeyError(f"unregistered CRS {code!r}")
+
+
+def transformer(src: str, dst: str):
+    """(x, y arrays) -> (x, y) callable from src CRS to dst CRS, composed
+    through the EPSG:4326 hub."""
+    s = crs_for(src)
+    d = crs_for(dst)
+
+    def fn(x, y):
+        lon, lat = s.reverse(x, y)
+        return d.forward(lon, lat)
+
+    return fn
+
+
+def utm_code_for(lon: float, lat: float) -> str:
+    """EPSG code of the natural UTM zone for a location."""
+    zone = UTM.zone_for(lon, lat)
+    return f"EPSG:32{6 if lat >= 0 else 7}{zone:02d}"
+
+
+class TransformCRS:
+    """map_batches kernel: transform (x_col, y_col) from src to dst CRS.
+    The transformer composes once per actor/worker (setup in __init__)."""
+
+    def __init__(self, src: str, dst: str, x_col: str = "x", y_col: str = "y",
+                 out_x: str | None = None, out_y: str | None = None):
+        self.fn = transformer(src, dst)
+        self.x_col = x_col
+        self.y_col = y_col
+        self.out_x = out_x or x_col
+        self.out_y = out_y or y_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        x = np.asarray(batch[self.x_col], dtype=np.float64)
+        y = np.asarray(batch[self.y_col], dtype=np.float64)
+        nx, ny = self.fn(x, y)
+        for name, arr in ((self.out_x, nx), (self.out_y, ny)):
+            col = pa.array(arr)
+            if name in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(name), name, col)
+            else:
+                batch = batch.append_column(name, col)
+        return batch

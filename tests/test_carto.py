@@ -101,3 +101,54 @@ def test_map_render_golden():
         pg = g.map_coords(lambda a: np.stack(proj.forward(a[:, 0], a[:, 1]), axis=1))
         img2 = np.maximum(img2, rasterize(pg, 128, 128, (0.2, 0.2, 0.8, 0.8)))
     assert hashlib.sha256(img2.tobytes()).hexdigest() == digest
+
+
+def test_crs_registry_and_chains():
+    """EPSG registry round-trips and hub composition (crs.py)."""
+    import numpy as np
+
+    from simplefeatures_ray.crs import crs_for, transformer, utm_code_for
+
+    lon = np.array([2.35, -74.0, 139.7, 31.2])
+    lat = np.array([48.85, 40.7, 35.7, 30.0])
+    for code in ("EPSG:4326", "EPSG:3857", "EPSG:4087", "EPSG:32631", "EPSG:32733"):
+        p = crs_for(code)
+        x, y = p.forward(lon, lat)
+        lon2, lat2 = p.reverse(x, y)
+        assert np.allclose(lon2, lon, atol=1e-9)
+        assert np.allclose(lat2, lat, atol=1e-9)
+    # chained 4326 -> 3857 -> 4087 == direct 4326 -> 4087
+    t1 = transformer("EPSG:4326", "EPSG:3857")
+    t2 = transformer("EPSG:3857", "EPSG:4087")
+    td = transformer("EPSG:4326", "EPSG:4087")
+    mx, my = t1(lon, lat)
+    ex, ey = t2(mx, my)
+    dx, dy = td(lon, lat)
+    assert np.allclose(ex, dx, atol=1e-6)
+    assert np.allclose(ey, dy, atol=1e-6)
+    # EPSG:3857 true-meter sanity: x at lon=180 is pi*R
+    x180, _ = crs_for("EPSG:3857").forward(np.array([180.0]), np.array([0.0]))
+    assert abs(x180[0] - 3.14159265 * 6371000.0) < 100
+    assert utm_code_for(2.35, 48.85) == "EPSG:32631"
+    assert utm_code_for(2.35, -48.85) == "EPSG:32731"
+    import pytest
+
+    with pytest.raises(KeyError):
+        crs_for("EPSG:9999")
+
+
+def test_transform_crs_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.crs import TransformCRS, transformer
+
+    lon = np.linspace(-170, 170, 50)
+    lat = np.linspace(-60, 60, 50)
+    ds = rd.from_arrow(pa.table({"x": pa.array(lon), "y": pa.array(lat)}))
+    out = ds.map_batches(TransformCRS("EPSG:4326", "EPSG:3857"),
+                         batch_format="pyarrow").to_pandas()
+    ex, ey = transformer("EPSG:4326", "EPSG:3857")(lon, lat)
+    assert np.allclose(np.sort(out["x"].to_numpy()), np.sort(ex))
+    assert np.allclose(np.sort(out["y"].to_numpy()), np.sort(ey))
