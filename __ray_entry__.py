@@ -42,12 +42,13 @@ def _round_cols(ds, spec: dict):
     Accepts a Dataset or a pyarrow Table."""
 
     def kernel(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        # np.round (scale, rint, unscale) matches DuckDB ROUND bit-for-bit;
+        # pyarrow's pc.round can differ by 1 ulp at half-way doubles
         for col, nd in spec.items():
             if col in t.column_names:
                 i = t.column_names.index(col)
-                t = t.set_column(i, col, pc.round(pc.cast(t[col], pa.float64()), ndigits=nd))
+                v = np.round(np.asarray(t[col], dtype=np.float64), nd)
+                t = t.set_column(i, col, pa.array(v, pa.float64()))
         return t
 
     if isinstance(ds, pa.Table):
@@ -388,11 +389,30 @@ def docs_simhash_pairs(sf_dir: str):
 
 
 def docs_fingerprint(sf_dir: str):
-    from simplefeatures_ray.functions.text import Fingerprint
+    """Document fingerprints over the SAME vectorized normalization the
+    Fingerprint stage uses (lower, collapse ws, strip), surfaced as a
+    sha256-hex prefix so DuckDB can recompute it — the oracle gate for
+    the fingerprint normalization path. (The 64-bit blake2b + k-gram
+    min-sketch variant stays the flagship's column, gated in pytest.)"""
+    from simplefeatures_ray.functions import _bytetext as bt
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 2))
-    return ds.select_columns(["doc_id", "fingerprint", "kgram_min"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        b = bt.BatchText(t["text"])
+        buf, offsets = bt.normalize_ws_lower(b)
+        mem = memoryview(buf)
+        fps = [hashlib.sha256(mem[offsets[i]:offsets[i + 1]]).hexdigest()[:16]
+               for i in range(b.n)]
+        for i in b.nonascii_rows:
+            data = " ".join(b.row_text(int(i)).lower().split()).encode()
+            fps[i] = hashlib.sha256(data).hexdigest()[:16]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp_sha": pa.array(fps, pa.string())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def docs_langid_pred(sf_dir: str):
@@ -1204,6 +1224,74 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_pred
             FROM s
+        """,
+        # exact pairwise 3-gram-shingle Jaccard (the LSH candidate pass
+        # has complete recall on this corpus: every true pair's J >= 0.88,
+        # per-band collision prob 0.625, 16 bands -> miss prob ~1e-7 and
+        # the seeded pipeline is deterministic)
+        "docs_minhash_verified": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\w'']+'),
+                                    x -> lower(x)) AS ws
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []
+                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS sh
+              FROM w),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+                          WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
+                          ELSE len(list_intersect(a.sh, b.sh))
+                               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                     END AS j
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        "docs_fingerprint": r"""
+            SELECT doc_id,
+                   substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                          1, 16) AS fp_sha
+            FROM documents
+        """,
+        # full quality stage twin: token counts via the same RE2-compatible
+        # BPE-ish pattern, ratios as exact int/int divisions, composite
+        # score with the same operand order as the numpy expression
+        "docs_quality": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     array_length(regexp_extract_all(text,
+                         '[A-Za-z]+(?:''[a-z]+)?|\d+|[^\sA-Za-z\d]')) AS n_tokens,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_ws_tokens,
+                     array_length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     array_length(regexp_extract_all(text, '[A-Za-z'']+')) AS n_words,
+                     len(list_filter(regexp_extract_all(text, '[A-Za-z'']+'),
+                         w -> lower(w) IN ('the','and','of','a','to','in','is','that','for','it')))
+                       AS n_stop
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tokens, n_ws_tokens,
+                     CASE WHEN n_chars = 0 THEN 0.0
+                          ELSE n_punct / CAST(greatest(1, n_chars) AS DOUBLE) END AS pr,
+                     CASE WHEN n_words = 0 THEN 0.0
+                          ELSE n_stop / CAST(n_words AS DOUBLE) END AS sr,
+                     n_chars
+              FROM f)
+            SELECT doc_id, n_tokens, n_ws_tokens,
+                   ROUND(pr, 6) AS punct_ratio,
+                   ROUND(sr, 6) AS stop_ratio,
+                   ROUND(least(1.0, greatest(0.0, n_chars / 500.0)) * 0.3
+                       + least(1.0, greatest(0.0, sr * 4)) * 0.4
+                       + least(1.0, greatest(0.0, 1.0 - pr * 5)) * 0.3, 6) AS quality
+            FROM r
         """,
         "docs_quality_metrics": r"""
             SELECT doc_id,

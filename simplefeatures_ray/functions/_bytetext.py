@@ -164,14 +164,15 @@ def stop_hits(bt: BatchText, mask: np.ndarray, stop_sets,
     return out, n_words
 
 
-def normalize_ws_lower(bt: BatchText):
+def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None):
     """Vectorized twin of ' '.join(text.lower().split()): lowercase,
     collapse whitespace runs to single spaces, strip ends. Returns
-    (compact uint8 buffer, new int64 offsets). Exact for ASCII rows."""
+    (compact uint8 buffer, new int64 offsets). Exact for ASCII rows.
+    Pass a precomputed ws mask to skip re-classifying the buffer."""
     buf, offsets = bt.buf, bt.offsets
     if not len(buf):
         return buf, np.zeros(bt.n + 1, dtype=np.int64)
-    w = ws_mask(buf)
+    w = ws_mask(buf) if ws is None else ws
     nonws = ~w
     idx_nonws = np.nonzero(nonws)[0]
     # per row: first and last non-ws positions (sentinel when none)

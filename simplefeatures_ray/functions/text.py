@@ -30,6 +30,40 @@ _LANG_PROFILES = {
 _TOKEN_RE = r"[A-Za-z]+(?:'[a-z]+)?|\d+|[^\sA-Za-z\d]"
 
 
+class SharedMasks:
+    """Per-batch cache of BatchText + byte-class masks so fused analysis
+    (AnalyzeText) classifies the buffer ONCE instead of once per kernel —
+    the DRAM traffic of repeated mask passes is what limits multi-worker
+    scaling on a shared memory bus."""
+
+    def __init__(self, b):
+        self.b = b
+        self._m = {}
+
+    def mask(self, name: str):
+        m = self._m.get(name)
+        if m is None:
+            buf = self.b.buf
+            if name == "letter":
+                m = bt.letter_mask(buf)
+            elif name == "digit":
+                m = bt.digit_mask(buf)
+            elif name == "ws":
+                m = bt.ws_mask(buf)
+            elif name == "word":
+                m = self.mask("letter") | self.mask("digit") | (buf == 95)
+            elif name == "apo":
+                m = bt.apo_mask(buf)
+            elif name == "letterapo":
+                m = self.mask("letter") | self.mask("apo")
+            elif name == "wordapo":
+                m = self.mask("word") | self.mask("apo")
+            else:
+                raise KeyError(name)
+            self._m[name] = m
+        return m
+
+
 class TokenCount:
     """Adds n_tokens (BPE-ish regex) and n_ws_tokens (whitespace split).
 
@@ -41,26 +75,30 @@ class TokenCount:
         self.re = re.compile(_TOKEN_RE)
         self.text_col = text_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        b = bt.BatchText(batch[self.text_col])
-        letter = bt.letter_mask(b.buf)
-        digit = bt.digit_mask(b.buf)
-        ws = bt.ws_mask(b.buf)
+    def columns(self, sh: "SharedMasks") -> dict:
+        b = sh.b
+        letter = sh.mask("letter")
+        digit = sh.mask("digit")
+        ws = sh.mask("ws")
         other = ~letter & ~digit & ~ws
         n_tok = (b.run_start_counts(letter) + b.run_start_counts(digit)
                  + b.count(other))
         n_ws = b.run_start_counts(~ws)
         # rows with apostrophes (absorption rule) or non-ASCII bytes take
         # the reference path
-        slow = np.nonzero(b.count(bt.apo_mask(b.buf)) > 0)[0]
+        slow = np.nonzero(b.count(sh.mask("apo")) > 0)[0]
         slow = np.union1d(slow, b.nonascii_rows)
         for i in slow:
             t = b.row_text(int(i))
             n_tok[i] = len(self.re.findall(t))
             n_ws[i] = len(t.split())
-        return batch.append_column("n_tokens", pa.array(n_tok)).append_column(
-            "n_ws_tokens", pa.array(n_ws)
-        )
+        return {"n_tokens": pa.array(n_tok), "n_ws_tokens": pa.array(n_ws)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = SharedMasks(bt.BatchText(batch[self.text_col]))
+        for name, arr in self.columns(sh).items():
+            batch = batch.append_column(name, arr)
+        return batch
 
 
 class LangId:
@@ -84,18 +122,22 @@ class LangId:
                 best, best_score = lang, score
         return best
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        b = bt.BatchText(batch[self.text_col])
-        word_mask = bt.word_mask(b.buf) | bt.apo_mask(b.buf)
-        scores, _ = bt.stop_hits(b, word_mask, list(self.profiles.values()),
-                                 max_words=200)
+    def columns(self, sh: "SharedMasks") -> dict:
+        b = sh.b
+        scores, _ = bt.stop_hits(b, sh.mask("wordapo"),
+                                 list(self.profiles.values()), max_words=200)
         langs = np.array(list(self.profiles))
         best = scores.argmax(axis=0)  # first-wins ties = profile order
         preds = np.where(scores.max(axis=0) > 0, langs[best], "und").astype(object)
         for i in b.nonascii_rows:
             preds[i] = self.classify(b.row_text(int(i)))
-        return batch.append_column(
-            self.out_col, pa.array(list(preds), pa.string()))
+        return {self.out_col: pa.array(list(preds), pa.string())}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = SharedMasks(bt.BatchText(batch[self.text_col]))
+        for name, arr in self.columns(sh).items():
+            batch = batch.append_column(name, arr)
+        return batch
 
 
 class QualityScore:
@@ -117,11 +159,11 @@ class QualityScore:
         mean_wlen = (sum(len(w) for w in words) / len(words)) if words else 0.0
         return len(t), punct_ratio, stop_ratio, mean_wlen
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        b = bt.BatchText(batch[self.text_col])
+    def columns(self, sh: "SharedMasks") -> dict:
+        b = sh.b
         n_chars = np.diff(b.offsets).astype(np.int64)  # == len(t) for ASCII
-        word_mask = bt.letter_mask(b.buf) | bt.apo_mask(b.buf)
-        punct_mask = ~bt.word_mask(b.buf) & ~bt.ws_mask(b.buf)  # [^\w\s]
+        word_mask = sh.mask("letterapo")
+        punct_mask = ~sh.mask("word") & ~sh.mask("ws")  # [^\w\s]
         n_punct = b.count(punct_mask)
         n_wchars = b.count(word_mask)
         hits, n_words = bt.stop_hits(b, word_mask, [self.stop])
@@ -139,16 +181,19 @@ class QualityScore:
             + np.clip(stop_ratio * 4, 0, 1) * 0.4
             + np.clip(1.0 - punct_ratio * 5, 0, 1) * 0.3
         )
-        out = batch
-        for name, arr in [
-            ("n_chars_q", n_chars),
-            ("punct_ratio", punct_ratio),
-            ("stop_ratio", stop_ratio),
-            ("mean_word_len", mean_wlen),
-            ("quality", score),
-        ]:
-            out = out.append_column(name, pa.array(arr))
-        return out
+        return {
+            "n_chars_q": pa.array(n_chars),
+            "punct_ratio": pa.array(punct_ratio),
+            "stop_ratio": pa.array(stop_ratio),
+            "mean_word_len": pa.array(mean_wlen),
+            "quality": pa.array(score),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = SharedMasks(bt.BatchText(batch[self.text_col]))
+        for name, arr in self.columns(sh).items():
+            batch = batch.append_column(name, arr)
+        return batch
 
 
 class Fingerprint:
@@ -183,11 +228,11 @@ class Fingerprint:
                 h = h * base + arr[j : n - k + 1 + j]
         return int(h.min())
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def columns(self, sh: "SharedMasks") -> dict:
         import hashlib
 
-        b = bt.BatchText(batch[self.text_col])
-        buf, offsets = bt.normalize_ws_lower(b)
+        b = sh.b
+        buf, offsets = bt.normalize_ws_lower(b, ws=sh.mask("ws"))
         n_rows = b.n
         k = self.k
         full = np.zeros(n_rows, dtype=np.uint64)
@@ -222,6 +267,30 @@ class Fingerprint:
             data = " ".join(b.row_text(int(i)).lower().split()).encode()
             full[i] = self.fnv1a(data)
             kmin[i] = self.rolling_min(data)
-        return batch.append_column("fingerprint", pa.array(full, pa.uint64())).append_column(
-            "kgram_min", pa.array(kmin, pa.uint64())
-        )
+        return {"fingerprint": pa.array(full, pa.uint64()),
+                "kgram_min": pa.array(kmin, pa.uint64())}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = SharedMasks(bt.BatchText(batch[self.text_col]))
+        for name, arr in self.columns(sh).items():
+            batch = batch.append_column(name, arr)
+        return batch
+
+
+class AnalyzeText:
+    """Fused analysis stage: TokenCount + QualityScore + LangId +
+    Fingerprint over ONE BatchText with shared byte-class masks — the
+    per-kernel mask passes collapse to a single classification of the
+    batch buffer (flagship extract's hot path)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.kernels = [TokenCount(text_col), QualityScore(text_col),
+                        LangId(text_col), Fingerprint(text_col)]
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = SharedMasks(bt.BatchText(batch[self.text_col]))
+        for k in self.kernels:
+            for name, arr in k.columns(sh).items():
+                batch = batch.append_column(name, arr)
+        return batch

@@ -39,12 +39,9 @@ class ExtractGeotags:
         self.icbm = re.compile(rb"ICBM:\s*([-0-9.]+),\s*([-0-9.]+)")
         self.analyze = analyze
         if analyze:
-            from ..functions.text import Fingerprint, LangId, QualityScore, TokenCount
+            from ..functions.text import AnalyzeText
 
-            self.tok = TokenCount()
-            self.quality = QualityScore()
-            self.langid = LangId()
-            self.fingerprint = Fingerprint()
+            self.analyzer = AnalyzeText()
 
     def extract_one(self, html: bytes):
         tags = [(float(a), float(b)) for a, b in self.geo_meta.findall(html)]
@@ -78,10 +75,7 @@ class ExtractGeotags:
             }
         )
         if self.analyze:
-            out = self.tok(out)
-            out = self.quality(out)
-            out = self.langid(out)
-            out = self.fingerprint(out)
+            out = self.analyzer(out)
         return out
 
 
