@@ -382,10 +382,14 @@ def docs_minhash_verified(sf_dir: str):
 
 
 def docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dups at hamming <= 6 with 8x8-bit banding — pigeonhole
+    makes recall COMPLETE (any pair within hamming 7 shares a clean
+    band), so the exact pairwise SQL (sha256-derived word hashes, bit
+    votes, xor+bit_count) is a valid oracle."""
     from simplefeatures_ray.functions.dedup import simhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=6)
+    return simhash_near_dup_pairs(ds, max_hamming=6, n_bands=8)
 
 
 def docs_fingerprint(sf_dir: str):
@@ -1224,6 +1228,36 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_pred
             FROM s
+        """,
+        # exact SimHash twin: per-word 64-bit sha256-prefix hashes, per-bit
+        # sign votes, pairwise xor + popcount — recomputed wholly in SQL
+        "docs_simhash_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                           x -> lower(x))) AS wd
+              FROM documents),
+            wh AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(wd), 1, 16))::UBIGINT AS h
+              FROM w),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM wh, range(64) b(bit)
+              GROUP BY doc_id, b.bit),
+            sims0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                              ELSE 0 END) AS UBIGINT) AS sim
+              FROM votes GROUP BY doc_id),
+            sims AS (
+              SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 6
         """,
         # exact pairwise 3-gram-shingle Jaccard (the LSH candidate pass
         # has complete recall on this corpus: every true pair's J >= 0.88,

@@ -270,17 +270,32 @@ def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _sha_word_hash(w: str) -> int:
+    """64-bit word hash = big-endian first 8 bytes of sha256 — chosen so
+    a SQL oracle can recompute it: ('0x'||substr(sha256(w),1,16))::UBIGINT."""
+    return int.from_bytes(hashlib.sha256(w.encode()).digest()[:8], "big")
+
+
 class SimHash:
-    """64-bit SimHash over word-unigram hashes, vectorized per doc."""
+    """64-bit SimHash over word-unigram hashes, vectorized per doc.
+    Word hash is sha256-derived (see _sha_word_hash) with a per-actor
+    cache of word -> hash."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self._cache: dict = {}
+
+    def _wh(self, w: str) -> int:
+        h = self._cache.get(w)
+        if h is None:
+            h = self._cache[w] = _sha_word_hash(w)
+        return h
 
     def simhash(self, text: str) -> int:
         words = [w.lower() for w in _WORD.findall(text or "")]
         if not words:
             return 0
-        hv = np.fromiter((_hash64(w) for w in words), dtype=np.uint64, count=len(words))
+        hv = np.fromiter((self._wh(w) for w in words), dtype=np.uint64, count=len(words))
         bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int32
         )
@@ -307,9 +322,14 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text",
-                           concurrency=(1, 4)):
-    """Near-dup pairs by SimHash banding (4 x 16-bit tables — pigeonhole:
-    any pair within hamming<=3 shares at least one exact 16-bit band)."""
+                           n_bands=4, concurrency=(1, 4)):
+    """Near-dup pairs by SimHash banding (n_bands tables of 64/n_bands
+    bits — pigeonhole: any pair within hamming <= n_bands-1 shares at
+    least one exact band, so recall is COMPLETE when
+    max_hamming < n_bands; larger max_hamming trades recall for fewer
+    bands)."""
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
     sh = ds.map_batches(
         SimHash, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency,
@@ -319,9 +339,9 @@ def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text
         sim = np.asarray(t["simhash"], dtype=np.uint64)
         ids = np.asarray(t[id_col])
         keys, out_ids, sims = [], [], []
-        for b in range(4):
-            band = (sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            keys.append(band | (np.uint64(b) << np.uint64(16)))
+        for b in range(n_bands):
+            band = (sim >> np.uint64(band_bits * b)) & band_mask
+            keys.append(band | (np.uint64(b) << np.uint64(band_bits)))
             out_ids.append(ids)
             sims.append(sim)
         return pa.table(
