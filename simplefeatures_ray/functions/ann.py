@@ -71,13 +71,20 @@ def brute_force_topk(ds, query_ids, query_matrix, k: int, *, id_col="vec_id",
     (query_id, id, cosine, rank), rank 0 = best; ties by lowest id."""
     import ray
 
+    from ..stages.worker_cache import get_cached
+
     qref = ray.put((np.asarray(query_ids), np.asarray(query_matrix, dtype=np.float32)))
-    partial = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def build(q):
+        return BruteForceTopK(q, k, id_col, vec_col)
+
+    build.__cache_token__ = f"bftopk-{k}-{id_col}-{vec_col}"
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        return get_cached(qref, build=build)(batch)
+
+    # task-based with per-worker cached state: no actor-pool spin-up
+    partial = ds.map_batches(partial_fn, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
@@ -137,10 +144,20 @@ def ivf_topk(ds, query_ids, query_matrix, k: int, *, n_clusters=16, nprobe=4,
     qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
     probes = (qm @ cents.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # (nq, nprobe)
 
-    assigned = ds.map_batches(
-        IVFAssign, fn_constructor_kwargs={"cents_ref": cents_ref, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+    def build_assign(c):
+        a = IVFAssign.__new__(IVFAssign)
+        a.cents = c
+        a.vec_col = vec_col
+        return a
+
+    build_assign.__cache_token__ = f"ivfassign-{vec_col}"
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        from ..stages.worker_cache import get_cached
+
+        return get_cached(cents_ref, build=build_assign)(batch)
+
+    assigned = ds.map_batches(assign_fn, batch_format="pyarrow")
     # keep only buckets any query probes (vectorized filter)
     wanted = np.unique(probes)
 
@@ -185,7 +202,12 @@ def ivf_topk(ds, query_ids, query_matrix, k: int, *, n_clusters=16, nprobe=4,
                 }
             )
 
-    partial = pruned.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=concurrency)
+    def probed_fn(batch: pa.Table) -> pa.Table:
+        from ..stages.worker_cache import get_cached
+
+        return get_cached(qsel_ref, build=lambda _: ProbedTopK())(batch)
+
+    partial = pruned.map_batches(probed_fn, batch_format="pyarrow")
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k)
@@ -249,13 +271,24 @@ def embedding_near_dup_pairs(ds, threshold: float, *, id_col="vec_id",
         len(ids), -1
     )
     full_ref = ray.put((ids, mat))
-    return ds.map_batches(
-        _AllPairsCosine,
-        fn_constructor_kwargs={"full_ref": full_ref, "threshold": threshold,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def build(pair):
+        c = _AllPairsCosine.__new__(_AllPairsCosine)
+        c.ids, m = pair
+        c.m = _normalize(np.asarray(m, dtype=np.float64))
+        c.threshold = threshold
+        c.id_col = id_col
+        c.vec_col = vec_col
+        return c
+
+    build.__cache_token__ = f"allpairs-{threshold}-{id_col}-{vec_col}"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..stages.worker_cache import get_cached
+
+        return get_cached(full_ref, build=build)(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 class _HyperplaneSig:
@@ -301,13 +334,16 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
     import pandas as pd
 
     dim = len(ds.take(1)[0][vec_col])
-    sigs = ds.map_batches(
-        _HyperplaneSig,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits,
-                               "n_tables": n_tables, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        from ..stages.worker_cache import get_cached
+
+        kern = get_cached(
+            f"hyperplane-{dim}-{n_bits}-{n_tables}-{vec_col}",
+            build=lambda _: _HyperplaneSig(dim, n_bits, n_tables, vec_col=vec_col))
+        return kern(batch)
+
+    sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                           "id_b": pd.Series([], dtype=np.int64),

@@ -203,12 +203,16 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, ngram=3, id_col="doc_id",
     """Dataset with (id, text) -> Dataset of candidate duplicate pairs
     (id_a < id_b), deduplicated. Pipeline: signature (actor pool) ->
     band explode -> groupby(band_key) -> pairs within group."""
-    sigs = ds.map_batches(
-        MinHashSignature,
-        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram, "text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    ).select_columns([id_col, "minhash"])
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        from ..stages.worker_cache import get_cached
+
+        kern = get_cached(
+            f"minhash-{num_perm}-{ngram}-{text_col}",
+            build=lambda _: MinHashSignature(num_perm, ngram, text_col))
+        return kern(batch)
+
+    sigs = ds.map_batches(sig_fn, batch_format="pyarrow") \
+             .select_columns([id_col, "minhash"])
     bandrows = sigs.map_batches(
         lambda t: lsh_band_rows(t, num_perm, bands, id_col), batch_format="pyarrow"
     )
@@ -330,10 +334,15 @@ def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text
     bands)."""
     band_bits = 64 // n_bands
     band_mask = np.uint64((1 << band_bits) - 1)
-    sh = ds.map_batches(
-        SimHash, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency,
-    ).select_columns([id_col, "simhash"])
+    def sim_fn(batch: pa.Table) -> pa.Table:
+        from ..stages.worker_cache import get_cached
+
+        kern = get_cached(f"simhash-{text_col}",
+                          build=lambda _: SimHash(text_col))
+        return kern(batch)
+
+    sh = ds.map_batches(sim_fn, batch_format="pyarrow") \
+           .select_columns([id_col, "simhash"])
 
     def explode(t: pa.Table) -> pa.Table:
         sim = np.asarray(t["simhash"], dtype=np.uint64)
