@@ -46,8 +46,15 @@ def geotag_join_tiles(
     # hot stages run as stateless TASKS with per-worker cached state
     # (stages/worker_cache.py): same setup amortization as an actor pool,
     # none of the per-execution actor spin-up (~4s/pool measured).
+    #
+    # The geo filter runs INSIDE the extract kernel, before analysis:
+    # the analysis columns are per-row pure, so dropping geotag-less rows
+    # first (~4/5 of pages) yields identical output at a fraction of the
+    # cost, with no extra text copies between operators.
+    from ..stages.extract import extract_geo_batch
+
     extracted = pages_ds.map_batches(
-        extract_geotags_batch,
+        extract_geo_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
     ).select_columns(
@@ -55,7 +62,7 @@ def geotag_join_tiles(
          "n_tokens", "quality", "lang_pred", "fingerprint"]
     )
 
-    geo = extracted.filter(expr="has_geo")
+    geo = extracted.filter(expr="has_geo")  # no-op safety net
     geo = geo.map_batches(encode_cells(res), batch_format="pyarrow")
 
     joined = geo.map_batches(

@@ -28,7 +28,7 @@ class ExtractGeotags:
     n_tokens, quality, lang_pred, fingerprint.
     """
 
-    def __init__(self, analyze: bool = True):
+    def __init__(self, analyze: bool = True, geo_only: bool = False):
         # compiled once per actor (reference pattern: PreparedGeometry-style
         # amortized setup, SURVEY.md §2.3)
         self.comment = re.compile(rb"<!--.*?-->", re.S)
@@ -38,6 +38,11 @@ class ExtractGeotags:
         )
         self.icbm = re.compile(rb"ICBM:\s*([-0-9.]+),\s*([-0-9.]+)")
         self.analyze = analyze
+        # geo_only: drop rows without geotags INSIDE the kernel, before
+        # analysis — the analysis columns are per-row pure, so filtering
+        # first yields identical values for surviving rows at a fraction
+        # of the cost (and with no extra text copies between operators)
+        self.geo_only = geo_only
         if analyze:
             from ..functions.text import AnalyzeText
 
@@ -62,11 +67,19 @@ class ExtractGeotags:
             if tags:
                 lats[i], lons[i] = tags[0]
                 n_tags[i] = len(tags)
+        keep = slice(None)
+        if self.geo_only:
+            keep = np.nonzero(n_tags > 0)[0]
+            texts = [texts[i] for i in keep]
+            lats = lats[keep]
+            lons = lons[keep]
+            n_tags = n_tags[keep]
         out = pa.table(
             {
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "lang": batch["lang"],
+                "url": batch["url"] if not self.geo_only else batch["url"].take(keep),
+                "warc_ts": (batch["warc_ts"] if not self.geo_only
+                            else batch["warc_ts"].take(keep)),
+                "lang": batch["lang"] if not self.geo_only else batch["lang"].take(keep),
                 "text": pa.array(texts, pa.string()),
                 "has_geo": pa.array(n_tags > 0),
                 "lat": pa.array(lats),
@@ -85,4 +98,16 @@ def extract_geotags_batch(batch: pa.Table) -> pa.Table:
     from .worker_cache import get_cached
 
     ex = get_cached("extract-geotags-singleton", build=lambda _: ExtractGeotags())
+    return ex(batch)
+
+
+def extract_geo_batch(batch: pa.Table) -> pa.Table:
+    """Extraction that drops geotag-less rows in-kernel BEFORE analysis —
+    the flagship path: only ~1/5 of pages carry geotags, and analysing
+    the rest is pure waste. One task, no extra text copies between
+    operators."""
+    from .worker_cache import get_cached
+
+    ex = get_cached("extract-geo-singleton",
+                    build=lambda _: ExtractGeotags(analyze=True, geo_only=True))
     return ex(batch)
