@@ -226,6 +226,7 @@ def _repair_directed(directed, tol: float):
         return directed
     added = set(directed)
     used = [False] * len(need_in)
+    unmatched = []
     for y in need_out:
         best = None
         for i, x in enumerate(need_in):
@@ -239,6 +240,26 @@ def _repair_directed(directed, tol: float):
             x = need_in[best[1]]
             if x != y:
                 added.add((y, x))
+        else:
+            unmatched.append(y)
+    # second pass: hairline slivers (pinched rings from a prior snap-
+    # rounded union) drop edges LONGER than the base tolerance; widen it
+    # for whatever dead-ends remain rather than letting the walk collapse
+    if unmatched:
+        wide = tol * 50.0
+        for y in unmatched:
+            best = None
+            for i, x in enumerate(need_in):
+                if used[i]:
+                    continue
+                dist = math.hypot(x[0] - y[0], x[1] - y[1])
+                if dist <= wide and (best is None or dist < best[0]):
+                    best = (dist, i)
+            if best is not None:
+                used[best[1]] = True
+                x = need_in[best[1]]
+                if x != y:
+                    added.add((y, x))
     return added
 
 

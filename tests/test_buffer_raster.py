@@ -139,3 +139,42 @@ def test_buffer_single_sided_turns():
     right_mitre = buffer(ls, -1, single_sided=True, join_style="mitre",
                          mitre_limit=2.0)
     assert abs(area(right_mitre) - 5.0) < 1e-9
+
+
+def test_union_with_hairline_sliver_ring():
+    """Regression: union_many output rings can carry hairline (~1e-9)
+    pinches at arc-arc joints; a subsequent union(poly, that-ring) used
+    to collapse to EMPTY because the pinch edges classify outside-on-
+    both-sides and the dead-end repair tolerance was too small to bridge
+    them (found via geom_buffer_stats emitting zero positive areas)."""
+    import numpy as np
+
+    from simplefeatures_ray.geometry.buffer import _buffer_linework
+    from simplefeatures_ray.geometry.core import Geometry
+    from simplefeatures_ray.geometry.overlay import union, union_many
+
+    ring = np.array([[27.013183, 3.668255], [23.992794, 5.488954],
+                     [21.327855, 3.17902], [22.701221, -0.069296],
+                     [26.214947, 0.233067], [27.013183, 3.668255]])
+    g = Geometry(3, 0, rings=[ring])
+    parts = _buffer_linework(ring, 0.5, 8, "round", True, "round", 5.0)
+    bb = union_many(parts)
+    u = union(g, bb)
+    assert not u.is_empty()
+    assert abs(area(u) - 30.996) < 0.01
+
+
+def test_buffer_corpus_positive_areas_pinned():
+    """Every corpus polygon's positive buffer must exceed its own area
+    by at least perimeter*r (rows-only query geom_buffer_stats gets its
+    value gate here)."""
+    from simplefeatures_ray.geometry.algorithms import length
+    from simplefeatures_ray.geometry.buffer import buffer as buf
+    from simplefeatures_ray.geometry.ops import boundary
+    from simplefeatures_ray.pipelines.corpus import polygon_corpus
+
+    for cid, g in polygon_corpus():
+        a0 = area(g)
+        ap = area(buf(g, 0.5, quad_segments=8))
+        per = length(boundary(g))
+        assert ap > a0 + 0.5 * per * 0.95, (cid, a0, ap)
