@@ -419,6 +419,17 @@ def docs_fingerprint(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def docs_split_assign(sf_dir: str):
+    """Deterministic train/val/test split over documents: sha256-derived
+    bucket of (salt, doc_id) mod 100 -> cumulative ranges. The oracle
+    recomputes the same hex-prefix hash in DuckDB."""
+    from simplefeatures_ray.functions.relational import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = hash_split(ds, "doc_id", {"train": 90, "val": 5, "test": 5})
+    return out.select_columns(["doc_id", "split"])
+
+
 def docs_langid_pred(sf_dir: str):
     from simplefeatures_ray.functions.text import LangId
 
@@ -1066,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
+        "docs_split_assign": docs_split_assign,
         # embeddings
         "emb_norm_topk": emb_norm_topk,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1314,6 +1326,16 @@ def oracle_sql() -> dict[str, str]:
                      END AS j
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        "docs_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
+                                         1, 16))::UBIGINT % 100 AS b
+                  FROM documents)
         """,
         "docs_fingerprint": r"""
             SELECT doc_id,

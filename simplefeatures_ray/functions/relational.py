@@ -170,3 +170,32 @@ def topk(ds, key: str, k: int, descending: bool = True):
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
     return pruned.sort(key, descending=descending).limit(k)
+
+
+def hash_split(ds, key_col: str, splits, salt: str = "split"):
+    """Deterministic train/val/test assignment: bucket = sha256-derived
+    hash of (salt, key) mod 100, mapped onto cumulative split ranges.
+
+    splits: dict name -> percent, e.g. {"train": 90, "val": 5, "test": 5}
+    (must sum to 100). The assignment is a pure per-row map — stable
+    across runs, machines and parallelism, and expressible in SQL for
+    oracle checks (sha256 hex prefix mod 100).
+    """
+    import hashlib
+
+    names = list(splits)
+    bounds = np.cumsum([int(splits[n]) for n in names])
+    if bounds[-1] != 100:
+        raise ValueError("split percentages must sum to 100")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        h = np.fromiter(
+            (int(hashlib.sha256(f"{salt}:{k}".encode()).hexdigest()[:16], 16) % 100
+             for k in keys),
+            dtype=np.int64, count=len(keys))
+        idx = np.searchsorted(bounds, h, side="right")
+        out = np.array(names, dtype=object)[idx]
+        return t.append_column("split", pa.array([str(s) for s in out], pa.string()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -383,3 +383,26 @@ def test_decode_image_real_png(ray_session):
     direct = resize_nearest(png_decode(tbl["image_bytes"][0].as_py()), 32, 32)
     got = np.asarray(out.iloc[0]["pixels"], dtype=np.uint8).reshape(32, 32, 3)
     assert np.array_equal(got, direct)
+
+
+def test_hash_split_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import hash_split
+
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(2000))}))
+    out = hash_split(ds, "doc_id", {"train": 90, "val": 5, "test": 5}).to_pandas()
+    counts = out["split"].value_counts()
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert set(out["split"].unique()) <= {"train", "val", "test"}
+    # stable across repartitioning
+    out2 = hash_split(rd.from_arrow(pa.table({"doc_id": list(range(2000))})).repartition(7),
+                      "doc_id", {"train": 90, "val": 5, "test": 5}).to_pandas()
+    m = out.sort_values("doc_id").reset_index(drop=True)
+    m2 = out2.sort_values("doc_id").reset_index(drop=True)
+    assert m.equals(m2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(ds, "doc_id", {"train": 80, "val": 5})
