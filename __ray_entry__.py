@@ -419,6 +419,32 @@ def docs_fingerprint(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def docs_len_quantiles(sf_dir: str):
+    """Exact distributed quantiles of document length per language:
+    per-batch value histograms -> one small combine -> quantiles read
+    off cumulative counts (no global sort; shuffle bounded by distinct
+    values). Oracle: DuckDB quantile_disc, identical index semantics."""
+    from simplefeatures_ray.functions.agg import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9], group_keys="lang")
+
+
+def events_sessionize(sf_dir: str):
+    """Gap-based sessionization of the event stream (30-minute gap) —
+    session sizes per user. Oracle: window-function flood in SQL."""
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.functions.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts", gap_s=1800.0,
+                      id_cols=["event_id"], tie_col="event_id")
+    out = grouped_agg(sess, ["user_id", "session_seq"], {
+        "n_events": (None, "count"),
+    }, combine="shuffle")
+    return out
+
+
 def docs_split_assign(sf_dir: str):
     """Deterministic train/val/test split over documents: sha256-derived
     bucket of (salt, doc_id) mod 100 -> cumulative ranges. The oracle
@@ -1078,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
         "docs_split_assign": docs_split_assign,
+        "docs_len_quantiles": docs_len_quantiles,
+        "events_sessionize": events_sessionize,
         # embeddings
         "emb_norm_topk": emb_norm_topk,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1326,6 +1354,28 @@ def oracle_sql() -> dict[str, str]:
                      END AS j
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        "docs_len_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.50) AS q50,
+                   quantile_disc(n_chars, 0.90) AS q90
+            FROM documents GROUP BY lang
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id,
+                     SUM(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g)
+            SELECT user_id, session_seq, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_seq
         """,
         "docs_split_assign": """
             SELECT doc_id,

@@ -86,3 +86,54 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
         return _combine_frame(df, keys, spec, plan)
 
     return partial.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+def exact_quantiles(ds, col: str, qs, group_keys=None):
+    """EXACT distributed quantiles of an integer-valued (or low-
+    cardinality) column: per-batch value histograms combine through one
+    small groupby, the driver merges cumulative counts and reads
+    quantiles off the sorted histogram — no global sort, shuffle volume
+    bounded by the number of DISTINCT values, never by row count.
+
+    Quantile semantics match DuckDB's quantile_disc: index =
+    max(0, ceil(q*n) - 1) into the sorted multiset. Returns a pyarrow
+    Table with one row per group (or a single row) and one column per
+    requested quantile (q50, q90, ...).
+    """
+    import pandas as pd
+
+    group_keys = ([group_keys] if isinstance(group_keys, str)
+                  else list(group_keys or []))
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = t.select(group_keys + [col]).to_pandas()
+        out = (df.groupby(group_keys + [col], sort=False, dropna=False)
+               .size().reset_index(name="__n"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = ds.map_batches(hist, batch_format="pyarrow")
+    from .relational import collect_table
+
+    merged = collect_table(partial).to_pandas()
+    merged = (merged.groupby(group_keys + [col], sort=False)["__n"]
+              .sum().reset_index())
+
+    def q_of(sub: pd.DataFrame) -> dict:
+        sub = sub.sort_values(col, kind="mergesort")
+        counts = sub["__n"].to_numpy()
+        vals = sub[col].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            row[f"q{int(round(q * 100))}"] = vals[np.searchsorted(cum, idx + 1)]
+        return row
+
+    if group_keys:
+        rows = []
+        for key, sub in merged.groupby(group_keys, sort=True):
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append({**dict(zip(group_keys, key)), **q_of(sub)})
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    return pa.Table.from_pandas(pd.DataFrame([q_of(merged)]), preserve_index=False)

@@ -163,3 +163,29 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
     lt, rt = align_union_schema(lt, rt)
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
+               tie_col: str | None = None):
+    """Gap-based sessionization: within each key, events sorted by
+    (ts, tie_col) start a new session whenever the gap to the previous
+    event exceeds gap_s. Emits session_seq (0-based per key).
+
+    One groupby(key) shuffle; per-group work is a vectorized sort +
+    cumulative sum. The standard event-stream op a training-data
+    pipeline needs for dialogue/session corpus construction."""
+    gap_us = int(gap_s * 1_000_000)
+    id_cols = list(id_cols)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + ([tie_col] if tie_col else [])
+        df = df.sort_values(order, kind="mergesort").reset_index(drop=True)
+        us = df[ts_col].astype("int64").to_numpy()
+        gaps = np.diff(us, prepend=us[0] if len(us) else 0)
+        new_sess = (gaps > gap_us).astype(np.int64)
+        if len(new_sess):
+            new_sess[0] = 0
+        df["session_seq"] = np.cumsum(new_sess)
+        return df[[key] + id_cols + [ts_col, "session_seq"]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

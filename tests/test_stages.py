@@ -406,3 +406,30 @@ def test_hash_split_deterministic(ray_session):
 
     with pytest.raises(ValueError):
         hash_split(ds, "doc_id", {"train": 80, "val": 5})
+
+
+def test_exact_quantiles_and_sessionize(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.agg import exact_quantiles
+    from simplefeatures_ray.functions.windows import sessionize
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 5000)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    t = exact_quantiles(ds, "v", [0.5, 0.9])
+    sv = np.sort(vals)
+    assert t["q50"][0].as_py() == sv[max(0, int(np.ceil(0.5 * len(sv))) - 1)]
+    assert t["q90"][0].as_py() == sv[max(0, int(np.ceil(0.9 * len(sv))) - 1)]
+
+    # sessionize: user 1 has two sessions split by a 2h gap
+    import pandas as pd
+    ts = pd.to_datetime([0, 60, 120, 7800, 7860], unit="s")
+    tbl = pa.table({"user_id": [1] * 5, "event_id": list(range(5)),
+                    "ts": pa.array(ts)})
+    out = sessionize(rd.from_arrow(tbl), "user_id", "ts", gap_s=1800.0,
+                     id_cols=["event_id"], tie_col="event_id").to_pandas()
+    out = out.sort_values("event_id")
+    assert out["session_seq"].tolist() == [0, 0, 0, 1, 1]
