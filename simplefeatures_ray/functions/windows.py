@@ -180,7 +180,11 @@ def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
         order = [ts_col] + ([tie_col] if tie_col else [])
         df = df.sort_values(order, kind="mergesort").reset_index(drop=True)
-        us = df[ts_col].astype("int64").to_numpy()
+        ts = df[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            us = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            us = ts.astype(np.int64)
         gaps = np.diff(us, prepend=us[0] if len(us) else 0)
         new_sess = (gaps > gap_us).astype(np.int64)
         if len(new_sess):
