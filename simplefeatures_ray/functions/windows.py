@@ -134,12 +134,16 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
         batch_format="pyarrow",
     )
 
+    lcols = list(left_ds.schema().names)
+    rhs_cols = [key, ts_right] + [c for c in right_cols if c not in (key, ts_right)]
+
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df["__side"] == 0].drop(columns=["__side", "__bucket"])
-        rhs = df[df["__side"] == 1].drop(columns=["__side", "__bucket"])
-        lhs = lhs.dropna(axis=1, how="all").sort_values(ts_left, kind="mergesort")
-        rhs = rhs.dropna(axis=1, how="all")
-        rhs = rhs[[key, ts_right] + [c for c in right_cols if c in rhs.columns]]
+        # explicit column lists — never infer sides via dropna(how="all"),
+        # which drops EVERY column of a zero-row side and breaks buckets
+        # where one side is empty
+        lhs = df[df["__side"] == 0][lcols]
+        lhs = lhs.sort_values(ts_left, kind="mergesort")
+        rhs = df[df["__side"] == 1][rhs_cols]
         if tie_break is not None and tie_break in rhs.columns:
             # Deterministic tie-break: keep the max-tie_break row per
             # (key, ts_right). Sorting by [ts_right, tie_break] keeps the

@@ -433,3 +433,24 @@ def test_exact_quantiles_and_sessionize(ray_session):
                      id_cols=["event_id"], tie_col="event_id").to_pandas()
     out = out.sort_values("event_id")
     assert out["session_seq"].tolist() == [0, 0, 0, 1, 1]
+
+
+def test_asof_join_empty_side_buckets(ray_session):
+    """Regression: buckets where one side is empty used to crash (a
+    dropna(how='all') on a zero-row frame drops every column)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.windows import asof_join
+
+    # left keys 0..3 only, right keys 4..7 only -> every bucket one-sided
+    left = pa.table({"lid": [1, 2, 3, 4], "k": [0, 1, 2, 3],
+                     "t": pa.array(pd.to_datetime([10, 20, 30, 40], unit="s"))})
+    right = pa.table({"rid": [9, 8], "k": [4, 5],
+                      "rt": pa.array(pd.to_datetime([5, 6], unit="s"))})
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                    ts_left="t", ts_right="rt", right_cols=["rid"],
+                    n_buckets=4).to_pandas()
+    assert len(out) == 4
+    assert out["rid"].isna().all()
