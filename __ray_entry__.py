@@ -329,6 +329,10 @@ def docs_quality_metrics(sf_dir: str):
 
 
 def docs_minhash_pairs(sf_dir: str):
+    """Raw LSH candidate pairs (rows-only BY DESIGN: banding admits
+    rare band collisions for pairs just under the Jaccard threshold —
+    at sf0.1 one J<0.5 pair collides — so only the verified twin
+    docs_minhash_verified carries an exact SQL oracle)."""
     from simplefeatures_ray.functions.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1298,34 +1302,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 6
-        """,
-        # candidate pairs == the exact J>=0.5 pair set on these corpora
-        # (every true pair's J >= 0.88 -> certain band collision; random
-        # 4-row-band collisions are ~2^-61 -> none), so the ids of the
-        # exact-Jaccard SQL gate the candidate stage too
-        "docs_minhash_pairs": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     list_transform(regexp_extract_all(text, '[\w'']+'),
-                                    x -> lower(x)) AS ws
-              FROM documents),
-            s AS (
-              SELECT doc_id,
-                     CASE WHEN len(ws) = 0 THEN []
-                          WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-                     END AS sh
-              FROM w),
-            p AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
-                          WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
-                          ELSE len(list_intersect(a.sh, b.sh))
-                               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
-                     END AS j
-              FROM s a JOIN s b ON a.doc_id < b.doc_id)
-            SELECT id_a, id_b FROM p WHERE j >= 0.5
         """,
         # exact pairwise 3-gram-shingle Jaccard (the LSH candidate pass
         # has complete recall on this corpus: every true pair's J >= 0.88,
