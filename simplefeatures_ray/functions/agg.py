@@ -81,11 +81,22 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
         tbl = collect_table(partial)
         df = _combine_frame(tbl.to_pandas(), keys, spec, plan)
         return pa.Table.from_pandas(df, preserve_index=False)
-    # shuffle combine: second (tiny) pass through Ray groupby
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return _combine_frame(df, keys, spec, plan)
+    # shuffle combine on a COARSE partition of the key hash: the final
+    # vectorized pandas groupby runs once per partition, not once per
+    # group (Ray's map_groups pays per GROUP — ruinous at 10^5+ groups)
+    n_parts = 64
 
-    return partial.groupby(keys).map_groups(final, batch_format="pandas")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df = df.copy()
+        df["__part"] = (h % n_parts).astype(np.int32)
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _combine_frame(df.drop(columns="__part"), keys, spec, plan)
+
+    parted = partial.map_batches(add_part, batch_format="pandas")
+    return parted.groupby("__part").map_groups(final, batch_format="pandas")
 
 
 def exact_quantiles(ds, col: str, qs, group_keys=None):

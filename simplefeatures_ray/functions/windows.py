@@ -170,30 +170,51 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
 
 
 def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
-               tie_col: str | None = None):
+               tie_col: str | None = None, n_parts: int = 64):
     """Gap-based sessionization: within each key, events sorted by
     (ts, tie_col) start a new session whenever the gap to the previous
     event exceeds gap_s. Emits session_seq (0-based per key).
 
-    One groupby(key) shuffle; per-group work is a vectorized sort +
-    cumulative sum. The standard event-stream op a training-data
-    pipeline needs for dialogue/session corpus construction."""
+    Shuffle shape: ONE groupby on a COARSE partition of the key
+    (key %% n_parts) — same co-location guarantee as groupby(key), but
+    the per-group map_groups overhead is paid n_parts times instead of
+    once per key (Ray's per-group cost dominates with many small
+    groups). Inside a partition all keys are sessionized in one
+    vectorized pass: sort by (key, ts, tie), new-session flags where
+    the gap exceeds gap_s or the key changes, per-key cumsum via
+    a grouped cumulative sum."""
     gap_us = int(gap_s * 1_000_000)
     id_cols = list(id_cols)
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([tie_col] if tie_col else [])
+    def add_part(t: pa.Table) -> pa.Table:
+        p = (np.asarray(t[key], dtype=np.int64) % n_parts).astype(np.int32)
+        return t.append_column("__part", pa.array(p, pa.int32()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        order = [key, ts_col] + ([tie_col] if tie_col else [])
         df = df.sort_values(order, kind="mergesort").reset_index(drop=True)
         ts = df[ts_col].to_numpy()
         if np.issubdtype(ts.dtype, np.datetime64):
             us = ts.astype("datetime64[us]").astype(np.int64)
         else:
             us = ts.astype(np.int64)
-        gaps = np.diff(us, prepend=us[0] if len(us) else 0)
-        new_sess = (gaps > gap_us).astype(np.int64)
-        if len(new_sess):
-            new_sess[0] = 0
-        df["session_seq"] = np.cumsum(new_sess)
+        keys = df[key].to_numpy()
+        n = len(df)
+        if n == 0:
+            return df[[key] + id_cols + [ts_col]].assign(session_seq=[])
+        gaps = np.diff(us, prepend=us[0])
+        key_change = np.empty(n, dtype=bool)
+        key_change[0] = True
+        key_change[1:] = keys[1:] != keys[:-1]
+        new_sess = ((gaps > gap_us) & ~key_change).astype(np.int64)
+        # per-key cumulative count: global cumsum minus the value carried
+        # in from before each key's first row
+        c = np.cumsum(new_sess)
+        carried = np.where(key_change, c - new_sess, 0)
+        df["session_seq"] = c - np.maximum.accumulate(
+            np.where(key_change, carried, -1))
         return df[[key] + id_cols + [ts_col, "session_seq"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return parted.groupby("__part").map_groups(per_part, batch_format="pandas")
