@@ -922,6 +922,39 @@ def proj_epsg_chain(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def spatial_bbox_read(sf_dir: str):
+    """Spatially-partitioned sink round-trip with bbox pruning: event
+    points written bucketed by Morton cell (state/spatial_sink), then
+    read back for a lon/lat window — only intersecting buckets are
+    opened, plus an exact row filter. Oracle: plain SQL bbox filter."""
+    import hashlib
+    import os
+
+    from simplefeatures_ray.pipelines.corpus import events_xy
+    from simplefeatures_ray.state.spatial_sink import read_spatial, write_spatial
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"],
+                         "lon": pa.array(x), "lat": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/sfray-spatial-{tag}"
+    if not os.path.exists(os.path.join(out_dir, "_spatial_manifest.json")):
+        write_spatial(pts, out_dir, res=3)
+    bbox = (-40.0, -30.0, 60.0, 45.0)
+    got = read_spatial(out_dir, bbox)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "x": t["lon"], "y": t["lat"]})
+
+    return got.map_batches(finish, batch_format="pyarrow")
+
+
 def geom_coverage_union(sf_dir: str):
     """Coverage fast-path union over 4 deterministic tile grids (one row
     per grid): n_tiles, union area, connected-component count. The SQL
@@ -1131,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_overlay_boxes": geom_overlay_boxes,
         "geom_relate_boxes": geom_relate_boxes,
         "geom_buffer_stats": geom_buffer_stats,
+        "spatial_bbox_read": spatial_bbox_read,
         "geom_coverage_union": geom_coverage_union,
         "proj_epsg_chain": proj_epsg_chain,
         # projections / raster / multimodal
@@ -1649,6 +1683,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(radians(x), 7) AS ex,
                    ROUND(radians(y), 7) AS ey
             FROM {event_points_sql('pts')}
+        """,
+        "spatial_bbox_read": f"""
+            SELECT event_id, x, y
+            FROM {event_points_sql('pts')}
+            WHERE x BETWEEN -40.0 AND 60.0 AND y BETWEEN -30.0 AND 45.0
         """,
         # connected components of each tile grid via recursive-CTE label
         # flood (4-adjacency); union area of a valid coverage = tile count

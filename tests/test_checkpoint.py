@@ -86,3 +86,38 @@ def test_deterministic_hashes_across_runs(ray_session, tmp_path):
     assert {k: v["content_hash"] for k, v in m1.items()} == {
         k: v["content_hash"] for k, v in m2.items()
     }
+
+
+def test_spatial_sink_bbox_pruning(ray_session, tmp_path):
+    """write_spatial partitions by Morton cell; read_spatial opens only
+    bbox-intersecting buckets and row-filters exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.state.spatial_sink import (
+        pruned_fraction,
+        read_spatial,
+        write_spatial,
+    )
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-170, 170, 5000)
+    lat = rng.uniform(-60, 60, 5000)
+    ds = rd.from_arrow(pa.table({
+        "pid": pa.array(np.arange(5000)),
+        "lon": pa.array(lon), "lat": pa.array(lat),
+    })).repartition(8)
+    out = str(tmp_path / "spatial")
+    doc = write_spatial(ds, out, res=3)
+    assert doc["total_rows"] == 5000
+    assert len(doc["partitions"]) > 10
+
+    bbox = (-10.0, -10.0, 30.0, 25.0)
+    got = read_spatial(out, bbox).to_pandas()
+    keep = (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+    assert sorted(got["pid"]) == sorted(np.arange(5000)[keep])
+    # pruning actually skips most rows before any read
+    assert pruned_fraction(out, bbox) > 0.5
+    # full read round-trips
+    assert read_spatial(out).count() == 5000
