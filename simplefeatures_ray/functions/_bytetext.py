@@ -164,11 +164,13 @@ def stop_hits(bt: BatchText, mask: np.ndarray, stop_sets,
     return out, n_words
 
 
-def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None):
-    """Vectorized twin of ' '.join(text.lower().split()): lowercase,
-    collapse whitespace runs to single spaces, strip ends. Returns
-    (compact uint8 buffer, new int64 offsets). Exact for ASCII rows.
-    Pass a precomputed ws mask to skip re-classifying the buffer."""
+def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None,
+                       lower: bool = True):
+    """Vectorized twin of ' '.join(text.lower().split()): lowercase
+    (unless lower=False), collapse whitespace runs to single spaces,
+    strip ends. Returns (compact uint8 buffer, new int64 offsets).
+    Exact for ASCII rows. Pass a precomputed ws mask to skip
+    re-classifying the buffer."""
     buf, offsets = bt.buf, bt.offsets
     if not len(buf):
         return buf, np.zeros(bt.n + 1, dtype=np.int64)
@@ -187,7 +189,7 @@ def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None):
     kept_ws = ws_starts[(ws_starts > first_nw[srow]) & (ws_starts < last_nw[srow])]
     keep = nonws.copy()
     keep[kept_ws] = True
-    out = lower_bytes(buf)
+    out = lower_bytes(buf) if lower else buf.copy()
     out[w] = 32
     out = out[keep]
     rowcounts = bt.count(keep)
