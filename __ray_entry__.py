@@ -1059,10 +1059,10 @@ def raster_tiles(sf_dir: str):
 
 
 def media_features(sf_dir: str):
-    """Multimodal pipeline with REAL image decode: the payloads are PNG
-    bytes produced by the engine's own pure-python codec, decoded back
-    (all scanline filters supported) and resized in the actor-pool
-    decode stage — no fake path (rows-only; deterministic)."""
+    """Multimodal pipeline with REAL image AND audio decode: PNG
+    payloads through the engine's pure-python zlib codec (all scanline
+    filters) and WAV/PCM clips through audiocodec.py (RIFF parse + FFT
+    band features) — no fake paths (rows-only; deterministic)."""
     import ray.data as rd
 
     from simplefeatures_ray.stages.multimodal import (
@@ -1072,19 +1072,30 @@ def media_features(sf_dir: str):
         real_media_table,
     )
 
-    ds = rd.from_arrow(real_media_table(256))
+    from simplefeatures_ray.stages.multimodal import DecodeAudio, real_audio_table
+
+    media = real_media_table(256)
+    audio = real_audio_table(256)
+    media = media.append_column("audio_bytes", audio["audio_bytes"])
+    ds = rd.from_arrow(media)
     ds = ds.map_batches(DecodeImage,
                         batch_format="pyarrow", concurrency=2, batch_size=64)
+    ds = ds.map_batches(DecodeAudio, batch_format="pyarrow", concurrency=2,
+                        batch_size=64)
     ds = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2)
     ds = ds.map_batches(SampleFrames, batch_format="pyarrow", concurrency=2)
 
     def finish(t: pa.Table) -> pa.Table:
         feats = t["img_features"].combine_chunks()
         f = np.asarray(feats.values, dtype=np.float64).reshape(len(t), -1)
+        af = t["audio_features"].combine_chunks()
+        a = np.asarray(af.values, dtype=np.float64).reshape(len(t), -1)
         return pa.table(
             {
                 "media_id": t["media_id"],
                 "mean_r": pa.array(np.round(f[:, 0], 4)),
+                "audio_rms": pa.array(np.round(a[:, 0], 6)),
+                "duration_s": t["duration_s"],
                 "n_frames_sampled": pa.array(
                     [len(v) for v in t["frame_offsets"].to_pylist()], pa.int64()
                 ),

@@ -1,13 +1,15 @@
 """Multimodal (image/audio/video) column stages.
 
 Media payloads are opaque `binary` columns with typed metadata columns;
-decode / resize / feature-extract / frame-sample run as actor-pool
-map_batches stages. The image/audio codec libraries are NOT available in
-this environment, so the decode step is STUBBED: `DecodeImage` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder (seeded by the payload hash) produces real ndarray outputs
-so the Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is fully real and tested end-to-end.
+decode / resize / feature-extract / frame-sample run as actor-pool (or
+worker-cached task) map_batches stages.
+
+Decode is REAL where a stdlib-only codec exists: PNG/PPM images via the
+engine's imagecodec.py (zlib) and WAV/PCM audio via audiocodec.py.
+Formats that need external libraries (JPEG, MP3, video frames) stay
+behind a deterministic hash-seeded fake (`fake=True`) so the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is
+fully real and tested end-to-end either way.
 """
 from __future__ import annotations
 
@@ -171,3 +173,55 @@ def fake_media_table(n: int, payload_bytes: int = 256) -> pa.Table:
             "video_bytes": pa.array(vids, pa.binary()),
         }
     )
+
+
+class DecodeAudio:
+    """binary WAV payload -> fixed-length audio feature vector
+    (audiocodec.py: real RIFF/PCM decode, numpy FFT band energies).
+    Actor-pool / worker-cached map_batches stage; payload bytes never
+    leave the worker."""
+
+    def __init__(self, bytes_col: str = "audio_bytes", n_bands: int = 8):
+        self.bytes_col = bytes_col
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audiocodec import audio_features, wav_decode
+
+        feats = []
+        rates = np.zeros(len(batch), dtype=np.int32)
+        secs = np.zeros(len(batch), dtype=np.float64)
+        for i, b in enumerate(batch[self.bytes_col].to_pylist()):
+            samples, rate = wav_decode(b or b"")
+            rates[i] = rate
+            secs[i] = len(samples) / rate if rate else 0.0
+            feats.append(audio_features(samples, rate, self.n_bands))
+        flat = (np.concatenate(feats) if feats
+                else np.zeros(0, dtype=np.float32))
+        out = batch.drop_columns([self.bytes_col])
+        out = out.append_column("audio_features", pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float32()), 3 + self.n_bands))
+        out = out.append_column("sample_rate", pa.array(rates, pa.int32()))
+        return out.append_column("duration_s", pa.array(np.round(secs, 6)))
+
+
+def real_audio_table(n: int, rate: int = 8000, seconds: float = 0.25) -> pa.Table:
+    """Deterministic audio table with REAL WAV payloads (engine codec):
+    (media_id, audio_bytes). Each clip is a seeded two-tone + noise."""
+    from ..audiocodec import wav_encode
+
+    ids = np.arange(n, dtype=np.int64)
+    clips = []
+    t = np.arange(int(rate * seconds)) / rate
+    for i in ids:
+        rng = np.random.default_rng(2000 + int(i))
+        f1, f2 = 100 + (int(i) * 37) % 900, 1000 + (int(i) * 91) % 2000
+        sig = (0.5 * np.sin(2 * np.pi * f1 * t)
+               + 0.3 * np.sin(2 * np.pi * f2 * t)
+               + 0.05 * rng.standard_normal(len(t)))
+        clips.append(wav_encode((np.clip(sig, -1, 1) * 32767).astype(np.int16),
+                                rate))
+    return pa.table({
+        "media_id": pa.array(ids),
+        "audio_bytes": pa.array(clips, pa.binary()),
+    })

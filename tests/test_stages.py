@@ -454,3 +454,38 @@ def test_asof_join_empty_side_buckets(ray_session):
                     n_buckets=4).to_pandas()
     assert len(out) == 4
     assert out["rid"].isna().all()
+
+
+def test_wav_codec_and_audio_stage(ray_session):
+    """Real WAV decode end to end: codec round-trip + DecodeAudio stage."""
+    import numpy as np
+    import ray.data as rd
+
+    from simplefeatures_ray.audiocodec import audio_features, wav_decode, wav_encode
+    from simplefeatures_ray.stages.multimodal import DecodeAudio, real_audio_table
+
+    rate = 8000
+    t = np.arange(800) / rate
+    sig = (np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    back, r2 = wav_decode(wav_encode(sig, rate))
+    assert r2 == rate and back.shape == (800, 1)
+    assert np.allclose(back[:, 0], sig / 32768.0, atol=1e-9)
+    # stereo float32 round trip
+    st = np.stack([np.sin(2 * np.pi * 100 * t), np.cos(2 * np.pi * 100 * t)],
+                  axis=1).astype(np.float32)
+    back2, _ = wav_decode(wav_encode(st, rate))
+    assert back2.shape == (800, 2)
+    assert np.allclose(back2, st, atol=1e-7)
+
+    tbl = real_audio_table(24)
+    out = rd.from_arrow(tbl).map_batches(
+        DecodeAudio, batch_format="pyarrow", concurrency=1, batch_size=8
+    ).to_pandas().sort_values("media_id")
+    assert len(out) == 24
+    assert (out["sample_rate"] == 8000).all()
+    assert np.allclose(out["duration_s"], 0.25)
+    # features equal direct computation for row 0
+    s0, r0 = wav_decode(tbl["audio_bytes"][0].as_py())
+    direct = audio_features(s0, r0)
+    got = np.asarray(out.iloc[0]["audio_features"], dtype=np.float32)
+    assert np.allclose(got, direct)
