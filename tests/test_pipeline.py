@@ -121,3 +121,22 @@ def test_golden_output_hash(ray_session):
 
 
 GOLDEN_FLAGSHIP_3000 = "ef70a1e3da6020fea142f3468085be0039199fb60f5cff371827ffc20af7a58f"
+
+
+def test_extracted_text_byte_identical(ray_session):
+    """input_hint per-row invariant: the engine's extractor reproduces
+    the reference extraction (the pages table's `text` column)
+    byte-identically per url, at any batch slicing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simplefeatures_ray.sources.pages import gen_pages_batch
+    from simplefeatures_ray.stages.extract import ExtractGeotags
+
+    batch = gen_pages_batch(pa.table({"id": pa.array(np.arange(4096, dtype=np.int64))}))
+    ex = ExtractGeotags(analyze=False)
+    out = ex(batch)
+    assert out["text"].to_pylist() == batch["text"].to_pylist()
+    # same under a different slicing
+    half = ex(batch.slice(1000, 500))
+    assert half["text"].to_pylist() == batch.slice(1000, 500)["text"].to_pylist()
