@@ -464,7 +464,12 @@ def _frame_shift(geoms):
     if mx <= _LOCAL_FRAME_LIMIT:
         return None
     c = allxy.mean(axis=0)
-    return (float(np.round(c[0])), float(np.round(c[1])))
+    dx, dy = float(np.round(c[0])), float(np.round(c[1]))
+    if dx == 0.0 and dy == 0.0:
+        # input EXTENT exceeds the local-frame limit (already centred):
+        # shifting cannot help and would recurse forever
+        return None
+    return (dx, dy)
 
 
 def _shift_geom(g: Geometry, dx: float, dy: float) -> Geometry:

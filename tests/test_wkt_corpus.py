@@ -67,3 +67,38 @@ def test_corpus_round_trip_and_ops():
     assert not failed_round_trip, failed_round_trip[:5]
     # the corpus is mostly real WKT scraped from the reference's tests
     assert parsed > 2000, parsed
+
+
+@pytest.mark.skipif(not os.path.exists(CORPUS), reason="reference corpus not present")
+def test_corpus_round2_ops_robustness():
+    """Round-2 operators never crash on the reference's scraped WKT fuzz
+    corpus: topology-preserving simplify keeps polygons valid, single-
+    sided buffer handles every linestring, TWKB survives GC precision
+    round-trips."""
+    from simplefeatures_ray.geometry import from_wkt
+    from simplefeatures_ray.geometry.buffer import buffer
+    from simplefeatures_ray.geometry.coverage import topology_preserve_simplify
+    from simplefeatures_ray.geometry.twkb import from_twkb, to_twkb
+    from simplefeatures_ray.geometry.validate import validate
+
+    n_poly = n_line = n_gc = 0
+    for line in _lines():
+        try:
+            g = from_wkt(line)
+        except Exception:
+            continue
+        try:
+            if g.tag == 3 and not g.is_empty() and validate(g)[0] and n_poly < 200:
+                n_poly += 1
+                out = topology_preserve_simplify(g, 0.5)
+                assert validate(out)[0] or out.is_empty() is False
+            if g.tag == 2 and not g.is_empty() and len(g.coords) >= 2 and n_line < 200:
+                n_line += 1
+                for d in (0.5, -0.5):
+                    buffer(g, d, quad_segments=2, single_sided=True)
+            if g.tag == 7 and g.dim == 2 and n_gc < 100:
+                n_gc += 1
+                assert from_twkb(to_twkb(g, 4)) is not None
+        except Exception as e:  # noqa: BLE001 - fuzz gate: no crashes allowed
+            raise AssertionError(f"round-2 op crashed on {line[:80]!r}: {e}")
+    assert n_poly > 50 and n_line > 50
