@@ -115,3 +115,39 @@ def test_topology_preserve_simplify_backoff():
     ls = from_wkt("LINESTRING(0 0,1 0.01,2 0,3 0.01,4 0)")
     out3 = topology_preserve_simplify(ls, 0.5)
     assert len(out3.coords) >= 2
+
+
+def test_coverage_fuzz_tensor_grids():
+    """Randomized (seeded) tensor-product grids (random x-cuts x y-cuts
+    over the whole square) are valid coverages with vertex-matched
+    edges: union must recover the square exactly, VW-simplify must
+    preserve coverage validity. Guillotine-style partitions, whose cuts
+    do NOT propagate vertices to neighbours, are T-junction-invalid —
+    the validator must flag them."""
+    import numpy as np
+
+    from simplefeatures_ray.geometry.algorithms import area
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        xs = np.unique(np.round(np.concatenate(
+            [[0.0, 8.0], rng.uniform(0.5, 7.5, rng.integers(1, 5))]), 2))
+        ys = np.unique(np.round(np.concatenate(
+            [[0.0, 8.0], rng.uniform(0.5, 7.5, rng.integers(1, 5))]), 2))
+        tiles = [box(xs[i], ys[j], xs[i + 1], ys[j + 1])
+                 for i in range(len(xs) - 1) for j in range(len(ys) - 1)]
+        cov = gc(*tiles)
+        ok, edges = coverage_is_valid(cov)
+        assert ok, (seed, to_wkt(edges)[:120])
+        u = coverage_union(cov)
+        assert abs(area(u) - 64.0) < 1e-9, (seed, area(u), len(tiles))
+        s = coverage_simplify_vw(cov, tolerance=0.01)
+        ok2, _ = coverage_is_valid(s)
+        assert ok2, seed
+        assert abs(area(coverage_union(s)) - 64.0) < 1.0
+
+    # guillotine counter-example: the right tile spans both left tiles'
+    # shared x=4 edge without their y=4 vertex -> T-junction, invalid
+    tj = gc(box(0, 0, 4, 4), box(0, 4, 4, 8), box(4, 0, 8, 8))
+    ok, edges = coverage_is_valid(tj)
+    assert not ok and not edges.is_empty()
