@@ -206,9 +206,11 @@ def coverage_simplify_vw(g: Geometry, tolerance: float,
     """Simplify a polygonal coverage with Visvalingam–Whyatt while
     keeping neighbours vertex-consistent: the shared edge graph is cut
     into chains at junction vertices, each chain is simplified ONCE, and
-    every ring is rebuilt from the simplified chains. tolerance is the
-    effective-area threshold. preserve_boundary=True leaves outer
+    every ring is rebuilt from the simplified chains. tolerance is a
+    DISTANCE (GEOS CoverageSimplifyVW semantics); the VW effective-area
+    threshold is tolerance^2. preserve_boundary=True leaves outer
     (unshared) chains untouched."""
+    tolerance = tolerance * tolerance
     parts = _polygon_parts(g)
     if not parts:
         return Geometry(GEOMETRYCOLLECTION, 0, geoms=[])
@@ -278,12 +280,60 @@ def coverage_simplify_vw(g: Geometry, tolerance: float,
     return Geometry(GEOMETRYCOLLECTION, 0, geoms=new_parts)
 
 
+def _rdp_with_pins(ring: np.ndarray, tol: float, pins: set) -> np.ndarray:
+    """Ring RDP that always keeps the pinned vertex indices: the ring is
+    cut into chains at the pins (plus vertex 0) and each chain RDPs
+    independently."""
+    from .algorithms import _rdp
+
+    body = ring[:-1]
+    n = len(body)
+    anchors = sorted({0} | {p % n for p in pins})
+    out = []
+    for ai, a in enumerate(anchors):
+        b = anchors[(ai + 1) % len(anchors)]
+        if b > a:
+            chain = body[a:b + 1]
+        else:  # wraps past the ring start
+            chain = np.concatenate([body[a:], body[:b + 1]], axis=0)
+        simp = _rdp(chain, tol)
+        out.append(simp[:-1])
+    out.append(out[0][:1])
+    return np.concatenate(out, axis=0)
+
+
+def _max_dev_dropped(ring: np.ndarray, simplified: np.ndarray):
+    """(index, deviation) of the original vertex farthest from the
+    simplified ring's linework, or (None, 0) if nothing was dropped."""
+    kept = {tuple(p) for p in simplified[:, :2]}
+    best_i, best_d = None, -1.0
+    simp = simplified[:, :2]
+    seg_a = simp[:-1]
+    seg_b = simp[1:]
+    for i, p in enumerate(ring[:-1, :2]):
+        if tuple(p) in kept:
+            continue
+        ab = seg_b - seg_a
+        ap = p - seg_a
+        denom = (ab * ab).sum(axis=1)
+        denom[denom == 0] = 1.0
+        t = np.clip((ap * ab).sum(axis=1) / denom, 0.0, 1.0)
+        proj = seg_a + t[:, None] * ab
+        d = float(np.hypot(*(p - proj).T.reshape(2, -1)).min())
+        if d > best_d:
+            best_i, best_d = i, d
+    return best_i, best_d
+
+
 def topology_preserve_simplify(g: Geometry, tolerance: float) -> Geometry:
-    """Douglas-Peucker simplification that backs off instead of breaking
-    topology (reference geos/entrypoints.go:235-241 semantics): rings
-    never collapse, and if a simplified component stops being valid /
-    simple the tolerance is halved for that component until it is
-    (falling back to the original coordinates)."""
+    """Douglas-Peucker simplification that preserves topology (reference
+    geos/entrypoints.go:235-241 semantics): rings never collapse and the
+    result stays valid. When plain RDP breaks validity, the dropped
+    vertex with the LARGEST deviation is pinned back and the ring
+    re-simplified — the JTS TopologyPreservingSimplifier behaviour of
+    keeping exactly the topology-critical control points while still
+    removing the rest (falls back to the original coordinates if pinning
+    cannot restore validity)."""
     from .algorithms import simplify
     from .ops import is_simple
     from .validate import validate
@@ -301,13 +351,23 @@ def topology_preserve_simplify(g: Geometry, tolerance: float) -> Geometry:
             tol /= 2.0
         return g
     if t == POLYGON:
-        tol = tolerance
-        for _ in range(10):
-            out = simplify(g, tol)
-            if (not out.is_empty() and len(out.rings) == len(g.rings)
-                    and validate(out)[0]):
-                return out
-            tol /= 2.0
+        pins = [set() for _ in g.rings]
+        for _ in range(64):
+            rings_s = [_rdp_with_pins(r, tolerance, pins[i])
+                       for i, r in enumerate(g.rings)]
+            if all(len(r) >= 4 for r in rings_s):
+                cand = Geometry(POLYGON, g.ctype, rings=rings_s)
+                if validate(cand)[0]:
+                    return cand
+            # pin the worst-deviation dropped vertex across all rings
+            best = None
+            for i, (orig, simp) in enumerate(zip(g.rings, rings_s)):
+                bi, bd = _max_dev_dropped(orig, simp)
+                if bi is not None and (best is None or bd > best[2]):
+                    best = (i, bi, bd)
+            if best is None:
+                break  # nothing left to pin; give up
+            pins[best[0]].add(best[1])
         return g
     if t in (MULTIPOLYGON, GEOMETRYCOLLECTION) or g.geoms is not None:
         subs = [topology_preserve_simplify(s, tolerance) for s in g.geoms]
