@@ -434,6 +434,26 @@ def docs_len_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9], group_keys="lang")
 
 
+def events_top3_per_type(sf_dir: str):
+    """Top-3 events by value per event type (grouped top-k: per-batch
+    combiner + coarse-partition final; oracle: row_number window)."""
+    from simplefeatures_ray.functions.relational import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_topk(ds, "event_type", "value", k=3, tie_col="event_id")
+    return _round_cols(out.select_columns(["event_type", "event_id", "value"]),
+                       {"value": 6})
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact distinct users per event type (dedup shuffle + combiner
+    count; oracle: COUNT(DISTINCT))."""
+    from simplefeatures_ray.functions.relational import grouped_nunique
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_nunique(ds, "event_type", "user_id")
+
+
 def events_sessionize(sf_dir: str):
     """Gap-based sessionization of the event stream (30-minute gap) —
     session sizes per user. Oracle: window-function flood in SQL."""
@@ -1154,6 +1174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_assign": docs_split_assign,
         "docs_len_quantiles": docs_len_quantiles,
         "events_sessionize": events_sessionize,
+        "events_top3_per_type": events_top3_per_type,
+        "events_distinct_users": events_distinct_users,
         # embeddings
         "emb_norm_topk": emb_norm_topk,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1382,6 +1404,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.50) AS q50,
                    quantile_disc(n_chars, 0.90) AS q90
             FROM documents GROUP BY lang
+        """,
+        "events_top3_per_type": """
+            SELECT event_type, event_id, ROUND(value, 6) AS value
+            FROM (SELECT event_type, event_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY value DESC, event_id ASC) AS rn
+                  FROM events)
+            WHERE rn <= 3
+        """,
+        "events_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "events_sessionize": """
             WITH g AS (

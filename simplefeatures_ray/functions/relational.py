@@ -199,3 +199,45 @@ def hash_split(ds, key_col: str, splits, salt: str = "split"):
         return t.append_column("split", pa.array([str(s) for s in out], pa.string()))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def grouped_topk(ds, keys, order_col: str, k: int, descending: bool = True,
+                 tie_col: str | None = None, n_parts: int = 64):
+    """Top-k rows per group. Per-batch partial top-k per group (combiner)
+    bounds the shuffle to k rows per (group, block); the final per-group
+    selection runs vectorized on a COARSE hash partition of the keys
+    (never one task per group). Deterministic ties via tie_col."""
+    import pandas as pd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [order_col] + ([tie_col] if tie_col else [])
+    asc = [not descending] + ([True] if tie_col else [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        out = df.groupby(keys, sort=False).head(k)
+        h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
+        out = out.copy()
+        out["__part"] = (h % n_parts).astype(np.int32)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part")
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        return df.groupby(keys, sort=False).head(k)
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    return part.groupby("__part").map_groups(final, batch_format="pandas")
+
+
+def grouped_nunique(ds, keys, value_col: str):
+    """Exact distinct-count per group: one dedup shuffle on
+    (keys, value) — each distinct pair survives once — then a combiner
+    count per group. Never materializes per-group value sets."""
+    from .agg import grouped_agg
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    distinct = dedup_exact(ds.select_columns(keys + [value_col]),
+                           keys + [value_col])
+    return grouped_agg(distinct, keys, {"n_distinct": (None, "count")},
+                       combine="shuffle")
