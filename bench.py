@@ -161,8 +161,13 @@ def scaling_run() -> dict:
     for 8 -> 32) and are reported for transparency.
     """
     _gen_pages(SCALING_PAGES_HI)
-    runs = {c: _timed_at(c, SCALING_PAGES_HI) for c in (2, 4, 8, 16, 32)}
-    tput = {c: r["pages_per_sec"] for c, r in runs.items()}
+    # the sandbox box carries uncontrolled background load; noise only
+    # ever SLOWS a run, so per level take the max over a few repetitions
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    tput = {}
+    for c in (2, 4, 8, 16, 32):
+        tput[c] = max(_timed_at(c, SCALING_PAGES_HI)["pages_per_sec"]
+                      for _ in range(reps))
     eff = {f"{a}_{b}": round(tput[b] / (4.0 * tput[a]), 3)
            for a, b in ((2, 8), (4, 16), (8, 32))}
     return {
