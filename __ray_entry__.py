@@ -931,12 +931,14 @@ def proj_epsg_chain(sf_dir: str):
 
     def finish(t: pa.Table) -> pa.Table:
         r = R_EARTH
+        # "+ 0.0" canonicalizes signed zero (-0.0 -> +0.0) so the byte-level
+        # value-hash compare matches the oracle, which applies the same fixup
         return pa.table({
             "event_id": t["event_id"],
-            "wx": pa.array(np.round(np.asarray(t["mx"]) / r, 7)),
-            "wy": pa.array(np.round(np.asarray(t["my"]) / r, 7)),
-            "ex": pa.array(np.round(np.asarray(t["ex"]) / r, 7)),
-            "ey": pa.array(np.round(np.asarray(t["ey"]) / r, 7)),
+            "wx": pa.array(np.round(np.asarray(t["mx"]) / r, 7) + 0.0),
+            "wy": pa.array(np.round(np.asarray(t["my"]) / r, 7) + 0.0),
+            "ex": pa.array(np.round(np.asarray(t["ex"]) / r, 7) + 0.0),
+            "ey": pa.array(np.round(np.asarray(t["ey"]) / r, 7) + 0.0),
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
@@ -1429,7 +1431,8 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_seq
               FROM g)
-            SELECT user_id, session_seq, COUNT(*) AS n_events
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_seq
         """,
         "docs_split_assign": """
@@ -1723,10 +1726,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "proj_epsg_chain": f"""
             SELECT event_id,
-                   ROUND(radians(x), 7) AS wx,
-                   ROUND(ln(tan(pi()/4 + radians(y)/2)), 7) AS wy,
-                   ROUND(radians(x), 7) AS ex,
-                   ROUND(radians(y), 7) AS ey
+                   ROUND(radians(x), 7) + 0.0 AS wx,
+                   ROUND(ln(tan(pi()/4 + radians(y)/2)), 7) + 0.0 AS wy,
+                   ROUND(radians(x), 7) + 0.0 AS ex,
+                   ROUND(radians(y), 7) + 0.0 AS ey
             FROM {event_points_sql('pts')}
         """,
         "spatial_bbox_read": f"""

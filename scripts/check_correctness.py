@@ -81,6 +81,11 @@ def main():
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        # dtype-kind check BEFORE normalize's casting: the driver hashes raw
+        # values, so int64 vs float64 (e.g. DuckDB HUGEINT sums) hash-fails
+        # even when numerically equal
+        kinds_a = {c: ray_df[c].dtype.kind for c in ray_df.columns}
+        kinds_b = {c: ora_df[c].dtype.kind for c in ora_df.columns}
         a = normalize(ray_df)
         b = normalize(ora_df)
         ok = True
@@ -98,6 +103,29 @@ def main():
                 print(pd.concat([a[bad].head(3).add_suffix("_ray"),
                                  b[bad].head(3).add_suffix("_sql")], axis=1).to_string())
                 ok = False
+            else:
+                # byte-level compare (catches -0.0 vs +0.0 and dtype drift)
+                for c in a.columns:
+                    ka, kb = kinds_a.get(c), kinds_b.get(c)
+                    if {ka, kb} <= {"i", "u"} or ka == kb:
+                        pass
+                    else:
+                        print(f"HASHFAIL {name}: column {c} dtype kind "
+                              f"{ka} (ray) vs {kb} (oracle)")
+                        ok = False
+                    if a[c].dtype.kind in "fiu" and b[c].dtype.kind in "fiu":
+                        if a[c].to_numpy().tobytes() != b[c].to_numpy().tobytes():
+                            av, bv = a[c].to_numpy(), b[c].to_numpy()
+                            byte_neq = np.where(
+                                av.view(np.uint64) != bv.view(np.uint64))[0] \
+                                if av.dtype == bv.dtype else np.array([0])
+                            print(f"HASHFAIL {name}: column {c} byte-differs "
+                                  f"at {len(byte_neq)} rows (e.g. row "
+                                  f"{byte_neq[0] if len(byte_neq) else '?'}: "
+                                  f"{av[byte_neq[0]]!r} vs {bv[byte_neq[0]]!r})"
+                                  if len(byte_neq) else
+                                  f"HASHFAIL {name}: column {c} byte-differs")
+                            ok = False
         if ok:
             print(f"PASS {name}: {len(a)} rows  ({dt:.1f}s)")
             n_pass += 1

@@ -86,9 +86,12 @@ def audio_features(samples: np.ndarray, rate: int, n_bands: int = 8) -> np.ndarr
     if n == 0:
         return np.zeros(3 + n_bands, dtype=np.float32)
     rms = float(np.sqrt(np.mean(mono ** 2)))
-    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
     peak = float(np.abs(mono).max())
     spec = np.abs(np.fft.rfft(mono)) ** 2
+    if len(spec) < 2:  # 1-sample clip: no resolvable bands (geomspace to 0)
+        return np.concatenate([[rms, zcr, peak],
+                               np.zeros(n_bands)]).astype(np.float32)
     edges = np.unique(np.geomspace(1, len(spec) - 1, n_bands + 1).astype(int))
     bands = np.zeros(n_bands)
     for i in range(min(n_bands, len(edges) - 1)):

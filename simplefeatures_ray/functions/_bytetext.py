@@ -83,15 +83,21 @@ class BatchText:
             return np.zeros(self.n, dtype=np.int64)
         if self._empty is None:
             self._empty = self.offsets[:-1] == self.offsets[1:]
-        idx = np.minimum(self.offsets[:-1], len(self.buf) - 1)
-        out = np.add.reduceat(mask, idx).astype(np.int64)
+        # sentinel False byte so offsets equal to len(buf) (trailing empty
+        # rows) are valid reduceat indices; no clamping — a clamp silently
+        # dropped the final byte of the last non-empty row
+        ext = np.concatenate([mask, np.zeros(1, dtype=mask.dtype)])
+        out = np.add.reduceat(ext, self.offsets[:-1]).astype(np.int64)
         out[self._empty] = 0
         return out
 
     def _start_mask(self, mask: np.ndarray) -> np.ndarray:
         starts = mask.copy()
         starts[1:] &= ~mask[:-1]
+        # drop boundary offsets at len(buf) (trailing empty rows) — they
+        # index past the mask and mark no real row start
         inner = self.offsets[1:-1]
+        inner = inner[inner < len(mask)]
         if len(inner):
             starts[inner] = mask[inner]
         return starts
@@ -106,7 +112,10 @@ class BatchText:
         starts_m = self._start_mask(mask)
         ends_m = mask.copy()
         ends_m[:-1] &= ~mask[1:]
+        # boundary at position p ends any run at p-1; offsets of 0 (leading
+        # empty rows) or len(buf) (trailing empties) mark no in-range end
         inner = self.offsets[1:-1]
+        inner = inner[(inner > 0) & (inner <= len(mask))]
         if len(inner):
             prev = inner - 1
             ends_m[prev] = mask[prev]

@@ -1,0 +1,97 @@
+"""Regression tests for the byte-class text engine's row-boundary edge
+cases (ADVICE r2, high): batches whose FINAL rows are empty/null used to
+crash _start_mask (out-of-bounds offsets == len(buf)) and silently
+undercount the last non-empty row in count() via the old clamp."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from simplefeatures_ray.functions import _bytetext as bt
+from simplefeatures_ray.functions.text import (
+    AnalyzeText,
+    Fingerprint,
+    LangId,
+    QualityScore,
+    TokenCount,
+)
+
+EDGE_BATCHES = [
+    ["x!", ""],                       # trailing empty (the reported crash)
+    ["hi!", "", ""],                  # multiple trailing empties
+    [None],                           # single null row
+    ["", "a b", None, ""],            # leading/mid/trailing empties + null
+    ["", "", ""],                     # all empty
+    [""],
+    ["the quick brown fox!", None, "it's ok", ""],
+    ["a", ""],                        # 1-byte final non-empty row
+]
+
+
+def _punct_count(s):
+    import re
+
+    return len(re.findall(r"[^\w\s]", s or ""))
+
+
+def test_count_no_undercount_with_trailing_empty():
+    b = bt.BatchText(pa.chunked_array([pa.array(["hi!", ""], pa.string())]))
+    punct = ~bt.word_mask(b.buf) & ~bt.ws_mask(b.buf)
+    out = b.count(punct)
+    assert out.tolist() == [1, 0]  # old clamp returned [0, 0]
+
+
+def test_count_and_runs_match_per_row_reference():
+    for rows in EDGE_BATCHES:
+        b = bt.BatchText(pa.chunked_array([pa.array(rows, pa.string())]))
+        letter = bt.letter_mask(b.buf)
+        counts = b.count(letter)
+        run_counts = b.run_start_counts(letter)
+        import re
+
+        for i, s in enumerate(rows):
+            s = s or ""
+            assert counts[i] == sum(c.isalpha() and c.isascii() for c in s), (rows, i)
+            assert run_counts[i] == len(re.findall(r"[A-Za-z]+", s)), (rows, i)
+
+
+def test_nonascii_rows_detects_final_row():
+    # the old clamp made nonascii_rows miss a final non-ASCII row whose
+    # non-ASCII byte is the last byte of the buffer
+    b = bt.BatchText(pa.chunked_array([pa.array(["plain", "café"], pa.string())]))
+    assert b.nonascii_rows.tolist() == [1]
+
+
+def test_kernels_stable_under_empty_tail():
+    """Each kernel's output for row i must not depend on empty/null rows
+    appended after it."""
+    kernels = [TokenCount(), QualityScore(), LangId(), Fingerprint(), AnalyzeText()]
+    base = ["the quick brown fox jumped!", "it's a test", "zz?? 123"]
+    t_base = pa.table({"text": pa.array(base, pa.string())})
+    t_tail = pa.table({"text": pa.array(base + ["", None, ""], pa.string())})
+    for k in kernels:
+        a = k(t_base).to_pandas()
+        btab = k(t_tail).to_pandas().iloc[: len(base)].reset_index(drop=True)
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), btab[c].to_numpy()
+            assert (av == bv).all(), (type(k).__name__, c, av, bv)
+
+
+def test_kernels_no_crash_on_edge_batches():
+    for rows in EDGE_BATCHES:
+        t = pa.table({"text": pa.array(rows, pa.string())})
+        out = AnalyzeText()(t)
+        assert len(out) == len(rows)
+        n_tok = out["n_tokens"].to_pylist()
+        for i, s in enumerate(rows):
+            if not s:
+                assert n_tok[i] == 0
+
+
+def test_normalize_ws_lower_trailing_empty():
+    rows = ["  Hello   WORLD  ", "", None, "a", ""]
+    b = bt.BatchText(pa.chunked_array([pa.array(rows, pa.string())]))
+    buf, offsets = bt.normalize_ws_lower(b)
+    got = [bytes(buf[offsets[i]:offsets[i + 1]]).decode() for i in range(len(rows))]
+    want = [" ".join((s or "").lower().split()) for s in rows]
+    assert got == want
