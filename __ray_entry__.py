@@ -18,6 +18,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from simplefeatures_ray.stages.worker_cache import auto_concurrency
+
 
 # --------------------------------------------------------------------------- #
 # helpers
@@ -244,10 +246,14 @@ def docs_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def kernel(t: pa.Table) -> pa.Table:
-        n = np.fromiter(
-            (len((s or "").split()) for s in t["text"].to_pylist()),
-            dtype=np.int64, count=len(t),
-        )
+        # vectorized byte-class path (non-ws run starts == str.split()
+        # token count for ASCII; non-ASCII rows take the exact fallback)
+        from simplefeatures_ray.functions import _bytetext as bt
+
+        b = bt.BatchText(t["text"])
+        n = b.run_start_counts(~bt.ws_mask(b.buf))
+        for i in b.nonascii_rows:
+            n[i] = len(b.row_text(int(i)).split())
         return pa.table({"doc_id": t["doc_id"], "n_ws_tokens": pa.array(n)})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
@@ -260,8 +266,36 @@ def docs_dedup_prefix(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def add_prefix(t: pa.Table) -> pa.Table:
-        pref = [" ".join((s or "").split()[:5]) for s in t["text"].to_pylist()]
-        return t.append_column("prefix5", pa.array(pref, pa.string()))
+        # vectorized '" ".join(s.split()[:5])': whitespace-normalize the
+        # batch buffer, truncate each row at its 5th space, rebuild the
+        # string column zero-copy from (offsets, bytes). Non-ASCII rows
+        # (unicode whitespace) take the exact per-row fallback.
+        import pyarrow.compute as pc
+
+        from simplefeatures_ray.functions import _bytetext as bt
+
+        b = bt.BatchText(t["text"])
+        buf, offsets = bt.normalize_ws_lower(b, lower=False)
+        o0, o1 = offsets[:-1], offsets[1:]
+        sp = np.nonzero(buf == 32)[0]
+        idx = np.searchsorted(sp, o0) + 4  # rank of each row's 5th space
+        cand = (sp[np.minimum(idx, max(len(sp) - 1, 0))]
+                if len(sp) else np.zeros(len(o0), np.int64))
+        end = np.where((idx < len(sp)) & (cand < o1), cand, o1)
+        delta = np.zeros(len(buf) + 1, np.int64)
+        np.add.at(delta, o0, 1)
+        np.add.at(delta, end, -1)
+        newbuf = buf[np.cumsum(delta[:-1]) > 0] if len(buf) else buf
+        new_off = np.concatenate(([0], np.cumsum(end - o0, dtype=np.int64)))
+        arr = pa.Array.from_buffers(
+            pa.large_string(), b.n,
+            [None, pa.py_buffer(new_off), pa.py_buffer(newbuf.copy())])
+        if len(b.nonascii_rows):
+            py = arr.to_pylist()
+            for i in b.nonascii_rows:
+                py[int(i)] = " ".join(b.row_text(int(i)).split()[:5])
+            arr = pa.array(py, pa.large_string())
+        return t.append_column("prefix5", pc.cast(arr, pa.string()))
 
     ds = ds.map_batches(add_prefix, batch_format="pyarrow")
     # prefix5 cardinality grows with the corpus — shuffle combine, never
@@ -283,8 +317,10 @@ def docs_quality(sf_dir: str):
     from simplefeatures_ray.functions.text import QualityScore, TokenCount
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(TokenCount, batch_format="pyarrow", concurrency=(1, 2))
-    ds = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(TokenCount, batch_format="pyarrow",
+                        concurrency=auto_concurrency())
+    ds = ds.map_batches(QualityScore, batch_format="pyarrow",
+                        concurrency=auto_concurrency())
     return _round_cols(
         ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens", "punct_ratio", "stop_ratio", "quality"]),
         {"punct_ratio": 6, "stop_ratio": 6, "quality": 6},
@@ -302,20 +338,27 @@ def docs_quality_metrics(sf_dir: str):
     stop = ("the", "and", "of", "a", "to", "in", "is", "that", "for", "it")
 
     def kernel(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n, dtype=np.int64)
-        punct_ratio = np.zeros(n)
-        stop_ratio = np.zeros(n)
-        for i, s in enumerate(texts):
-            s = s or ""
-            n_chars[i] = len(s)
-            if not s:
-                continue
+        # vectorized byte-class path mirroring functions.text.QualityScore
+        # (letter|apostrophe word runs, [^\w\s] punctuation); non-ASCII
+        # rows fall back to the exact regex reference
+        from simplefeatures_ray.functions import _bytetext as bt
+
+        b = bt.BatchText(t["text"])
+        word_mask = bt.letter_mask(b.buf) | bt.apo_mask(b.buf)
+        n_chars = np.diff(b.offsets).astype(np.int64)
+        n_punct = b.count(~bt.word_mask(b.buf) & ~bt.ws_mask(b.buf))
+        hits, n_words = bt.stop_hits(b, word_mask, [frozenset(stop)])
+        punct_ratio = np.where(n_chars > 0,
+                               n_punct / np.maximum(n_chars, 1), 0.0)
+        stop_ratio = np.where(n_words > 0,
+                              hits[0] / np.maximum(n_words, 1), 0.0)
+        for i in b.nonascii_rows:
+            s = b.row_text(int(i))
             words = word_re.findall(s)
-            punct_ratio[i] = len(punct_re.findall(s)) / max(1, len(s))
-            if words:
-                stop_ratio[i] = sum(1 for w in words if w.lower() in stop) / len(words)
+            n_chars[i] = len(s)
+            punct_ratio[i] = len(punct_re.findall(s)) / max(1, len(s)) if s else 0.0
+            stop_ratio[i] = (sum(1 for w in words if w.lower() in stop)
+                             / len(words)) if words else 0.0
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -484,7 +527,8 @@ def docs_langid_pred(sf_dir: str):
     from simplefeatures_ray.functions.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    ds = ds.map_batches(LangId, batch_format="pyarrow",
+                        concurrency=auto_concurrency())
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
 
 
@@ -807,7 +851,8 @@ def geom_pip_convex(sf_dir: str):
                 "case_id": pa.array(np.concatenate(out_c) if out_c else np.array([], np.int64)),
             })
 
-    return pts.map_batches(PIPKernel, batch_format="pyarrow", concurrency=(1, 2))
+    return pts.map_batches(PIPKernel, batch_format="pyarrow",
+                           concurrency=auto_concurrency())
 
 
 def _box_pairs_ds():
@@ -1100,12 +1145,14 @@ def media_features(sf_dir: str):
     audio = real_audio_table(256)
     media = media.append_column("audio_bytes", audio["audio_bytes"])
     ds = rd.from_arrow(media)
-    ds = ds.map_batches(DecodeImage,
-                        batch_format="pyarrow", concurrency=2, batch_size=64)
-    ds = ds.map_batches(DecodeAudio, batch_format="pyarrow", concurrency=2,
-                        batch_size=64)
-    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2)
-    ds = ds.map_batches(SampleFrames, batch_format="pyarrow", concurrency=2)
+    ds = ds.map_batches(DecodeImage, batch_format="pyarrow",
+                        concurrency=auto_concurrency(), batch_size=64)
+    ds = ds.map_batches(DecodeAudio, batch_format="pyarrow",
+                        concurrency=auto_concurrency(), batch_size=64)
+    ds = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                        concurrency=auto_concurrency())
+    ds = ds.map_batches(SampleFrames, batch_format="pyarrow",
+                        concurrency=auto_concurrency())
 
     def finish(t: pa.Table) -> pa.Table:
         feats = t["img_features"].combine_chunks()
@@ -1133,12 +1180,29 @@ def media_features(sf_dir: str):
 
 
 def flagship_tiles(sf_dir: str):
+    """The production shape end-to-end: geotag -> join -> tiles with NO
+    global sort; output flows through the checkpointed partitioned sink
+    (per-partition sorted files + lineage manifest) and is read back as
+    a Dataset. Content is deterministic at any parallelism (pinned by
+    tests/test_pipeline.py golden hash)."""
+    import atexit
+    import shutil
+    import tempfile
+
     from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
     from simplefeatures_ray.sources.pages import read_pages
     from simplefeatures_ray.sources.polygons import make_polygons
+    from simplefeatures_ray.state.checkpoint import (
+        checkpointed_write,
+        read_checkpointed,
+    )
 
     n = _pages_count(sf_dir)
-    return geotag_join_tiles(read_pages(n), make_polygons(64))
+    out = geotag_join_tiles(read_pages(n), make_polygons(64))
+    out_dir = tempfile.mkdtemp(prefix="sfray-flagship-tiles-", dir="/tmp")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    checkpointed_write(out, out_dir, partition_col="tile_id", resume=False)
+    return read_checkpointed(out_dir)
 
 
 def entry() -> Any:

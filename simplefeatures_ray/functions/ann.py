@@ -66,7 +66,7 @@ class BruteForceTopK:
 
 
 def brute_force_topk(ds, query_ids, query_matrix, k: int, *, id_col="vec_id",
-                     vec_col="embedding", concurrency=(1, 4)):
+                     vec_col="embedding"):
     """Dataset of (id, embedding) -> exact cosine top-k rows per query:
     (query_id, id, cosine, rank), rank 0 = best; ties by lowest id."""
     import ray
@@ -128,7 +128,7 @@ class IVFAssign:
 
 
 def ivf_topk(ds, query_ids, query_matrix, k: int, *, n_clusters=16, nprobe=4,
-             sample_rows=2048, id_col="vec_id", vec_col="embedding", concurrency=(1, 4)):
+             sample_rows=2048, id_col="vec_id", vec_col="embedding"):
     """IVF ANN: bucket by nearest centroid; probe nprobe buckets per query.
 
     The centroid model is built from a deterministic sample (ds.limit),
@@ -253,7 +253,7 @@ class _AllPairsCosine:
 
 
 def embedding_near_dup_pairs(ds, threshold: float, *, id_col="vec_id",
-                             vec_col="embedding", concurrency=(1, 4)):
+                             vec_col="embedding"):
     """EXACT embedding-cosine near-dup pairs (id_a < id_b, cosine >= t).
 
     The corpus matrix is broadcast once (ray.put); each batch multiplies
@@ -322,8 +322,7 @@ class _HyperplaneSig:
 
 
 def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
-                           vec_col="embedding", n_bits=12, n_tables=1,
-                           concurrency=(1, 4)):
+                           vec_col="embedding", n_bits=12, n_tables=1):
     """Approximate near-dup pairs: hyperplane-LSH bucket groupby, exact
     cosine verify within buckets, distinct-pair final. Scale path: the
     only shuffle carries n_tables x (table, bucket, id, vec) rows and

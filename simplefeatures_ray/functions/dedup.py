@@ -199,7 +199,7 @@ def lsh_band_rows(batch: pa.Table, num_perm: int, bands: int, id_col: str = "doc
 
 
 def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, ngram=3, id_col="doc_id",
-                      text_col="text", concurrency=(1, 4)):
+                      text_col="text"):
     """Dataset with (id, text) -> Dataset of candidate duplicate pairs
     (id_a < id_b), deduplicated. Pipeline: signature (actor pool) ->
     band explode -> groupby(band_key) -> pairs within group."""
@@ -326,7 +326,7 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text",
-                           n_bands=4, concurrency=(1, 4)):
+                           n_bands=4):
     """Near-dup pairs by SimHash banding (n_bands tables of 64/n_bands
     bits — pigeonhole: any pair within hamming <= n_bands-1 shares at
     least one exact band, so recall is COMPLETE when

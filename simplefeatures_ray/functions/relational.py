@@ -55,10 +55,17 @@ class JoinSmall:
 
 
 def broadcast_join(big_ds, small, keys, right_keys=None, join_type="inner",
-                   small_cols=None, concurrency=(1, 4)):
-    """big Dataset ⋈ small table/Dataset without shuffling the big side."""
+                   small_cols=None, concurrency=None):
+    """big Dataset ⋈ small table/Dataset without shuffling the big side.
+
+    concurrency defaults to an autoscaling pool sized to cluster CPUs —
+    a fixed small pool would cap the stage regardless of cluster size."""
     import ray
 
+    from ..stages.worker_cache import auto_concurrency
+
+    if concurrency is None:
+        concurrency = auto_concurrency()
     small_tbl = collect_table(small)
     small_ref = ray.put(small_tbl)
     return big_ds.map_batches(
@@ -138,22 +145,37 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
-def dedup_exact(ds, key_cols, keep_col: str | None = None):
-    """Exact dedup: hash-partition on key, keep first (lowest keep_col).
+def dedup_exact(ds, key_cols, keep_col: str | None = None, n_parts: int = 64):
+    """Exact dedup: keep the first row per key (lowest keep_col; with
+    keep_col=None, deterministic first by sorting on all columns).
 
-    Scale path (SURVEY.md §2.6): groupby(key) shuffles only once; within
-    group 'first' is computed vectorized. keep_col=None keeps an arbitrary
-    -but-deterministic first by sorting on all columns.
-    """
+    Scale path (SURVEY.md §2.6): per-batch local dedup (combiner) bounds
+    the shuffle to one row per (key, block); the final selection runs
+    vectorized on a COARSE hash partition of the keys — Ray's map_groups
+    pays per GROUP, so one task per distinct key is ruinous at 10^5+
+    keys, while n_parts partitions keep task count flat."""
     import pandas as pd
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
-    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
-        sort_by = key_cols + ([keep_col] if keep_col else [])
-        return df.sort_values(sort_by, kind="mergesort").head(1)
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        extra = ([keep_col] if keep_col else
+                 sorted(c for c in df.columns
+                        if c not in key_cols and c != "__part"))
+        df = df.sort_values(key_cols + extra, kind="mergesort")
+        return df.drop_duplicates(subset=key_cols, keep="first")
 
-    return ds.groupby(key_cols).map_groups(first_per_group, batch_format="pandas")
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = _first(df).copy()
+        h = pd.util.hash_pandas_object(out[key_cols], index=False).to_numpy()
+        out["__part"] = (h % n_parts).astype(np.int32)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _first(df.drop(columns="__part"))
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    return part.groupby("__part").map_groups(final, batch_format="pandas")
 
 
 def topk(ds, key: str, k: int, descending: bool = True):

@@ -28,16 +28,20 @@ def geotag_join_tiles(
     mode: str = "inner",
     concurrency: int | tuple | None = None,
     batch_size: int = 2048,
-    final_sort: bool = True,
+    final_sort: bool = False,
     branch_cache: str = "spill",
     spill_dir: str | None = None,
 ):
     """pages Dataset + polygon table -> Dataset of
     (url, lat, lon, cell, poly_id[, poly_name], tile_id).
 
-    Deterministic at any parallelism: extraction is per-row pure, the join
-    emits (point, poly_id)-sorted rows, tile ids come from a globally
-    sorted histogram, and the final sort pins output order.
+    Deterministic CONTENT at any parallelism: extraction is per-row pure,
+    the join emits (point, poly_id)-sorted rows, and tile ids come from a
+    globally sorted histogram. Row ORDER is pinned per partition by the
+    checkpointed sink (state/checkpoint.checkpointed_write sorts within
+    each bucket file) — the production shape. final_sort=True adds a
+    global all-to-all sort instead; at 10^12 pages that sort is the
+    single most expensive exchange in the pipeline, so it is opt-in.
     """
     import ray
 

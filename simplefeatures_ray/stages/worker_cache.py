@@ -41,3 +41,21 @@ def get_cached(ref, build=None):
         value = build(value)
     _CACHE[key] = value
     return value
+
+
+def auto_concurrency(lo: int = 1, cap: int | None = None) -> tuple:
+    """Autoscaling actor-pool bounds sized from the live cluster: (lo,
+    total CPUs), optionally capped. A hard-coded (1, 2)-style pool
+    starves the stage on a big cluster; sizing hi to cluster CPUs lets
+    Ray's autoscaling pool grow with demand while backpressure keeps
+    concurrent stages from oversubscribing."""
+    import ray
+
+    try:
+        hi = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        hi = 0
+    hi = hi or 8
+    if cap is not None:
+        hi = min(hi, cap)
+    return (lo, max(lo, hi))

@@ -111,7 +111,10 @@ def checkpointed_write(ds, out_dir: str, partition_col: str,
         os.makedirs(part_dir, exist_ok=True)
         final = os.path.join(part_dir, "data.parquet")
         tmp = final + f".tmp.{os.getpid()}"
+        # strip the pandas metadata blob: Ray's block-schema dedup can't
+        # hash dict-valued metadata and warns on every read-back
         tbl = pa.Table.from_pandas(body, preserve_index=False)
+        tbl = tbl.replace_schema_metadata(None)
         pq.write_table(tbl, tmp)
         os.replace(tmp, final)  # idempotent under retry
         return pd.DataFrame(
@@ -162,4 +165,6 @@ def read_checkpointed(out_dir: str):
     paths = [
         os.path.join(out_dir, f"part={b}", "data.parquet") for b in sorted(manifest)
     ]
-    return rd.read_parquet(paths)
+    # partitioning=None: don't infer a hive 'part' column from the bucket
+    # directory names — the data columns are the contract
+    return rd.read_parquet(paths, partitioning=None)

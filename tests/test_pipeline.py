@@ -11,7 +11,11 @@ def small_run(ray_session):
     from simplefeatures_ray.sources.pages import pages_dataset
     from simplefeatures_ray.sources.polygons import make_polygons
 
-    out = geotag_join_tiles(pages_dataset(5000), make_polygons(64))
+    # final_sort=True: these tests assert on the globally-sorted variant
+    # (the default is the partitioned-sink shape, exercised by
+    # test_golden_output_hash and the checkpoint suite)
+    out = geotag_join_tiles(pages_dataset(5000), make_polygons(64),
+                            final_sort=True)
     return out.to_pandas()
 
 
@@ -63,6 +67,7 @@ def test_deterministic_across_parallelism(ray_session, small_run):
         pages_dataset(5000, override_num_blocks=3),
         make_polygons(64),
         batch_size=577,
+        final_sort=True,
     ).to_pandas()
     assert small_run.reset_index(drop=True).equals(out2.reset_index(drop=True))
 
@@ -109,18 +114,32 @@ def test_golden_output_hash(ray_session):
     from simplefeatures_ray.sources.pages import pages_dataset
     from simplefeatures_ray.sources.polygons import make_polygons
 
-    df = geotag_join_tiles(pages_dataset(3000), make_polygons(64)).to_pandas()
-    df = df.reindex(sorted(df.columns), axis=1)
+    def canon(df):
+        # default is now the production shape (final_sort=False): content
+        # is deterministic, row order is not — canonicalize by sorting
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    df = canon(geotag_join_tiles(pages_dataset(3000), make_polygons(64)).to_pandas())
     digest = hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
-    df2 = geotag_join_tiles(
+    df2 = canon(geotag_join_tiles(
         pages_dataset(3000, override_num_blocks=2), make_polygons(64), batch_size=333
-    ).to_pandas().reindex(sorted(df.columns), axis=1)
+    ).to_pandas())
     assert hashlib.sha256(df2.to_csv(index=False).encode()).hexdigest() == digest
+    # the opt-in global sort must produce the same CONTENT
+    df3 = canon(geotag_join_tiles(
+        pages_dataset(3000), make_polygons(64), final_sort=True).to_pandas())
+    assert hashlib.sha256(df3.to_csv(index=False).encode()).hexdigest() == digest
     # pin (update deliberately, never casually):
     assert digest == GOLDEN_FLAGSHIP_3000, digest
 
 
-GOLDEN_FLAGSHIP_3000 = "ef70a1e3da6020fea142f3468085be0039199fb60f5cff371827ffc20af7a58f"
+# re-pinned 2026-08-17: flagship default switched to the partitioned-sink
+# shape (final_sort=False) and the gate hash is now computed over rows
+# canonicalized by sort-by-all-columns, so the digest changed while the
+# underlying join rows and tile ids are unchanged (df3 equality above
+# proves sorted-path content identity).
+GOLDEN_FLAGSHIP_3000 = "a78d17dab18b18121cf2f72f69e07109e1eba763d0d2a0461a4263b7d256a4f4"
 
 
 def test_extracted_text_byte_identical(ray_session):
