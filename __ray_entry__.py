@@ -590,16 +590,18 @@ def emb_near_dup_pairs(sf_dir: str):
 
 
 def emb_near_dup_lsh(sf_dir: str):
-    """LSH-bucketed near-dup (the scale path, now the oracle-gated one).
+    """LSH-bucketed near-dup (the scale path, oracle-gated).
 
-    128 tables x 6 bits reach recall 1.0 on the synthetic embedding
-    tables at the low 0.4 threshold (verified at sf0.001/0.01/0.1 —
-    deterministic seeded planes make the gate reproducible), so the
-    exact-pair SQL is a valid oracle."""
+    8 tables x 6 bits with 1-bit multiprobe and KEY-ONLY bucket shuffle
+    reach recall 1.0 on the synthetic embedding tables at the 0.4
+    threshold (measured at sf0.001/0.01/0.1 — deterministic seeded
+    planes make the gate reproducible), so the exact-pair SQL is a
+    valid oracle. See functions/ann.py embedding_near_dup_lsh for the
+    recall/shuffle-volume analysis."""
     from simplefeatures_ray.functions.ann import embedding_near_dup_lsh
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_lsh(ds, threshold=0.4, n_bits=6, n_tables=128)
+    return embedding_near_dup_lsh(ds, threshold=0.4, n_bits=6, n_tables=8)
 
 
 def ann_ivf_topk(sf_dir: str):

@@ -45,6 +45,16 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's sort-based groupby shuffle emits schema-less EMPTY blocks for
+    # key ranges with no rows; streaming_executor_state then warns
+    # ("RefBundle with a different schema ... new schema: .") once per
+    # transition. The bundles are empty — cosmetic noise from Ray
+    # internals, not a data issue — so keep the bench tail clean.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
     return ray
 
 

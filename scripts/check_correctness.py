@@ -49,6 +49,13 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # empty shuffle partitions yield schema-less bundles; Ray warns once
+    # per transition — cosmetic (see bench.py), keep the log readable
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod

@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._pdarrow import arrow_groups
+
 _KINDS = {"sum", "count", "min", "max", "mean"}
 
 
@@ -74,7 +76,7 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     kernel, plan = _partial_kernel(keys, spec)
-    partial = ds.map_batches(kernel, batch_format="pandas")
+    partial = ds.map_batches(arrow_groups(kernel), batch_format="pyarrow")
     if combine == "driver":
         from .relational import collect_table
 
@@ -95,8 +97,9 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return _combine_frame(df.drop(columns="__part"), keys, spec, plan)
 
-    parted = partial.map_batches(add_part, batch_format="pandas")
-    return parted.groupby("__part").map_groups(final, batch_format="pandas")
+    parted = partial.map_batches(arrow_groups(add_part), batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(
+        arrow_groups(final), batch_format="pyarrow")
 
 
 def exact_quantiles(ds, col: str, qs, group_keys=None):

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._pdarrow import arrow_groups
+
 _WORD = re.compile(r"[\w']+", re.U)
 
 _MERSENNE = (1 << 61) - 1
@@ -242,7 +244,8 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, ngram=3, id_col="doc_id",
         df = pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
         return df.drop_duplicates()
 
-    pairs = bandrows.groupby("band_part").map_groups(pairs_in_part, batch_format="pandas")
+    pairs = bandrows.groupby("band_part").map_groups(
+        arrow_groups(pairs_in_part), batch_format="pyarrow")
     return dedup_pairs(pairs)
 
 
@@ -261,7 +264,8 @@ def dedup_pairs(pairs_ds, extra_cols=()):
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"]).drop(columns="pair_part")
 
-    return parts.groupby("pair_part").map_groups(uniq, batch_format="pandas")
+    return parts.groupby("pair_part").map_groups(
+        arrow_groups(uniq), batch_format="pyarrow")
 
 
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
@@ -389,5 +393,6 @@ def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text
                 {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64})
         return pd.concat(out).drop_duplicates(["id_a", "id_b"])
 
-    cand = rows.groupby("band_part").map_groups(pairs, batch_format="pandas")
+    cand = rows.groupby("band_part").map_groups(
+        arrow_groups(pairs), batch_format="pyarrow")
     return dedup_pairs(cand)

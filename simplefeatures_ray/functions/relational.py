@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ._pdarrow import arrow_groups
+
 
 def collect_table(ds_or_table) -> pa.Table:
     """Materialize a SMALL Dataset to one Arrow table (driver side).
@@ -142,7 +144,8 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
 
     lt, rt = align_union_schema(lt, rt)
     both = lt.union(rt)
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(
+        arrow_groups(join_bucket), batch_format="pyarrow")
 
 
 def dedup_exact(ds, key_cols, keep_col: str | None = None, n_parts: int = 64):
@@ -174,8 +177,9 @@ def dedup_exact(ds, key_cols, keep_col: str | None = None, n_parts: int = 64):
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return _first(df.drop(columns="__part"))
 
-    part = ds.map_batches(partial, batch_format="pandas")
-    return part.groupby("__part").map_groups(final, batch_format="pandas")
+    part = ds.map_batches(arrow_groups(partial), batch_format="pyarrow")
+    return part.groupby("__part").map_groups(
+        arrow_groups(final), batch_format="pyarrow")
 
 
 def topk(ds, key: str, k: int, descending: bool = True):
@@ -248,8 +252,9 @@ def grouped_topk(ds, keys, order_col: str, k: int, descending: bool = True,
         df = df.sort_values(order, ascending=asc, kind="mergesort")
         return df.groupby(keys, sort=False).head(k)
 
-    part = ds.map_batches(partial, batch_format="pandas")
-    return part.groupby("__part").map_groups(final, batch_format="pandas")
+    part = ds.map_batches(arrow_groups(partial), batch_format="pyarrow")
+    return part.groupby("__part").map_groups(
+        arrow_groups(final), batch_format="pyarrow")
 
 
 def grouped_nunique(ds, keys, value_col: str):

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ._pdarrow import arrow_groups
 import pyarrow.compute as pc
 
 
@@ -166,7 +168,8 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
 
     lt, rt = align_union_schema(lt, rt)
     both = lt.union(rt)
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(
+        arrow_groups(merge_bucket), batch_format="pyarrow")
 
 
 def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
@@ -217,4 +220,5 @@ def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
             np.where(key_change, carried, -1))
         return df[[key] + id_cols + [ts_col, "session_seq"]]
 
-    return parted.groupby("__part").map_groups(per_part, batch_format="pandas")
+    return parted.groupby("__part").map_groups(
+        arrow_groups(per_part), batch_format="pyarrow")

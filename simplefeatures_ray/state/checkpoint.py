@@ -26,6 +26,8 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..functions._pdarrow import arrow_groups
 import pyarrow.parquet as pq
 
 MANIFEST = "_manifest.json"
@@ -127,7 +129,8 @@ def checkpointed_write(ds, out_dir: str, partition_col: str,
             }
         )
 
-    lineage = bucketed.groupby("__bucket").map_groups(write_partition, batch_format="pandas")
+    lineage = bucketed.groupby("__bucket").map_groups(
+        arrow_groups(write_partition), batch_format="pyarrow")
     rows = lineage.to_pandas()
     partitions = dict(done)
     for _, r in rows.iterrows():
