@@ -991,6 +991,53 @@ def proj_epsg_chain(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def proj_wgs84_chain(sf_dir: str):
+    """TRUE-ellipsoid (WGS84) projection chain: event lon/lat ->
+    EPSG:3395 World Mercator (isometric-latitude closed form) -> back to
+    4326 (fixed-point reverse, exercising the iterative inverse) ->
+    per-row NATURAL-zone UTM via the Krueger series
+    (simplefeatures_ray/ellipsoid.py; reference proj/proj.go:56-108
+    closed with real ellipsoidal math instead of CGO-PROJ). The oracle
+    recomputes the full series in SQL with literal WGS84 constants."""
+    from simplefeatures_ray.crs import NaturalUTM, TransformCRS
+    from simplefeatures_ray.ellipsoid import WGS84_A
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    to_3395 = TransformCRS("EPSG:4326", "EPSG:3395", out_x="mx", out_y="my")
+    back = TransformCRS("EPSG:3395", "EPSG:4326", x_col="mx", y_col="my",
+                        out_x="lon2", out_y="lat2")
+    out = pts.map_batches(to_3395, batch_format="pyarrow")
+    out = out.map_batches(back, batch_format="pyarrow")
+    # UTM runs on the ORIGINAL lon/lat (zone selection is discontinuous
+    # at zone edges, so the ~1e-13 deg round-trip noise in lon2 could
+    # flip a boundary point's zone); the reverse path is gated through
+    # the rounded lon2/lat2 columns instead.
+    out = out.map_batches(NaturalUTM(), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = WGS84_A
+        return pa.table({
+            "event_id": t["event_id"],
+            "wx": pa.array(np.round(np.asarray(t["mx"]) / a, 7) + 0.0),
+            "wy": pa.array(np.round(np.asarray(t["my"]) / a, 7) + 0.0),
+            "rx": pa.array(np.round(np.asarray(t["lon2"]), 9) + 0.0),
+            "ry": pa.array(np.round(np.asarray(t["lat2"]), 9) + 0.0),
+            "utm_zone": t["utm_zone"],
+            "ux": pa.array(np.round(np.asarray(t["utm_x"]), 3) + 0.0),
+            "uy": pa.array(np.round(np.asarray(t["utm_y"]), 3) + 0.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def spatial_bbox_read(sf_dir: str):
     """Spatially-partitioned sink round-trip with bbox pruning: event
     points written bucketed by Morton cell (state/spatial_sink), then
@@ -1268,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_bbox_read": spatial_bbox_read,
         "geom_coverage_union": geom_coverage_union,
         "proj_epsg_chain": proj_epsg_chain,
+        "proj_wgs84_chain": proj_wgs84_chain,
         # projections / raster / multimodal
         "proj_web_mercator": proj_web_mercator,
         "raster_tiles": raster_tiles,
@@ -1296,6 +1344,27 @@ def oracle_sql() -> dict[str, str]:
             "simplefeatures_ray.pipelines.corpus", fromlist=["point_probe_grid"]
         ).point_probe_grid()
     )
+
+    # WGS84 constants for the proj_wgs84_chain oracle: the SQL recomputes
+    # the full Krueger forward series pointwise; only the numeric
+    # coefficients (exact rational functions of the third flattening) are
+    # inlined as literals so both sides share bit-identical constants.
+    from simplefeatures_ray.ellipsoid import (
+        WGS84_E,
+        WGS84_N,
+        _krueger_alpha,
+        rectifying_radius,
+    )
+
+    _e = repr(WGS84_E)
+    _al = [repr(float(v)) for v in _krueger_alpha(WGS84_N)]
+    _k0A = repr(0.9996 * rectifying_radius())
+    _xi_terms = " + ".join(
+        f"{_al[j]}*sin({2*(j+1)}*xip)*((exp({2*(j+1)}*etap)+exp(-{2*(j+1)}*etap))/2)"
+        for j in range(6))
+    _eta_terms = " + ".join(
+        f"{_al[j]}*cos({2*(j+1)}*xip)*((exp({2*(j+1)}*etap)-exp(-{2*(j+1)}*etap))/2)"
+        for j in range(6))
 
     return {
         "q1_pricing_summary": """
@@ -1797,6 +1866,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(radians(x), 7) + 0.0 AS ex,
                    ROUND(radians(y), 7) + 0.0 AS ey
             FROM {event_points_sql('pts')}
+        """,
+        # full ellipsoidal recompute: isometric latitude (ln form of
+        # atanh), Gauss-Schreiber coords, 6-term Krueger series with
+        # hyperbolics expanded via exp — an independent SQL twin of
+        # simplefeatures_ray/ellipsoid.py
+        "proj_wgs84_chain": f"""
+            WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}),
+            s1 AS (SELECT event_id, x, y,
+                          radians(x) AS lam, radians(y) AS phi,
+                          (CAST(FLOOR((x + 180.0)/6.0) AS BIGINT) % 60) + 1 AS zone
+                   FROM p),
+            s2 AS (SELECT *, sin(phi) AS sphi,
+                          lam - radians(-183.0 + 6.0*zone) AS dl
+                   FROM s1),
+            s3 AS (SELECT *,
+                          0.5*ln((1+sphi)/(1-sphi))
+                          - {_e}*0.5*ln((1+{_e}*sphi)/(1-{_e}*sphi)) AS psi
+                   FROM s2),
+            s4 AS (SELECT *, (exp(psi)-exp(-psi))/2 AS tt,
+                          cos(dl) AS cdl, sin(dl) AS sdl
+                   FROM s3),
+            s5 AS (SELECT *, atan2(tt, cdl) AS xip,
+                          ln(sdl/sqrt(tt*tt+cdl*cdl)
+                             + sqrt(sdl*sdl/(tt*tt+cdl*cdl) + 1.0)) AS etap
+                   FROM s4),
+            s6 AS (SELECT *, xip + {_xi_terms} AS xi,
+                          etap + {_eta_terms} AS eta
+                   FROM s5)
+            SELECT event_id,
+                   ROUND(lam, 7) + 0.0 AS wx,
+                   ROUND(psi, 7) + 0.0 AS wy,
+                   ROUND(x, 9) + 0.0 AS rx,
+                   ROUND(y, 9) + 0.0 AS ry,
+                   zone AS utm_zone,
+                   ROUND(500000.0 + {_k0A}*eta, 3) + 0.0 AS ux,
+                   ROUND((CASE WHEN y < 0 THEN 10000000.0 ELSE 0.0 END)
+                         + {_k0A}*xi, 3) + 0.0 AS uy
+            FROM s6
         """,
         "spatial_bbox_read": f"""
             SELECT event_id, x, y

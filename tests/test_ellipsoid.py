@@ -1,0 +1,143 @@
+"""Ellipsoidal (WGS84) projection tests — every pin is an INDEPENDENT
+recomputation: Snyder's classic TM series (a different derivation than
+the Krueger series the engine uses), direct numerical quadrature of the
+meridian-arc integral, and closed-form isometric latitude."""
+import math
+
+import numpy as np
+import pytest
+
+from simplefeatures_ray.ellipsoid import (
+    WGS84_A,
+    WGS84_E,
+    WGS84_F,
+    MercatorEllipsoidal,
+    TransverseMercatorEllipsoidal,
+    UTMEllipsoidal,
+    isometric_latitude,
+    meridian_arc_numeric,
+    phi_from_isometric,
+)
+
+
+def snyder_tm_forward(lon, lat, lon0, k0=0.9996, fe=500000.0, fn=0.0):
+    """Snyder (Map Projections: A Working Manual, 1987) eq. 8-9..8-13 —
+    an independent 6th-order TM series used only as a test oracle."""
+    a, f = WGS84_A, WGS84_F
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    phi = math.radians(lat)
+    N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    T = math.tan(phi) ** 2
+    C = ep2 * math.cos(phi) ** 2
+    A = math.radians(lon - lon0) * math.cos(phi)
+    M = meridian_arc_numeric(lat)
+    x = fe + k0 * N * (A + (1 - T + C) * A**3 / 6
+                       + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A**5 / 120)
+    y = fn + k0 * (M + N * math.tan(phi) * (
+        A * A / 2 + (5 - T + 9 * C + 4 * C * C) * A**4 / 24
+        + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A**6 / 720))
+    return x, y
+
+
+SAMPLE_POINTS = [  # (lon, lat) spread across a zone and both hemispheres
+    (3.0, 50.0), (2.2945, 48.8584), (5.9, 58.0), (0.5, -0.5),
+    (3.0, 0.0), (4.5, -35.2), (0.01, 72.0), (5.99, -69.9),
+]
+
+
+def test_utm_matches_snyder_series():
+    utm_n = UTMEllipsoidal(31)
+    utm_s = UTMEllipsoidal(31, south=True)
+    for lon, lat in SAMPLE_POINTS:
+        utm = utm_s if lat < 0 else utm_n
+        fn = UTMEllipsoidal.FALSE_NORTHING_SOUTH if lat < 0 else 0.0
+        x, y = utm.forward(np.array([lon]), np.array([lat]))
+        xs, ys = snyder_tm_forward(lon, lat, 3.0, fn=fn)
+        assert abs(x[0] - xs) < 1e-3, (lon, lat, x[0], xs)
+        assert abs(y[0] - ys) < 1e-3, (lon, lat, y[0], ys)
+
+
+def test_utm_central_meridian_pins():
+    """At the central meridian: easting exactly 500000, northing equals
+    k0 x the numerically integrated meridian arc."""
+    utm = UTMEllipsoidal(31)
+    for lat in (0.0, 12.5, 50.0, 79.9):
+        x, y = utm.forward(np.array([3.0]), np.array([lat]))
+        assert x[0] == pytest.approx(500000.0, abs=1e-9)
+        assert y[0] == pytest.approx(0.9996 * meridian_arc_numeric(lat), abs=1e-5)
+
+
+def test_utm_round_trip():
+    rng = np.random.default_rng(5)
+    lon = 3.0 + rng.uniform(-3, 3, 500)
+    lat = rng.uniform(-80, 84, 500)
+    for south in (False, True):
+        utm = UTMEllipsoidal(31, south=south)
+        x, y = utm.forward(lon, lat)
+        lon2, lat2 = utm.reverse(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2, lat, atol=1e-11)
+
+
+def test_mercator_3395_closed_form_and_round_trip():
+    m = MercatorEllipsoidal()
+    lon = np.array([10.0, -120.0, 0.0, 179.0])
+    lat = np.array([50.0, -33.0, 0.0, 83.0])
+    x, y = m.forward(lon, lat)
+    for i in range(len(lon)):
+        phi = math.radians(lat[i])
+        psi = math.atanh(math.sin(phi)) - WGS84_E * math.atanh(WGS84_E * math.sin(phi))
+        assert x[i] == pytest.approx(WGS84_A * math.radians(lon[i]), abs=1e-6)
+        assert y[i] == pytest.approx(WGS84_A * psi, abs=1e-6)
+    lon2, lat2 = m.reverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-12)
+    np.testing.assert_allclose(lat2, lat, atol=1e-12)
+
+
+def test_isometric_latitude_inverse():
+    phi = np.radians(np.linspace(-89, 89, 359))
+    psi = isometric_latitude(phi)
+    np.testing.assert_allclose(phi_from_isometric(psi), phi, atol=1e-13)
+
+
+def test_ellipsoidal_differs_from_spherical_sanely():
+    """The ellipsoid correction at mid-latitudes is O(f * arc) — tens of
+    km of northing — and zero at the equator for easting on the CM."""
+    from simplefeatures_ray.carto import UTM
+
+    ell = UTMEllipsoidal(31)
+    sph = UTM(31)
+    x_e, y_e = ell.forward(np.array([3.0]), np.array([50.0]))
+    x_s, y_s = sph.forward(np.array([3.0]), np.array([50.0]))
+    assert x_e[0] == pytest.approx(x_s[0], abs=1e-6)  # both 500000 on CM
+    assert 1000 < abs(y_e[0] - y_s[0]) < 60000
+
+
+def test_crs_registry_ellipsoidal_codes(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.crs import NaturalUTM, TransformCRS, crs_for
+
+    assert type(crs_for("EPSG:32631")).__name__ == "UTMEllipsoidal"
+    assert type(crs_for("EPSG:3395")).__name__ == "MercatorEllipsoidal"
+    assert type(crs_for("SPHERE:UTM:31")).__name__ == "UTM"
+    # NaturalUTM kernel: zone per point, values match direct projection
+    t = pa.table({"x": pa.array([2.2945, -120.0, 177.5]),
+                  "y": pa.array([48.8584, -33.0, 60.0])})
+    out = rd.from_arrow(t).map_batches(NaturalUTM(), batch_format="pyarrow").to_pandas()
+    # -120 sits ON the zone 10/11 edge and belongs to zone 11
+    assert out["utm_zone"].tolist() == [31, 11, 60]
+    x0, y0 = UTMEllipsoidal(31).forward(np.array([2.2945]), np.array([48.8584]))
+    assert out["utm_x"][0] == pytest.approx(x0[0], abs=1e-9)
+    assert out["utm_y"][0] == pytest.approx(y0[0], abs=1e-9)
+    # chained TransformCRS through the hub with an ellipsoidal leg
+    out2 = rd.from_arrow(t).map_batches(
+        TransformCRS("EPSG:4326", "EPSG:3395", out_x="mx", out_y="my"),
+        batch_format="pyarrow").map_batches(
+        TransformCRS("EPSG:3395", "EPSG:4326", x_col="mx", y_col="my",
+                     out_x="lon2", out_y="lat2"),
+        batch_format="pyarrow").to_pandas()
+    np.testing.assert_allclose(out2["lon2"], out2["x"], atol=1e-11)
+    np.testing.assert_allclose(out2["lat2"], out2["y"], atol=1e-11)
