@@ -1057,7 +1057,13 @@ def spatial_bbox_read(sf_dir: str):
                          "lon": pa.array(x), "lat": pa.array(y)})
 
     pts = ds.map_batches(derive, batch_format="pyarrow")
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    # cache key includes a CONTENT fingerprint of the input parquet
+    # (size + mtime), so regenerated testdata at the same path never
+    # serves a stale sink (ADVICE r2)
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
     out_dir = f"/tmp/sfray-spatial-{tag}"
     if not os.path.exists(os.path.join(out_dir, "_spatial_manifest.json")):
         write_spatial(pts, out_dir, res=3)

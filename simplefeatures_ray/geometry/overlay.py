@@ -244,22 +244,37 @@ def _repair_directed(directed, tol: float):
             unmatched.append(y)
     # second pass: hairline slivers (pinched rings from a prior snap-
     # rounded union) drop edges LONGER than the base tolerance; widen it
-    # for whatever dead-ends remain rather than letting the walk collapse
+    # for whatever dead-ends remain rather than letting the walk collapse.
+    # Bridge only when the candidate is UNIQUE within the widened radius
+    # — several distant dead-ends with multiple candidates would risk
+    # stitching unrelated endpoints into a wrong ring (ADVICE r2), and an
+    # un-bridged dead-end just degrades to the peeling walk's handling.
     if unmatched:
+        import logging
+
         wide = tol * 50.0
+        log = logging.getLogger(__name__)
         for y in unmatched:
-            best = None
+            cands = []
             for i, x in enumerate(need_in):
                 if used[i]:
                     continue
                 dist = math.hypot(x[0] - y[0], x[1] - y[1])
-                if dist <= wide and (best is None or dist < best[0]):
-                    best = (dist, i)
-            if best is not None:
-                used[best[1]] = True
-                x = need_in[best[1]]
+                if dist <= wide:
+                    cands.append((dist, i))
+            if len(cands) == 1:
+                _, i = cands[0]
+                used[i] = True
+                x = need_in[i]
                 if x != y:
+                    log.debug("overlay repair: widened dead-end bridge "
+                              "%s -> %s (dist %.3g, tol %.3g)",
+                              y, x, cands[0][0], tol)
                     added.add((y, x))
+            elif len(cands) > 1:
+                log.warning("overlay repair: %d ambiguous widened-radius "
+                            "candidates for dead-end %s — leaving unbridged",
+                            len(cands), y)
     return added
 
 

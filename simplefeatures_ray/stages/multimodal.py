@@ -46,6 +46,10 @@ class DecodeImage:
         data = data or b""
         if data[:8] == PNG_SIG:
             img = png_decode(data)
+        elif data[:2] == b"\xFF\xD8":
+            from ..jpegcodec import jpeg_decode
+
+            img = jpeg_decode(data)
         elif data[:2] == b"P6":
             img = ppm_decode(data)
         elif self.fake:
@@ -129,10 +133,13 @@ class SampleFrames:
 
 
 def real_media_table(n: int, size: int = 24) -> pa.Table:
-    """Deterministic media table whose image payloads are REAL PNG bytes
-    (engine's own codec): (media_id, image_bytes, video_bytes). Pixel
-    content is a seeded gradient+noise pattern per id."""
+    """Deterministic media table whose image payloads are REAL encoded
+    bytes from the engine's own codecs — a round-robin of PNG, baseline
+    JPEG 4:4:4, and JPEG 4:2:0 with restart markers, so the decode stage
+    exercises every native path. Pixel content is a seeded
+    gradient+noise pattern per id."""
     from ..imagecodec import png_encode
+    from ..jpegcodec import jpeg_encode
 
     ids = np.arange(n, dtype=np.int64)
     imgs = []
@@ -143,7 +150,13 @@ def real_media_table(n: int, size: int = 24) -> pa.Table:
         base = ((yy * 5 + xx * 3 + int(i) * 17) % 256).astype(np.uint8)
         noise = rng.integers(0, 64, size=(size, size, 3), dtype=np.uint8)
         img = (base[:, :, None].astype(np.int32) + noise).astype(np.uint8)
-        imgs.append(png_encode(img))
+        if i % 3 == 0:
+            imgs.append(png_encode(img))
+        elif i % 3 == 1:
+            imgs.append(jpeg_encode(img, quality=92))
+        else:
+            imgs.append(jpeg_encode(img, quality=90, subsample=True,
+                                    restart_interval=2))
         h2 = hashlib.sha256(f"vid{i}".encode()).digest()
         vids.append((h2 * 8)[:256])
     return pa.table(
