@@ -1077,6 +1077,56 @@ def spatial_bbox_read(sf_dir: str):
     return got.map_batches(finish, batch_format="pyarrow")
 
 
+def geojson_roundtrip(sf_dir: str):
+    """GeoJSON streaming source/sink gate: event points -> Point
+    features -> GeoJSONSeq shards on disk (write_geojson_seq) -> read
+    back via the parallel NDJSON source (read_geojson) -> coordinates
+    extracted from the WKB column. Oracle: the raw point twin."""
+    import hashlib
+    import os
+
+    from simplefeatures_ray.geometry.core import Geometry
+    from simplefeatures_ray.geometry.wkb import from_wkb, to_wkb
+    from simplefeatures_ray.pipelines.corpus import events_xy
+    from simplefeatures_ray.sources.geojson import read_geojson, write_geojson_seq
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        ids = np.asarray(t["event_id"])
+        return pa.table({
+            "fid": pa.array([str(i) for i in ids], pa.string()),
+            "wkb": pa.array([to_wkb(Geometry.point(float(a), float(b)))
+                             for a, b in zip(x, y)], pa.binary()),
+            "properties": pa.array(["{}"] * len(ids), pa.string()),
+        })
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"gj:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/sfray-geojson-{tag}"
+    if not os.path.exists(out_dir) or not os.listdir(out_dir):
+        write_geojson_seq(ds.map_batches(derive, batch_format="pyarrow"), out_dir)
+    files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".ndjson")]
+    back = read_geojson(files, layout="seq")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids, xs, ys = [], [], []
+        for fid, raw in zip(t["fid"].to_pylist(), t["wkb"].to_pylist()):
+            g = from_wkb(raw)
+            ids.append(int(fid))
+            xs.append(float(g.coords[0]))
+            ys.append(float(g.coords[1]))
+        return pa.table({"event_id": pa.array(ids, pa.int64()),
+                         "x": pa.array(xs, pa.float64()),
+                         "y": pa.array(ys, pa.float64())})
+
+    return back.map_batches(finish, batch_format="pyarrow")
+
+
 def geom_coverage_union(sf_dir: str):
     """Coverage fast-path union over 4 deterministic tile grids (one row
     per grid): n_tiles, union area, connected-component count. The SQL
@@ -1319,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_relate_boxes": geom_relate_boxes,
         "geom_buffer_stats": geom_buffer_stats,
         "spatial_bbox_read": spatial_bbox_read,
+        "geojson_roundtrip": geojson_roundtrip,
         "geom_coverage_union": geom_coverage_union,
         "proj_epsg_chain": proj_epsg_chain,
         "proj_wgs84_chain": proj_wgs84_chain,
@@ -1915,6 +1966,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, x, y
             FROM {event_points_sql('pts')}
             WHERE x BETWEEN -40.0 AND 60.0 AND y BETWEEN -30.0 AND 45.0
+        """,
+        "geojson_roundtrip": f"""
+            SELECT event_id, x, y FROM {event_points_sql('pts')}
         """,
         # connected components of each tile grid via recursive-CTE label
         # flood (4-adjacency); union area of a valid coverage = tile count
