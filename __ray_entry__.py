@@ -1231,10 +1231,12 @@ def raster_tiles(sf_dir: str):
 
 
 def media_features(sf_dir: str):
-    """Multimodal pipeline with REAL image AND audio decode: PNG
-    payloads through the engine's pure-python zlib codec (all scanline
-    filters) and WAV/PCM clips through audiocodec.py (RIFF parse + FFT
-    band features) — no fake paths (rows-only; deterministic)."""
+    """Multimodal pipeline with REAL image, audio AND video decode:
+    PNG/JPEG payloads through the engine's pure-python codecs, WAV/PCM
+    clips through audiocodec.py (RIFF parse + FFT band features), and
+    MJPEG video clips through jpegcodec's frame indexer + per-frame
+    decode in SampleFrames — no fake paths (rows-only; deterministic,
+    pinned by pytest)."""
     import ray.data as rd
 
     from simplefeatures_ray.stages.multimodal import (

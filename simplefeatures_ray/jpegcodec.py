@@ -524,3 +524,61 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG (concatenated-JPEG stream) support
+# ---------------------------------------------------------------------------
+
+
+def jpeg_span(data: bytes, start: int = 0) -> int:
+    """End offset (one past EOI) of the JPEG image starting at `start`.
+
+    Walks marker segments by length and skips entropy-coded data by
+    scanning for the next real marker (0xFF followed by neither a
+    stuffed 0x00 nor an RSTn) — no entropy decode, so indexing a stream
+    is cheap relative to decoding it."""
+    if data[start:start + 2] != b"\xFF\xD8":
+        raise ValueError("no SOI at offset")
+    p = start + 2
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            raise ValueError(f"marker expected at {p}")
+        m = data[p + 1]
+        if m == 0xD9:  # EOI
+            return p + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD8:
+            p += 2
+            continue
+        if p + 4 > n:
+            break
+        seg_len = struct.unpack(">H", data[p + 2:p + 4])[0]
+        p += 2 + seg_len
+        if m == 0xDA:  # entropy-coded data follows the SOS header
+            while p + 1 < n:
+                if data[p] == 0xFF and data[p + 1] != 0x00 \
+                        and not (0xD0 <= data[p + 1] <= 0xD7):
+                    break
+                p += 1
+    raise ValueError("truncated JPEG stream")
+
+
+def mjpeg_frame_index(data: bytes) -> list:
+    """MJPEG bytes -> [(offset, length), ...] of each contained JPEG."""
+    spans = []
+    p = 0
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] == 0xD8:
+            end = jpeg_span(data, p)
+            spans.append((p, end - p))
+            p = end
+        else:
+            p += 1
+    return spans
+
+
+def mjpeg_encode(frames, quality: int = 85) -> bytes:
+    """Iterable of (h, w, c) uint8 frames -> concatenated-JPEG stream."""
+    return b"".join(jpeg_encode(f, quality=quality) for f in frames)

@@ -105,17 +105,53 @@ class ImageFeatures:
 
 
 class SampleFrames:
-    """video binary -> k deterministic frame offsets + fake frame hashes
-    (frame decoding stubbed; offsets/layout real)."""
+    """video binary -> k sampled frames: byte offsets + decoded-content
+    hashes.
+
+    REAL path (payload starts with a JPEG SOI): the payload is treated
+    as an MJPEG stream (concatenated JPEGs — the Motion-JPEG / .mjpeg
+    convention). Frames are indexed by a cheap marker-segment walk (no
+    entropy decode), k frames are sampled evenly across the clip,
+    and ONLY the sampled frames are entropy-decoded; frame_hashes are
+    blake2b digests of the decoded pixel buffers, frame_offsets are the
+    true byte offsets. Other payloads keep the declared deterministic
+    fake (offsets/layout real, hashes seeded)."""
 
     def __init__(self, k: int = 4, bytes_col: str = "video_bytes"):
         self.k = k
         self.bytes_col = bytes_col
 
+    def _sample_mjpeg(self, data: bytes):
+        import hashlib
+
+        from ..jpegcodec import jpeg_decode, mjpeg_frame_index
+
+        idx = mjpeg_frame_index(data)
+        if not idx:
+            raise ValueError("no frames in MJPEG stream")
+        k = min(self.k, len(idx))
+        # even coverage across the clip, deterministic
+        pick = np.unique((np.arange(k) * (len(idx) - 1) // max(k - 1, 1))
+                         .astype(np.int64)) if k > 1 else np.array([0])
+        offs, hashes = [], []
+        for fi in pick:
+            off, ln = idx[int(fi)]
+            pix = jpeg_decode(data[off:off + ln])
+            digest = hashlib.blake2b(pix.tobytes(), digest_size=8).digest()
+            offs.append(int(off))
+            hashes.append(int.from_bytes(digest, "little") % (1 << 63))
+        return offs, hashes
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         offs = []
         hashes = []
         for b in batch[self.bytes_col].to_pylist():
+            b = b or b""
+            if b[:2] == b"\xFF\xD8":
+                o, h = self._sample_mjpeg(b)
+                offs.append(np.asarray(o, dtype=np.int64))
+                hashes.append(np.asarray(h, dtype=np.int64))
+                continue
             seed = _payload_seed(b)
             rng = np.random.default_rng(seed)
             n_frames = 32 + seed % 1000
@@ -157,8 +193,13 @@ def real_media_table(n: int, size: int = 24) -> pa.Table:
         else:
             imgs.append(jpeg_encode(img, quality=90, subsample=True,
                                     restart_interval=2))
-        h2 = hashlib.sha256(f"vid{i}".encode()).digest()
-        vids.append((h2 * 8)[:256])
+        # REAL MJPEG clip: 6 frames of a drifting gradient (frame count
+        # and drift seeded per id), encoded by the engine's own codec
+        from ..jpegcodec import mjpeg_encode
+
+        n_frames = 4 + int(i) % 4
+        frames = [np.roll(img, shift=3 * f, axis=1) for f in range(n_frames)]
+        vids.append(mjpeg_encode(frames, quality=80))
     return pa.table(
         {
             "media_id": pa.array(ids),

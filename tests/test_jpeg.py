@@ -94,3 +94,53 @@ def test_decode_image_stage_handles_jpeg(ray_session):
     want = resize_nearest(img, 32, 32).reshape(-1)
     got = np.asarray(df["pixels"][1], dtype=np.uint8)
     assert (got == want).all()
+
+
+def test_mjpeg_index_and_sample():
+    from simplefeatures_ray.jpegcodec import (
+        jpeg_decode,
+        mjpeg_encode,
+        mjpeg_frame_index,
+    )
+
+    frames = [np.roll(_gradient(16, 16), 3 * f, axis=1) for f in range(7)]
+    data = mjpeg_encode(frames, quality=85)
+    idx = mjpeg_frame_index(data)
+    assert len(idx) == 7
+    # spans tile the stream exactly
+    assert idx[0][0] == 0
+    for (o1, l1), (o2, _) in zip(idx, idx[1:]):
+        assert o1 + l1 == o2
+    assert idx[-1][0] + idx[-1][1] == len(data)
+    # each indexed frame decodes to its source (high PSNR)
+    for fi, (off, ln) in enumerate(idx):
+        dec = jpeg_decode(data[off:off + ln])
+        # rolled gradients have a hard wrap edge -> lower PSNR than smooth
+        assert _psnr(dec, frames[fi]) > 35.0
+
+
+def test_sample_frames_real_mjpeg(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.jpegcodec import mjpeg_encode, mjpeg_frame_index
+    from simplefeatures_ray.stages.multimodal import SampleFrames
+
+    # 20 rows so no roll shift is a full period (distinct frames)
+    frames = [np.roll(_gradient(20, 16), 2 * f, axis=0) for f in range(9)]
+    data = mjpeg_encode(frames, quality=80)
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "video_bytes": pa.array([data], pa.binary())})
+    df = rd.from_arrow(t).map_batches(
+        SampleFrames, batch_format="pyarrow", concurrency=1).to_pandas()
+    offs = list(df["frame_offsets"][0])
+    idx = mjpeg_frame_index(data)
+    starts = [o for o, _ in idx]
+    # sampled offsets are REAL frame starts: first and last frames included
+    assert all(o in starts for o in offs)
+    assert offs[0] == starts[0] and offs[-1] == starts[-1]
+    assert len(set(df["frame_hashes"][0])) == len(offs)  # distinct content
+    # deterministic across runs
+    df2 = rd.from_arrow(t).map_batches(
+        SampleFrames, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(df2["frame_hashes"][0]) == list(df["frame_hashes"][0])
