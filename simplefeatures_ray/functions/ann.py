@@ -367,25 +367,15 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
 
     parted = sigs.map_batches(add_part, batch_format="pyarrow")
 
-    pair_empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                               "id_b": pd.Series([], dtype=np.int64)})
-
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized per coarse partition: one task per __part, never one
-        # per (table, bucket) — map_groups pays per GROUP
-        out_a, out_b = [], []
-        for _, g in df.groupby(["lsh_table", "lsh_bucket"], sort=False):
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pair_empty.copy()
-        cand = pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
-        return cand.drop_duplicates(["id_a", "id_b"])
+        # vectorized per coarse partition (functions.dedup helper): one
+        # task per __part, no per-bucket Python loop
+        from .dedup import bucketed_pairs_vectorized
+
+        key = (df["lsh_table"].to_numpy(np.uint64) << np.uint64(48)) \
+            ^ df["lsh_bucket"].to_numpy(np.uint64)
+        ia, ib = bucketed_pairs_vectorized(key, df[id_col].to_numpy(np.int64))
+        return pd.DataFrame({"id_a": ia, "id_b": ib}).drop_duplicates()
 
     cand = parted.groupby("__part").map_groups(
         arrow_groups(bucket_pairs), batch_format="pyarrow")

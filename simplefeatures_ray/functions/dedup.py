@@ -230,23 +230,65 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, ngram=3, id_col="doc_id",
     bandrows = bandrows.map_batches(add_part, batch_format="pyarrow")
 
     def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in df.groupby("band_key", sort=False):
-            ids = np.unique(grp[id_col].to_numpy())
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64})
-        df = pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
-        return df.drop_duplicates()
+        ia, ib = bucketed_pairs_vectorized(
+            df["band_key"].to_numpy(np.uint64),
+            df[id_col].to_numpy(np.int64))
+        out = pd.DataFrame({"id_a": ia, "id_b": ib})
+        return out.drop_duplicates()
 
     pairs = bandrows.groupby("band_part").map_groups(
         arrow_groups(pairs_in_part), batch_format="pyarrow")
     return dedup_pairs(pairs)
+
+
+def bucketed_pairs_vectorized(keys: np.ndarray, ids: np.ndarray,
+                              values: np.ndarray | None = None):
+    """All (id_a < id_b) pairs within equal bucket keys, fully
+    vectorized — NO per-bucket Python loop: rows are lex-sorted by
+    (key, id), (key, id) duplicates dropped, then buckets are grouped
+    by SIZE so each distinct bucket size costs one (n_buckets, size)
+    gather plus one triu emission. The loop count is the number of
+    DISTINCT SIZES (tiny), not the number of buckets (huge).
+
+    Returns (id_a, id_b) or (id_a, id_b, value_a, value_b) arrays;
+    pairs surfacing from several buckets in the same partition are NOT
+    deduped here — callers drop_duplicates once.
+    """
+    order = np.lexsort((ids, keys))
+    k, i = keys[order], ids[order]
+    v = values[order] if values is not None else None
+    dup = np.zeros(len(i), dtype=bool)
+    if len(i) > 1:
+        dup[1:] = (k[1:] == k[:-1]) & (i[1:] == i[:-1])
+    keep = ~dup
+    k, i = k[keep], i[keep]
+    if v is not None:
+        v = v[keep]
+    empty = (np.array([], np.int64),) * (4 if values is not None else 2)
+    if len(i) < 2:
+        return empty
+    starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+    sizes = np.diff(np.concatenate((starts, [len(k)])))
+    out_a, out_b, out_va, out_vb = [], [], [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        sel = starts[sizes == s]
+        idx = sel[:, None] + np.arange(int(s))[None, :]
+        mat = i[idx]
+        ii, jj = np.triu_indices(int(s), k=1)
+        out_a.append(mat[:, ii].ravel())  # ids sorted in-bucket: a < b
+        out_b.append(mat[:, jj].ravel())
+        if v is not None:
+            vm = v[idx]
+            out_va.append(vm[:, ii].ravel())
+            out_vb.append(vm[:, jj].ravel())
+    if not out_a:
+        return empty
+    res = (np.concatenate(out_a), np.concatenate(out_b))
+    if values is not None:
+        res += (np.concatenate(out_va), np.concatenate(out_vb))
+    return res
 
 
 def dedup_pairs(pairs_ds, extra_cols=()):
@@ -374,24 +416,15 @@ def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text
     rows = rows.map_batches(add_part, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in df.groupby("band_key", sort=False):
-            grp = grp.drop_duplicates(id_col).sort_values(id_col)
-            ids = grp[id_col].to_numpy()
-            if len(ids) < 2:
-                continue
-            sims = grp["simhash"].to_numpy().astype(np.uint64)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            hd = hamming64(sims[ia], sims[ib])
-            keep = hd <= max_hamming
-            if keep.any():
-                out.append(pd.DataFrame(
-                    {"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                     "hamming": hd[keep].astype(np.int64)}))
-        if not out:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64})
-        return pd.concat(out).drop_duplicates(["id_a", "id_b"])
+        ia, ib, sa, sb = bucketed_pairs_vectorized(
+            df["band_key"].to_numpy(np.uint64),
+            df[id_col].to_numpy(np.int64),
+            df["simhash"].to_numpy().astype(np.uint64))
+        hd = hamming64(sa, sb)
+        keep = hd <= max_hamming
+        out = pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep],
+                            "hamming": hd[keep].astype(np.int64)})
+        return out.drop_duplicates(["id_a", "id_b"])
 
     cand = rows.groupby("band_part").map_groups(
         arrow_groups(pairs), batch_format="pyarrow")

@@ -51,9 +51,14 @@ def align_union_schema(ds_a, ds_b):
 
 
 def tumbling_window_agg(ds, ts_col: str, width_s: float, keys, spec,
-                        combine: str = "driver"):
+                        combine: str = "shuffle"):
     """Aggregate per (window, *keys). spec as in functions.agg.grouped_agg.
-    Adds window_start (epoch seconds, int64)."""
+    Adds window_start (epoch seconds, int64).
+
+    combine defaults to "shuffle": the (window x key) partial space grows
+    without bound over long time ranges, so streaming partials to the
+    driver (combine="driver") is only safe for short interactive
+    windows — pass it explicitly when that is known."""
     from .agg import grouped_agg
 
     width_us = int(width_s * 1_000_000)
@@ -69,7 +74,7 @@ def tumbling_window_agg(ds, ts_col: str, width_s: float, keys, spec,
 
 
 def sliding_window_agg(ds, ts_col: str, width_s: float, slide_s: float, keys, spec,
-                       combine: str = "driver"):
+                       combine: str = "shuffle"):
     """Overlapping windows: event at t belongs to every window
     [k*slide, k*slide + width) containing t — flat-map into window rows,
     then combiner aggregation."""
