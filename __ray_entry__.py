@@ -306,6 +306,34 @@ def docs_dedup_prefix(sf_dir: str):
     }, combine="shuffle")
 
 
+def docs_pii_scrub(sf_dir: str):
+    """PII scrubbing gate: emails then URLs replaced by placeholder
+    tokens (Arrow RE2 kernels — functions/text.py ScrubPII), redaction
+    counts plus a sha256 hash of the scrubbed text so the oracle checks
+    the full scrubbed CONTENT, not just counts. DuckDB's regexp_* is
+    RE2 as well, so semantics match exactly."""
+    import hashlib
+
+    from simplefeatures_ray.functions.text import ScrubPII
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(ScrubPII(), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        hashes = np.fromiter(
+            (int(hashlib.sha256((s or "").encode()).hexdigest()[:16], 16)
+             for s in t["text_scrubbed"].to_pylist()),
+            dtype=np.uint64, count=len(t))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": t["n_emails"],
+            "n_urls": t["n_urls"],
+            "scrub_hash": pa.array(hashes, pa.uint64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 def docs_lang_distribution(sf_dir: str):
     from simplefeatures_ray.functions.agg import grouped_agg
 
@@ -1336,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents / text
         "docs_token_counts": docs_token_counts,
         "docs_dedup_prefix": docs_dedup_prefix,
+        "docs_pii_scrub": docs_pii_scrub,
         "docs_lang_distribution": docs_lang_distribution,
         "docs_quality": docs_quality,
         "docs_quality_metrics": docs_quality_metrics,
@@ -1507,6 +1536,26 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keeper_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "docs_pii_scrub": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                     regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM documents),
+            u AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1, 'https?://[^\s]+')) AS n_urls,
+                     regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+              FROM s)
+            SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   ('0x' || substr(sha256(t2), 1, 16))::UBIGINT AS scrub_hash
+            FROM u
         """,
         "docs_lang_distribution": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

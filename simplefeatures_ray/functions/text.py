@@ -294,3 +294,42 @@ class AnalyzeText:
             for name, arr in k.columns(sh).items():
                 batch = batch.append_column(name, arr)
         return batch
+
+
+class ScrubPII:
+    """PII scrubbing stage: replace emails and URLs with placeholder
+    tokens and count the redactions — the standard pre-training
+    sanitation pass. Fully vectorized on Arrow's RE2 string kernels
+    (pyarrow.compute.replace_substring_regex / count_substring_regex);
+    DuckDB's regexp_* functions are RE2 too, so a SQL oracle reproduces
+    the semantics exactly.
+
+    Order matters and is part of the contract: emails are replaced
+    BEFORE urls so an address inside a URL is counted as an email.
+    """
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    URL = r"https?://[^\s]+"
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_scrubbed",
+                 email_token: str = "<EMAIL>", url_token: str = "<URL>"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.email_token = email_token
+        self.url_token = url_token
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self.text_col]
+        n_emails = pc.count_substring_regex(col, pattern=self.EMAIL)
+        scrub = pc.replace_substring_regex(
+            col, pattern=self.EMAIL, replacement=self.email_token)
+        n_urls = pc.count_substring_regex(scrub, pattern=self.URL)
+        scrub = pc.replace_substring_regex(
+            scrub, pattern=self.URL, replacement=self.url_token)
+        batch = batch.append_column(self.out_col, scrub)
+        batch = batch.append_column(
+            "n_emails", pc.cast(n_emails, pa.int64()))
+        batch = batch.append_column("n_urls", pc.cast(n_urls, pa.int64()))
+        return batch
