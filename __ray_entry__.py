@@ -1633,14 +1633,28 @@ def oracle_sql() -> dict[str, str]:
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
                      END AS sh
               FROM w),
+            -- set-similarity prefilter: a pair with jaccard >= 0.5 and
+            -- non-empty shingle sets MUST share a shingle, so join on
+            -- exploded shingles first (the all-pairs form was O(N^2)
+            -- list_intersects); both-empty pairs (j = 1.0) added back
+            e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              UNION
+              SELECT a.doc_id, b.doc_id
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(a.sh) = 0 AND len(b.sh) = 0),
             p AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              SELECT c.id_a, c.id_b,
                      CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
                           WHEN len(a.sh) = 0 OR len(b.sh) = 0 THEN 0.0
                           ELSE len(list_intersect(a.sh, b.sh))
                                / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
                      END AS j
-              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              FROM cand c
+              JOIN s a ON a.doc_id = c.id_a
+              JOIN s b ON b.doc_id = c.id_b)
             SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
         """,
         "docs_len_quantiles": """
