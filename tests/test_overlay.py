@@ -189,3 +189,75 @@ def test_flip_and_force_ctype():
         "POINT ZM (1 2 0 0)"
     assert to_wkt(force_coordinates_type(from_wkt("POINT Z (1 2 3)"), 0b10)) == \
         "POINT M (1 2 0)"
+
+
+def test_subepsilon_hairline_inputs_keep_regions():
+    """Regression (round-3 fuzz): polygons whose boundary carries
+    near-collinear zigzags separated by ~1e-8..1e-7 used to lose their
+    ENTIRE region in any overlay (side probes jumped the hairline).
+    The robustness net must keep the bulk area correct to the 1e-6
+    preconditioning grid."""
+    from simplefeatures_ray.geometry.algorithms import area
+    from simplefeatures_ray.geometry.overlay import (
+        difference,
+        intersection,
+        make_valid,
+        union,
+    )
+    from simplefeatures_ray.geometry.wkt import from_wkt
+
+    CASES = [
+        # (A with a 1e-8 hairline tongue on its top edge)
+        "POLYGON((7.475214461078702 6.7946560262653914,"
+        "2.4694879675454984 6.794656044823489,2.140812738929122 6.794656024461848,"
+        "3.522454058758584 6.794655985337993,1.9088383676375464 1.2962128716835186,"
+        "6.956080062009535 4.996540827945281,7.475214461078702 6.7946560262653914))",
+        # (spacing ~1.3e-7: above the 9-decimal snap, below the probe eps)
+        "POLYGON((5.219780354150992 8.717186766956594,"
+        "2.9313283529616276 8.717186794598785,5.453527280522854 8.717186665672045,"
+        "2.8973728186926175 8.717186775181691,7.382662823325136 1.464771345238427,"
+        "0.69352058111944 9.267614124358127,5.219780354150992 8.717186766956594))",
+    ]
+    b = from_wkt("POLYGON((9 9,9.5 9,9 9.5,9 9))")  # disjoint from both
+    for wkt in CASES:
+        a = make_valid(from_wkt(wkt))
+        aa = area(a)
+        assert aa > 1.0
+        tol = 1e-3  # the preconditioning grid's area drift bound here
+        assert abs(area(difference(a, b)) - aa) < tol
+        assert abs(area(union(a, b)) - (aa + area(b))) < tol
+        assert area(intersection(a, b)) < tol
+
+
+def test_overlay_output_validity_guard():
+    """Normal-path outputs that trace touching-ring cycles are repaired
+    before returning (round-3 fuzz t=6)."""
+    import numpy as np
+
+    from simplefeatures_ray.geometry.overlay import make_valid, union
+    from simplefeatures_ray.geometry.validate import validate
+    from simplefeatures_ray.geometry.wkt import from_wkt
+
+    rng = np.random.default_rng(99)
+
+    def rand_poly(mode):
+        if mode == 0:
+            pts = rng.uniform(0, 10, size=(int(rng.integers(3, 10)), 2))
+        elif mode == 1:
+            n = int(rng.integers(3, 7))
+            xs = rng.uniform(0, 10, n)
+            ys = rng.uniform(0, 10, 1)[0] + rng.uniform(-1e-7, 1e-7, n)
+            pts = np.stack([xs, ys], axis=1)
+            pts = np.vstack([pts, rng.uniform(0, 10, size=(2, 2))])
+        else:
+            c = rng.uniform(0, 10, 2)
+            pts = c + rng.uniform(-1e-4, 1e-4, size=(int(rng.integers(3, 8)), 2))
+        ring = np.vstack([pts, pts[:1]])
+        wkt = "POLYGON((" + ",".join(f"{x!r} {y!r}" for x, y in ring) + "))"
+        return make_valid(from_wkt(wkt))
+
+    for t in range(40):
+        a = rand_poly(t % 3)
+        b = rand_poly((t + 1) % 3)
+        ok, reason = validate(union(a, b))
+        assert ok, (t, reason)
