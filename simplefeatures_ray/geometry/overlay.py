@@ -274,19 +274,24 @@ def _repair_directed(directed, tol: float):
                 dist = math.hypot(x[0] - y[0], x[1] - y[1])
                 if dist <= wide:
                     cands.append((dist, i))
-            if len(cands) == 1:
-                _, i = cands[0]
+            cands.sort()
+            # ALWAYS bridge the nearest candidate: leaving a dead-end
+            # unbridged collapses the whole ring walk (catastrophic area
+            # loss — fuzz-verified on buffer offset-curve unions), while
+            # a rare wrong bridge yields a locally-defective ring that
+            # the downstream validity guard / area-bound net repairs.
+            # Ambiguity (near-tied runner-up) is logged for
+            # observability (ADVICE r2).
+            if cands:
+                d0, i = cands[0]
                 used[i] = True
                 x = need_in[i]
                 if x != y:
-                    log.debug("overlay repair: widened dead-end bridge "
-                              "%s -> %s (dist %.3g, tol %.3g)",
-                              y, x, cands[0][0], tol)
+                    if len(cands) > 1 and d0 > 0.5 * cands[1][0]:
+                        log.debug("overlay repair: near-tied widened "
+                                  "bridge %s -> %s (d0 %.3g, d1 %.3g)",
+                                  y, x, d0, cands[1][0])
                     added.add((y, x))
-            elif len(cands) > 1:
-                log.warning("overlay repair: %d ambiguous widened-radius "
-                            "candidates for dead-end %s — leaving unbridged",
-                            len(cands), y)
     return added
 
 
@@ -633,20 +638,42 @@ def overlay(a: Geometry, b: Geometry, op: str,
         b_l = _inside_many(b, lx, ly)
         a_r = _inside_many(a, rx, ry)
         b_r = _inside_many(b, rx, ry)
-        # self-check of the sampling model: every noded edge lies on some
-        # input ring, so for purely-areal inputs it must separate that
-        # input locally — an edge whose probes see NO difference on
-        # either input means the epsilon offset jumped clean over a
-        # sub-epsilon hairline (the silent-misclassification mode).
-        # Recover by collapsing sub-epsilon features and rerunning once.
-        if _precision_retry and dim_a == 2 and dim_b == 2:
+        # Self-check of the sampling model: every noded edge lies on some
+        # input ring, so it should separate SOME input locally. An edge
+        # whose probes see NO difference on either input is indeterminate
+        # — the probes straddle an adjacent boundary (staircase steps in
+        # offset-curve unions put both 1e-7 probes within 1e-7 of the
+        # neighbouring rail) or jumped a sub-epsilon hairline.
+        # First ESCALATE the probe scale for just those edges (a bigger
+        # offset resolves step corners while staying far below genuine
+        # feature sizes); whatever remains indeterminate on purely-areal
+        # inputs triggers the preconditioned rerun.
+        sus = (a_l == a_r) & (b_l == b_r)
+        if sus.any():
+            for scale in (8.0, 64.0, 512.0, 4096.0):
+                idx = np.nonzero(sus)[0]
+                if not len(idx):
+                    break
+                ee = eps[idx] * scale
+                lx2, ly2 = mid[idx, 0] + nx[idx] * ee, mid[idx, 1] + ny[idx] * ee
+                rx2, ry2 = mid[idx, 0] - nx[idx] * ee, mid[idx, 1] - ny[idx] * ee
+                a_l2 = _inside_many(a, lx2, ly2)
+                b_l2 = _inside_many(b, lx2, ly2)
+                a_r2 = _inside_many(a, rx2, ry2)
+                b_r2 = _inside_many(b, rx2, ry2)
+                resolved = (a_l2 != a_r2) | (b_l2 != b_r2)
+                upd = idx[resolved]
+                a_l[upd] = a_l2[resolved]
+                b_l[upd] = b_l2[resolved]
+                a_r[upd] = a_r2[resolved]
+                b_r[upd] = b_r2[resolved]
+                sus[upd] = False
+        if _precision_retry and dim_a == 2 and dim_b == 2 and sus.any():
             only_areal = all(
                 leaf.tag == POLYGON
                 for g_ in (a, b) for leaf in g_.flatten())
             if only_areal:
-                sus = (a_l == a_r) & (b_l == b_r)
-                if sus.any():
-                    return _overlay_preconditioned(a, b, op)
+                return _overlay_preconditioned(a, b, op)
         vop = _VOPS[op]
         s_l = vop(a_l, b_l)
         s_r = vop(a_r, b_r)
@@ -825,6 +852,28 @@ def union_many(geoms) -> Geometry:
                 break
             in_l |= _inside_many(g, lx, ly)
             in_r |= _inside_many(g, rx, ry)
+        # an edge with BOTH probes outside every input is indeterminate
+        # (it lies on some input ring, so one side must be inside) —
+        # escalate the probe scale for just those edges (see overlay())
+        sus = ~(in_l | in_r)
+        if sus.any():
+            for scale in (8.0, 64.0, 512.0, 4096.0):
+                idx = np.nonzero(sus)[0]
+                if not len(idx):
+                    break
+                ee = eps[idx] * scale
+                l2 = np.zeros(len(idx), dtype=bool)
+                r2 = np.zeros(len(idx), dtype=bool)
+                for g in items:
+                    l2 |= _inside_many(g, mid[idx, 0] + nx[idx] * ee,
+                                       mid[idx, 1] + ny[idx] * ee)
+                    r2 |= _inside_many(g, mid[idx, 0] - nx[idx] * ee,
+                                       mid[idx, 1] - ny[idx] * ee)
+                resolved = l2 != r2
+                upd = idx[resolved]
+                in_l[upd] = l2[resolved]
+                in_r[upd] = r2[resolved]
+                sus[upd] = False
         boundary_directed = set()
         for i, (p, q) in enumerate(edge_list):
             if in_l[i] and not in_r[i]:
@@ -897,6 +946,22 @@ def make_valid(g: Geometry) -> Geometry:
     rx, ry = mid[:, 0] - nx * eps, mid[:, 1] - ny * eps
     in_l = _inside_many(g, lx, ly)
     in_r = _inside_many(g, rx, ry)
+    sus = ~(in_l | in_r)  # probe-indeterminate edges: escalate the scale
+    if sus.any():
+        for scale in (8.0, 64.0, 512.0, 4096.0):
+            idx = np.nonzero(sus)[0]
+            if not len(idx):
+                break
+            ee = eps[idx] * scale
+            l2 = _inside_many(g, mid[idx, 0] + nx[idx] * ee,
+                              mid[idx, 1] + ny[idx] * ee)
+            r2 = _inside_many(g, mid[idx, 0] - nx[idx] * ee,
+                              mid[idx, 1] - ny[idx] * ee)
+            resolved = l2 != r2
+            upd = idx[resolved]
+            in_l[upd] = l2[resolved]
+            in_r[upd] = r2[resolved]
+            sus[upd] = False
     boundary_directed = set()
     for i, (p, q) in enumerate(edge_list):
         if in_l[i] and not in_r[i]:

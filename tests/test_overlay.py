@@ -261,3 +261,23 @@ def test_overlay_output_validity_guard():
         b = rand_poly((t + 1) % 3)
         ok, reason = validate(union(a, b))
         assert ok, (t, reason)
+
+
+def test_needle_polygon_buffer_regression():
+    """Regression (round-3 buffer fuzz): buffering a needle-thin triangle
+    collapsed to EMPTY — offset-curve unions produce staircase-step
+    boundaries whose 1e-7 side probes land within epsilon of the
+    adjacent rail and classify indeterminate; the multi-scale probe
+    escalation must resolve them."""
+    from simplefeatures_ray.geometry.algorithms import area
+    from simplefeatures_ray.geometry.buffer import buffer
+    from simplefeatures_ray.geometry.wkt import from_wkt
+
+    tri = from_wkt("POLYGON((6.570750104 4.681791396,"
+                   "6.601441271 4.590813677,7.290523 4.335035,"
+                   "6.570750104 4.681791396))")
+    a = area(buffer(tri, 0.0986))
+    # capsule lower bound: 2*r*length of the long side alone
+    assert a > 0.15
+    # buffers grow monotonically
+    assert area(buffer(tri, 0.3)) > a
