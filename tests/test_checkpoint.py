@@ -121,3 +121,31 @@ def test_spatial_sink_bbox_pruning(ray_session, tmp_path):
     assert pruned_fraction(out, bbox) > 0.5
     # full read round-trips
     assert read_spatial(out).count() == 5000
+
+
+def test_resume_ignores_stale_tmp_from_crash(ray_session, tmp_out):
+    """A crash between write and atomic rename leaves part=N/data.parquet
+    .tmp.<pid> litter and no manifest entry; the rerun must rewrite the
+    bucket correctly and never read the stale tmp."""
+    from simplefeatures_ray.state.checkpoint import checkpointed_write, load_manifest
+
+    checkpointed_write(_make_ds(), tmp_out, partition_col="key", n_buckets=8)
+    m1 = load_manifest(tmp_out)
+    victim = sorted(m1)[0]
+    pdir = os.path.join(tmp_out, f"part={victim}")
+    # simulate the crash: final file gone, stale tmp with garbage bytes
+    os.remove(os.path.join(pdir, "data.parquet"))
+    with open(os.path.join(pdir, "data.parquet.tmp.99999"), "wb") as fh:
+        fh.write(b"\x00garbage not parquet")
+    doc = json.load(open(os.path.join(tmp_out, "_manifest.json")))
+    del doc["partitions"][str(victim)]
+    json.dump(doc, open(os.path.join(tmp_out, "_manifest.json"), "w"))
+
+    checkpointed_write(_make_ds(), tmp_out, partition_col="key", n_buckets=8)
+    m2 = load_manifest(tmp_out)
+    assert m2[victim]["content_hash"] == m1[victim]["content_hash"]
+    # the rewritten final file parses
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(pdir, "data.parquet"))
+    assert t.num_rows == m2[victim]["rows"]
