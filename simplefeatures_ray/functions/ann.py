@@ -22,8 +22,13 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col].combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = np.asarray(arr.values, dtype=np.float32)
     n = len(arr)
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray tensor-extension columns (from_pandas/from_numpy datasets)
+        # have no .values; go through the extension's numpy conversion
+        return np.asarray(arr.to_numpy(zero_copy_only=False),
+                          dtype=np.float32).reshape(n, -1)
+    flat = np.asarray(arr.values, dtype=np.float32)
     return flat.reshape(n, -1)
 
 

@@ -489,3 +489,25 @@ def test_wav_codec_and_audio_stage(ray_session):
     direct = audio_features(s0, r0)
     got = np.asarray(out.iloc[0]["audio_features"], dtype=np.float32)
     assert np.allclose(got, direct)
+
+
+def test_ann_tensor_extension_column(ray_session):
+    """Regression (round-3 fuzz): Datasets built via from_pandas carry
+    embeddings as Ray tensor-extension columns (no .values attribute);
+    _batch_matrix must read them, with ties and zero vectors intact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.ann import brute_force_topk
+
+    rng = np.random.default_rng(4)
+    m = rng.normal(0, 1, (30, 8)).astype(np.float32)
+    m[3] = m[1]            # exact duplicate (cosine tie -> lowest id wins)
+    m[7] = m[2] * 2.0      # same-direction tie
+    m[5] = 0.0             # zero vector
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype=np.int64),
+                       "embedding": list(m)})
+    q = m[1:2] + 0.0
+    out = brute_force_topk(rd.from_pandas(df), np.array([100]), q, 3).to_pandas()
+    got = out.sort_values("rank")["vec_id"].tolist()
+    assert got[:2] == [1, 3]  # cosine tie broken by lowest id
