@@ -102,6 +102,71 @@ def _fixed_table(symbols, length):
     return _HuffTable(bits, symbols), bits, symbols
 
 
+def _optimal_table(freqs: dict):
+    """(BITS, HUFFVAL) of a canonical length-limited Huffman code for the
+    observed symbol frequencies — the T.81 Annex K flow: heap-merge
+    lengths with a reserved dummy symbol (so no real code is the
+    all-ones pattern), Adjust_BITS to the 16-bit ceiling, HUFFVAL in
+    (length, symbol) order, dummy dropped from the longest length."""
+    import heapq
+
+    DUMMY = 0x7FFF_FFFF  # sorts after every real symbol
+    items = [(f, s) for s, f in freqs.items() if f > 0] + [(1, DUMMY)]
+    if len(items) == 1:
+        return [1] + [0] * 15, []
+    lengths = {s: 0 for _, s in items}
+    heap = [(f, idx, [s]) for idx, (f, s) in enumerate(items)]
+    heapq.heapify(heap)
+    nxt = len(items)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, nxt, s1 + s2))
+        nxt += 1
+    maxlen = max(lengths.values())
+    bits = [0] * (maxlen + 1)
+    for s, ln in lengths.items():
+        bits[ln - 1] += 1
+    # Adjust_BITS (T.81 K.3): fold lengths beyond 16 back under the cap
+    for i in range(len(bits) - 1, 16, -1):
+        while bits[i - 1] > 0:
+            j = i - 2
+            while bits[j - 1] == 0:
+                j -= 1
+            bits[i - 1] -= 2
+            bits[i - 2] += 1
+            bits[j] += 2
+            bits[j - 1] -= 1
+    bits = bits[:16] + [0] * max(0, 16 - len(bits))
+    # symbols ordered by descending frequency (ties by symbol value);
+    # the dummy's frequency 1 puts it among the longest codes — force it
+    # last so the canonical all-ones code is the one we remove
+    order = sorted((s for s in lengths),
+                   key=lambda s: (-freqs.get(s, 0), s == DUMMY, s))
+    huffval = [s for s in order if s != DUMMY]
+    # drop the dummy's slot from the longest populated length
+    for i in range(15, -1, -1):
+        if bits[i] > 0:
+            bits[i] -= 1
+            break
+    return bits, huffval
+
+
+def _codes_from_bits(bits, huffval):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -232,11 +297,16 @@ def _box_down(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
 
 
 def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                optimize_huffman: bool = False) -> bytes:
     """(h, w) or (h, w, {1,3}) uint8 -> baseline JFIF JPEG bytes.
 
     subsample=True emits 4:2:0 (2x2 luma per MCU, box-mean chroma);
-    restart_interval > 0 emits DRI + RSTn markers every N MCUs."""
+    restart_interval > 0 emits DRI + RSTn markers every N MCUs;
+    optimize_huffman=True builds per-image canonical length-limited
+    Huffman tables from the actual symbol frequencies (two passes —
+    smaller files and a realistic variable-length DHT for the decoder)
+    instead of the fixed-length default tables."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -269,41 +339,15 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = False,
     qch = _quality_scale(QUANT_CHROMA, quality)
     qtabs = [qly] + ([qch] if nc == 3 else [])
 
-    dc_tab, dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS, 4)
-    ac_tab, ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS, 8)
-    dc_codes = {}
-    code = 0
-    for length in range(1, 17):
-        for _ in range(dc_bits[length - 1]):
-            dc_codes[dc_vals[len(dc_codes)]] = (code, length)
-            code += 1
-        code <<= 1
-    ac_codes = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(ac_bits[length - 1]):
-            ac_codes[ac_vals[k]] = (code, length)
-            code += 1
-            k += 1
-        code <<= 1
-
-    bw = _BitWriter()
-    pred = [0] * nc
-    mcu_count = 0
-    rst_n = 0
-
-    def encode_block(blk, q, ci):
-        coef = _D @ (blk - 128.0) @ _D.T
-        zz = np.round(coef.reshape(-1)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
+    # ---- pass 1: quantize every block in scan order, symbolize --------
+    def block_symbols(zz, pred_val):
+        """[(is_dc, symbol, extra_bits_value, extra_bits_n)], new_pred."""
+        syms = []
+        diff = int(zz[0]) - pred_val
         size = _bit_size(diff)
-        c, ln = dc_codes[size]
-        bw.write(c, ln)
-        if size:
-            v = diff if diff >= 0 else diff + (1 << size) - 1
-            bw.write(v, size)
+        syms.append((True, size,
+                     (diff if diff >= 0 else diff + (1 << size) - 1)
+                     if size else 0, size))
         run = 0
         for i in range(1, 64):
             v = int(zz[i])
@@ -311,34 +355,70 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = False,
                 run += 1
                 continue
             while run >= 16:
-                c, ln = ac_codes[0xF0]
-                bw.write(c, ln)
+                syms.append((False, 0xF0, 0, 0))
                 run -= 16
             size = _bit_size(v)
-            c, ln = ac_codes[(run << 4) | size]
-            bw.write(c, ln)
-            vv = v if v >= 0 else v + (1 << size) - 1
-            bw.write(vv, size)
+            syms.append((False, (run << 4) | size,
+                         v if v >= 0 else v + (1 << size) - 1, size))
             run = 0
         if run:
-            c, ln = ac_codes[0x00]
-            bw.write(c, ln)
+            syms.append((False, 0x00, 0, 0))
+        return syms, int(zz[0])
 
+    pred = [0] * nc
+    mcu_count = 0
+    scan = []  # list of (restart_before: bool, [symbol tuples])
     for myy in range(mcuy):
         for mxx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                pred[:] = [0] * nc
+            restart_here = bool(restart_interval and mcu_count
+                                and mcu_count % restart_interval == 0)
+            if restart_here:
+                pred = [0] * nc
+            first = True
             for ci, (fh, fv) in enumerate(factors):
                 q = qtabs[min(ci, len(qtabs) - 1)]
                 for v in range(fv):
                     for u in range(fh):
                         y0 = (myy * fv + v) * 8
                         x0 = (mxx * fh + u) * 8
-                        encode_block(comp_planes[ci][y0:y0 + 8, x0:x0 + 8], q, ci)
+                        blk = comp_planes[ci][y0:y0 + 8, x0:x0 + 8]
+                        coef = _D @ (blk - 128.0) @ _D.T
+                        zz = np.round(coef.reshape(-1)[ZIGZAG]
+                                      / q[ZIGZAG]).astype(np.int64)
+                        syms, pred[ci] = block_symbols(zz, pred[ci])
+                        scan.append((restart_here and first, syms))
+                        first = False
             mcu_count += 1
+
+    # ---- tables: fixed-length default or per-image optimal ------------
+    if optimize_huffman:
+        dc_freq: dict = {}
+        ac_freq: dict = {}
+        for _, syms in scan:
+            for is_dc, sym, _v, _n in syms:
+                tgt = dc_freq if is_dc else ac_freq
+                tgt[sym] = tgt.get(sym, 0) + 1
+        dc_bits, dc_vals = _optimal_table(dc_freq)
+        ac_bits, ac_vals = _optimal_table(ac_freq)
+    else:
+        _t, dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS, 4)
+        _t, ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS, 8)
+    dc_codes = _codes_from_bits(dc_bits, dc_vals)
+    ac_codes = _codes_from_bits(ac_bits, ac_vals)
+
+    # ---- pass 2: emit bits --------------------------------------------
+    bw = _BitWriter()
+    rst_n = 0
+    for restart_before, syms in scan:
+        if restart_before:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+        for is_dc, sym, v, nbits in syms:
+            c, ln = dc_codes[sym] if is_dc else ac_codes[sym]
+            bw.write(c, ln)
+            if nbits:
+                bw.write(v, nbits)
     bw.flush()
 
     out = bytearray(b"\xFF\xD8")  # SOI

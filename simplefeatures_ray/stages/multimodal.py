@@ -189,7 +189,9 @@ def real_media_table(n: int, size: int = 24) -> pa.Table:
         if i % 3 == 0:
             imgs.append(png_encode(img))
         elif i % 3 == 1:
-            imgs.append(jpeg_encode(img, quality=92))
+            # optimized per-image Huffman: exercises the decoder's
+            # generic variable-length DHT path
+            imgs.append(jpeg_encode(img, quality=92, optimize_huffman=True))
         else:
             imgs.append(jpeg_encode(img, quality=90, subsample=True,
                                     restart_interval=2))

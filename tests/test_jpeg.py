@@ -144,3 +144,37 @@ def test_sample_frames_real_mjpeg(ray_session):
     df2 = rd.from_arrow(t).map_batches(
         SampleFrames, batch_format="pyarrow", concurrency=1).to_pandas()
     assert list(df2["frame_hashes"][0]) == list(df["frame_hashes"][0])
+
+
+def test_optimized_huffman_round_trip_and_size():
+    """Per-image canonical length-limited tables: smaller stream, same
+    decode, valid against the generic DHT decoder (incl. subsampling and
+    restart markers)."""
+    img = _gradient(50, 70)
+    base = jpeg_encode(img, quality=90)
+    for kw, floor in [(dict(optimize_huffman=True), 45.0),
+                      (dict(optimize_huffman=True, subsample=True), 40.0),
+                      (dict(optimize_huffman=True, restart_interval=2), 45.0)]:
+        data = jpeg_encode(img, quality=90, **kw)
+        dec = jpeg_decode(data)
+        assert _psnr(dec, img) > floor
+        if "subsample" not in kw:
+            assert len(data) < len(base)  # strictly better compression
+    # deterministic
+    assert (jpeg_encode(img, 90, optimize_huffman=True)
+            == jpeg_encode(img, 90, optimize_huffman=True))
+
+
+def test_optimized_huffman_fuzz():
+    rng = np.random.default_rng(9)
+    for t in range(25):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        c = int(rng.choice([1, 3]))
+        img = rng.integers(0, 256, (h, w, c) if c == 3 else (h, w), dtype=np.uint8)
+        q = int(rng.integers(30, 99))
+        data = jpeg_encode(img, q, optimize_huffman=True,
+                           subsample=bool(t % 2 and c == 3),
+                           restart_interval=int(rng.integers(0, 4)))
+        dec = jpeg_decode(data)
+        assert dec.shape[:2] == (h, w)
