@@ -467,6 +467,19 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(ds, max_hamming=6, n_bands=8)
 
 
+def docs_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERING: SimHash pairs (hamming <= 6, complete recall
+    via 8x8-bit banding — see docs_simhash_pairs) -> distributed
+    connected components -> one (doc_id, cluster_id = min component
+    member) row per doc appearing in any pair. The step a dedup pipeline
+    runs after pair generation: "keep one per cluster" is then a filter
+    on doc_id == cluster_id."""
+    from simplefeatures_ray.functions.dedup import connected_components
+
+    return connected_components(docs_simhash_pairs(sf_dir),
+                                a_col="id_a", b_col="id_b")
+
+
 def docs_fingerprint(sf_dir: str):
     """Document fingerprints over the SAME vectorized normalization the
     Fingerprint stage uses (lower, collapse ws, strip), surfaced as a
@@ -1371,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
+        "docs_dup_clusters": docs_dup_clusters,
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
         "docs_split_assign": docs_split_assign,
@@ -1614,6 +1628,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 6
+        """,
+        # connected components over the exact simhash pair graph:
+        # transitive closure by recursive CTE (reach(u, r) = r reachable
+        # from u), cluster id = min reachable node — the same fixpoint
+        # the engine's min-label propagation computes
+        "docs_dup_clusters": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                           x -> lower(x))) AS wd
+              FROM documents),
+            wh AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(wd), 1, 16))::UBIGINT AS h
+              FROM w),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM wh, range(64) b(bit)
+              GROUP BY doc_id, b.bit),
+            sims0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                              ELSE 0 END) AS UBIGINT) AS sim
+              FROM votes GROUP BY doc_id),
+            sims AS (
+              SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 6),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+            SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY u
         """,
         # exact pairwise 3-gram-shingle Jaccard (the LSH candidate pass
         # has complete recall on this corpus: every true pair's J >= 0.88,

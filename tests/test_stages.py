@@ -511,3 +511,63 @@ def test_ann_tensor_extension_column(ray_session):
     out = brute_force_topk(rd.from_pandas(df), np.array([100]), q, 3).to_pandas()
     got = out.sort_values("rank")["vec_id"].tolist()
     assert got[:2] == [1, 3]  # cosine tie broken by lowest id
+
+
+def test_connected_components_broadcast(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from simplefeatures_ray.functions.dedup import connected_components
+
+    # chain 1-2-3-4 exercises multi-hop propagation; (10,11) is a
+    # separate component
+    pairs = pa.table({"id_a": [2, 3, 4, 10], "id_b": [1, 2, 3, 11]})
+    out = (connected_components(ray.data.from_arrow(pairs))
+           .to_pandas().sort_values("doc_id"))
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 10, 11]
+    assert out["cluster_id"].tolist() == [1, 1, 1, 1, 10, 10]
+
+    # random graph vs driver-side union-find
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 300, 200)
+    b = rng.integers(0, 300, 200)
+    keep = a != b
+    pr = pa.table({"id_a": a[keep].astype(np.int64),
+                   "id_b": b[keep].astype(np.int64)})
+    got = (connected_components(ray.data.from_arrow(pr))
+           .to_pandas().set_index("doc_id")["cluster_id"].to_dict())
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a[keep], b[keep]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for n in set(a[keep].tolist()) | set(b[keep].tolist())}
+    assert got == want
+
+
+def test_connected_components_shuffle_and_empty(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from simplefeatures_ray.functions.dedup import connected_components
+
+    pairs = pa.table({"id_a": [2, 3, 4, 10], "id_b": [1, 2, 3, 11]})
+    out = (connected_components(ray.data.from_arrow(pairs),
+                                strategy="shuffle", n_buckets=4)
+           .to_pandas().sort_values("doc_id"))
+    assert out["cluster_id"].tolist() == [1, 1, 1, 1, 10, 10]
+
+    emp = pa.table({"id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64())})
+    e = connected_components(ray.data.from_arrow(emp))
+    assert e.count() == 0
+    assert [f.name for f in e.schema().base_schema] == ["doc_id", "cluster_id"]
