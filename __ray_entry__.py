@@ -467,6 +467,28 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(ds, max_hamming=6, n_bands=8)
 
 
+def docs_term_stats(sf_dir: str):
+    """Corpus term statistics (tf, df, tf-idf) per distinct (doc, term):
+    batch-local TF, combiner-grouped DF bounded by distinct pairs, DF
+    table broadcast back (functions/text.term_stats)."""
+    import pyarrow.parquet as pq
+
+    from simplefeatures_ray.functions.text import term_stats
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_stats(ds, n_docs=n_docs)
+
+
+def docs_repetition_metrics(sf_dir: str):
+    """Gopher-style repetition filters (top-2-gram fraction, duplicate
+    3-gram fraction) per document (functions/text.repetition_metrics)."""
+    from simplefeatures_ray.functions.text import repetition_metrics
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_metrics(ds)
+
+
 def docs_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERING: SimHash pairs (hamming <= 6, complete recall
     via 8x8-bit banding — see docs_simhash_pairs) -> distributed
@@ -1385,6 +1407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_dup_clusters": docs_dup_clusters,
+        "docs_term_stats": docs_term_stats,
+        "docs_repetition_metrics": docs_repetition_metrics,
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
         "docs_split_assign": docs_split_assign,
@@ -1628,6 +1652,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 6
+        """,
+        "docs_term_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                           x -> lower(x))) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+              FROM w GROUP BY doc_id, term),
+            df AS (
+              SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+              FROM w GROUP BY term),
+            n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ROUND(tf.tf * ln(n.n / df.df), 7) + 0.0 AS tfidf
+            FROM tf JOIN df USING (term), n
+        """,
+        "docs_repetition_metrics": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\w'']+'),
+                                    x -> lower(x)) AS ws
+              FROM documents),
+            nw AS (SELECT doc_id, len(ws)::BIGINT AS n_words FROM w),
+            bi AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])) AS g
+              FROM w WHERE len(ws) >= 2),
+            bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+            bif AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS f
+                    FROM bic GROUP BY doc_id),
+            tri AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+              FROM w WHERE len(ws) >= 3),
+            tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+            trif AS (SELECT doc_id,
+                            SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+                              / SUM(c) AS f
+                     FROM tric GROUP BY doc_id)
+            SELECT nw.doc_id, nw.n_words,
+                   ROUND(COALESCE(bif.f, 0.0), 7) + 0.0 AS top_bigram_frac,
+                   ROUND(COALESCE(trif.f, 0.0), 7) + 0.0 AS dup_trigram_frac
+            FROM nw LEFT JOIN bif USING (doc_id) LEFT JOIN trif USING (doc_id)
         """,
         # connected components over the exact simhash pair graph:
         # transitive closure by recursive CTE (reach(u, r) = r reachable

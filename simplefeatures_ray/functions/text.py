@@ -333,3 +333,147 @@ class ScrubPII:
             "n_emails", pc.cast(n_emails, pa.int64()))
         batch = batch.append_column("n_urls", pc.cast(n_urls, pa.int64()))
         return batch
+
+
+def _word_table(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Explode each row's text into (id, term) rows with the SAME
+    tokenization DuckDB's `regexp_extract_all(text, '[\\w'']+')` then
+    `lower(x)` performs: RE2 word runs extracted from the ORIGINAL text,
+    lowercased afterwards. All Arrow C++ kernels — split, flatten,
+    parent-index take — no Python per row."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern_regex(batch[text_col], pattern=r"[^\w']+")
+    flat = pc.list_flatten(words)
+    parents = pc.list_parent_indices(words)
+    tbl = pa.table({id_col: pc.take(batch[id_col], parents),
+                    "term": pc.utf8_lower(flat)})
+    return tbl.filter(pc.not_equal(tbl["term"], ""))
+
+
+def term_stats(ds, n_docs: int, id_col: str = "doc_id",
+               text_col: str = "text", round_digits: int = 7):
+    """Corpus term statistics: one row per distinct (doc, term) with
+    term frequency, document frequency, and tf-idf — the two-phase
+    corpus-statistics op (think keyword extraction / filtering by
+    document frequency) a training-data pipeline runs over the corpus.
+
+    Scale shape: TF is batch-local (one row = one document, so per-doc
+    counts never cross blocks). DF is a combiner grouped count over the
+    DISTINCT (doc, term) rows — shuffle volume is bounded by distinct
+    pairs, never total token count — finished on coarse hash partitions
+    (combine="shuffle": vocabulary cardinality is unbounded). The DF
+    table (one row per vocab term) then joins back as the engine's usual
+    broadcast small side; for a vocabulary too large to broadcast,
+    swap the final join for functions/relational.bucketed_join on
+    `term` — the shape is otherwise identical.
+
+    tfidf = round(tf * ln(n_docs / df), round_digits) + 0.0 (signed-zero
+    canonicalized like the proj oracles).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import broadcast_join
+
+    def tf_kernel(batch: pa.Table) -> pa.Table:
+        w = _word_table(batch, id_col, text_col)
+        g = (w.to_pandas().groupby([id_col, "term"], sort=False)
+             .size().rename("tf").reset_index())
+        g["tf"] = g["tf"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf = ds.map_batches(tf_kernel, batch_format="pyarrow")
+
+    from .agg import grouped_agg
+
+    df_ds = grouped_agg(tf, "term", {"df": (id_col, "count")},
+                        combine="shuffle")
+    joined = broadcast_join(tf, df_ds, keys="term")
+
+    n_f = float(n_docs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        tfv = np.asarray(t["tf"].to_numpy(), dtype=np.float64)
+        dfv = np.asarray(t["df"].to_numpy(), dtype=np.float64)
+        # same expression shape as the SQL oracle (ln(n/df), not
+        # ln n - ln df) so both sides round the same double
+        tfidf = np.round(tfv * np.log(n_f / dfv), round_digits) + 0.0
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "term": t["term"],
+            "tf": pc.cast(t["tf"], pa.int64()),
+            "df": pc.cast(t["df"], pa.int64()),
+            "tfidf": pa.array(tfidf, pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def repetition_metrics(ds, id_col: str = "doc_id", text_col: str = "text",
+                       round_digits: int = 7):
+    """Gopher-style repetition quality signals, one row per document:
+
+      n_words           total word tokens
+      top_bigram_frac   occurrences of the most frequent word 2-gram /
+                        total 2-gram occurrences (0.0 when < 2 words)
+      dup_trigram_frac  fraction of 3-gram occurrences whose 3-gram
+                        appears more than once in the doc (0.0 when < 3)
+
+    The repetition filters of Rae et al. (Gopher) §A1.1 applied to the
+    corpus: high top-n-gram / duplicate-n-gram fractions flag boiler-
+    plate and spam. Entirely batch-local (a row is a whole document);
+    the n-gram grouping is one vectorized pandas groupby over the
+    batch's exploded (row, n-gram) pairs, not a Python loop per row.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        w = _word_table(batch, id_col, text_col)
+        ids = np.asarray(w[id_col].to_numpy(), dtype=np.int64)
+        terms = w["term"].to_pylist()
+        n = len(ids)
+        doc_ids = np.asarray(batch[id_col].to_numpy(), dtype=np.int64)
+        out_n = np.zeros(len(doc_ids), dtype=np.int64)
+        pos = {d: i for i, d in enumerate(doc_ids.tolist())}
+        uid, counts = np.unique(ids, return_counts=True)
+        for d, c in zip(uid.tolist(), counts.tolist()):
+            out_n[pos[d]] = c
+
+        def ngram_frames(k: int) -> pd.DataFrame:
+            if n < k:
+                return pd.DataFrame({"d": [], "g": []})
+            same = np.ones(n - k + 1, dtype=bool)
+            for j in range(1, k):
+                same &= ids[: n - k + 1] == ids[j: n - k + 1 + j]
+            idx = np.nonzero(same)[0]
+            grams = [" ".join(terms[i:i + k]) for i in idx.tolist()]
+            return pd.DataFrame({"d": ids[idx], "g": grams})
+
+        top_bi = np.zeros(len(doc_ids))
+        bi = ngram_frames(2)
+        if len(bi):
+            cnt = bi.groupby(["d", "g"], sort=False).size().reset_index(name="c")
+            agg = cnt.groupby("d")["c"].agg(["max", "sum"])
+            for d, mx, sm in zip(agg.index, agg["max"], agg["sum"]):
+                top_bi[pos[int(d)]] = mx / sm
+        dup_tri = np.zeros(len(doc_ids))
+        tri = ngram_frames(3)
+        if len(tri):
+            cnt = tri.groupby(["d", "g"], sort=False).size().reset_index(name="c")
+            cnt["dup"] = np.where(cnt["c"] > 1, cnt["c"], 0)
+            agg = cnt.groupby("d")[["dup", "c"]].sum()
+            for d, dp, sm in zip(agg.index, agg["dup"], agg["c"]):
+                dup_tri[pos[int(d)]] = dp / sm
+
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "n_words": pa.array(out_n, pa.int64()),
+            "top_bigram_frac": pa.array(
+                np.round(top_bi, round_digits) + 0.0, pa.float64()),
+            "dup_trigram_frac": pa.array(
+                np.round(dup_tri, round_digits) + 0.0, pa.float64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -95,3 +95,41 @@ def test_normalize_ws_lower_trailing_empty():
     got = [bytes(buf[offsets[i]:offsets[i + 1]]).decode() for i in range(len(rows))]
     want = [" ".join((s or "").lower().split()) for s in rows]
     assert got == want
+
+
+def test_term_stats_small(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from simplefeatures_ray.functions.text import term_stats
+
+    docs = pa.table({"doc_id": [1, 2], "text": ["a b a", "b c"]})
+    out = (term_stats(ray.data.from_arrow(docs), n_docs=2)
+           .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True))
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+           for r in out.itertuples(index=False)}
+    ln2 = round(math.log(2.0), 7)
+    assert got == {(1, "a"): (2, 1, round(2 * math.log(2.0), 7)),
+                   (1, "b"): (1, 2, 0.0),
+                   (2, "b"): (1, 2, 0.0),
+                   (2, "c"): (1, 1, ln2)}
+
+
+def test_repetition_metrics_small(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from simplefeatures_ray.functions.text import repetition_metrics
+
+    docs = pa.table({"doc_id": [1, 2, 3, 4],
+                     "text": ["a b a b", "x", "", "c c c c"]})
+    out = (repetition_metrics(ray.data.from_arrow(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [4, 1, 0, 4]
+    # doc1 bigrams: "a b","b a","a b" -> top 2/3; doc4: "c c" x3 -> 1.0
+    assert out["top_bigram_frac"].tolist() == [
+        round(2 / 3, 7), 0.0, 0.0, 1.0]
+    # doc1 trigrams "a b a","b a b" unique -> 0; doc4 "c c c" x2 -> 1.0
+    assert out["dup_trigram_frac"].tolist() == [0.0, 0.0, 0.0, 1.0]
