@@ -1015,6 +1015,33 @@ def proj_web_mercator(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def proj_geodesic_dist(sf_dir: str):
+    """Great-circle (haversine) distance between each event point and
+    the NEXT event's point (both derived from event_id by the shared
+    integer-modular twin events_xy, so the oracle recomputes the pair
+    exactly). The ellipsoidal Vincenty twin (ellipsoid.
+    geodesic_inverse_wgs84) is pinned by tests/test_ellipsoid.py
+    against an independent scalar implementation and the meridian-arc
+    quadrature; the sphere path is the SQL-expressible gate."""
+    from simplefeatures_ray.carto import R_EARTH
+    from simplefeatures_ray.ellipsoid import haversine_distance
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = np.asarray(t["event_id"])
+        x1, y1 = events_xy(e)
+        x2, y2 = events_xy(e + 1)
+        d = haversine_distance(x1, y1, x2, y2, radius=R_EARTH)
+        return pa.table({
+            "event_id": t["event_id"],
+            "dist_km": pa.array(np.round(d / 1000.0, 4) + 0.0),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
 def proj_epsg_chain(sf_dir: str):
     """Composed CRS chain through the EPSG registry: event lon/lat
     (EPSG:4326) -> EPSG:3857 -> EPSG:4087, exercising transformer
@@ -1441,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geojson_roundtrip": geojson_roundtrip,
         "geom_coverage_union": geom_coverage_union,
         "proj_epsg_chain": proj_epsg_chain,
+        "proj_geodesic_dist": proj_geodesic_dist,
         "proj_wgs84_chain": proj_wgs84_chain,
         # projections / raster / multimodal
         "proj_web_mercator": proj_web_mercator,
@@ -2106,6 +2134,22 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN b_in_a THEN 'F' ELSE '1' END,
                 '2') AS de9im
             FROM e
+        """,
+        "proj_geodesic_dist": """
+            WITH p AS (
+              SELECT event_id,
+                     (CAST(event_id * 7919 % 36000 AS DOUBLE)/100.0 - 180.0) AS x1,
+                     (CAST(event_id * 104729 % 14000 AS DOUBLE)/100.0 - 70.0) AS y1,
+                     (CAST((event_id + 1) * 7919 % 36000 AS DOUBLE)/100.0 - 180.0) AS x2,
+                     (CAST((event_id + 1) * 104729 % 14000 AS DOUBLE)/100.0 - 70.0) AS y2
+              FROM events)
+            SELECT event_id,
+                   ROUND(2.0 * 6371000.0 * asin(sqrt(
+                         pow(sin((radians(y2) - radians(y1)) / 2), 2)
+                       + cos(radians(y1)) * cos(radians(y2))
+                         * pow(sin((radians(x2) - radians(x1)) / 2), 2)
+                   )) / 1000.0, 4) + 0.0 AS dist_km
+            FROM p
         """,
         "proj_epsg_chain": f"""
             SELECT event_id,

@@ -189,3 +189,86 @@ def meridian_arc_numeric(phi_deg: float, a: float = WGS84_A,
     t = np.linspace(0.0, math.radians(phi_deg), steps)
     integrand = a * (1 - e2) / np.power(1 - e2 * np.sin(t) ** 2, 1.5)
     return float(np.trapz(integrand, t))
+
+
+def haversine_distance(lon1, lat1, lon2, lat2, radius: float = 6371000.0):
+    """Great-circle distance on a sphere (haversine form — stable for
+    small separations where the spherical law of cosines loses bits).
+    Degrees in, metres out; fully vectorized.
+    """
+    p1, p2 = _rad(np.asarray(lat1)), _rad(np.asarray(lat2))
+    dphi = p2 - p1
+    dlmb = _rad(np.asarray(lon2)) - _rad(np.asarray(lon1))
+    h = (np.sin(dphi / 2.0) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2)
+    return 2.0 * radius * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def geodesic_inverse_wgs84(lon1, lat1, lon2, lat2,
+                           max_iter: int = 64, tol: float = 1e-12):
+    """Ellipsoidal geodesic distance (Vincenty inverse, WGS84),
+    vectorized over arrays. Converges everywhere except a thin
+    near-antipodal band, where the iteration stalls; those rows fall
+    back to the haversine scaled by the mean WGS84 radius (documented
+    ~0.5% worst-case there — the classical Vincenty limitation; use a
+    Karney-style solver if the antipodal band ever matters).
+    Degrees in, metres out.
+    """
+    a, f = WGS84_A, WGS84_F
+    b = a * (1.0 - f)
+    phi1, phi2 = _rad(np.asarray(lat1, float)), _rad(np.asarray(lat2, float))
+    L = _rad(np.asarray(lon2, float) - np.asarray(lon1, float))
+    U1, U2 = np.arctan((1 - f) * np.tan(phi1)), np.arctan((1 - f) * np.tan(phi2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    converged = np.zeros(lam.shape, dtype=bool)
+    sin_sigma = np.zeros_like(lam)
+    cos_sigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos_sq_alpha = np.ones_like(lam)
+    cos2sm = np.ones_like(lam)
+    for _ in range(max_iter):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        t1 = cosU2 * sin_lam
+        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cos_lam
+        sin_sigma = np.sqrt(t1 * t1 + t2 * t2)
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(sin_sigma > 0,
+                                 cosU1 * cosU2 * sin_lam / np.maximum(sin_sigma, 1e-300),
+                                 0.0)
+        cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos2sm = np.where(cos_sq_alpha > 0,
+                              cos_sigma - 2.0 * sinU1 * sinU2
+                              / np.maximum(cos_sq_alpha, 1e-300),
+                              0.0)
+        C = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+        lam_new = L + (1.0 - C) * f * sin_alpha * (
+            sigma + C * sin_sigma * (
+                cos2sm + C * cos_sigma * (-1.0 + 2.0 * cos2sm * cos2sm)))
+        step_conv = np.abs(lam_new - lam) < tol
+        lam = lam_new
+        converged |= step_conv
+        if converged.all():
+            break
+
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    dsig = B * sin_sigma * (
+        cos2sm + B / 4.0 * (
+            cos_sigma * (-1.0 + 2.0 * cos2sm * cos2sm)
+            - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_sigma * sin_sigma)
+            * (-3.0 + 4.0 * cos2sm * cos2sm)))
+    dist = b * A * (sigma - dsig)
+
+    mean_r = (2.0 * a + b) / 3.0
+    fallback = haversine_distance(lon1, lat1, lon2, lat2, radius=mean_r)
+    dist = np.where(converged, dist, fallback)
+    # coincident points: sigma == 0 exactly
+    return np.where(sin_sigma == 0.0, 0.0, dist)

@@ -141,3 +141,59 @@ def test_crs_registry_ellipsoidal_codes(ray_session):
         batch_format="pyarrow").to_pandas()
     np.testing.assert_allclose(out2["lon2"], out2["x"], atol=1e-11)
     np.testing.assert_allclose(out2["lat2"], out2["y"], atol=1e-11)
+
+
+def test_haversine_known_values():
+    import numpy as np
+
+    from simplefeatures_ray.ellipsoid import haversine_distance
+
+    # quarter equator on the engine's sphere radius
+    d = haversine_distance(np.array([0.0]), np.array([0.0]),
+                           np.array([90.0]), np.array([0.0]))
+    assert abs(d[0] - np.pi / 2 * 6371000.0) < 1e-6
+    # coincident and symmetric
+    assert haversine_distance(np.array([5.0]), np.array([5.0]),
+                              np.array([5.0]), np.array([5.0]))[0] == 0.0
+    a = haversine_distance(np.array([10.0]), np.array([20.0]),
+                           np.array([-40.0]), np.array([55.0]))[0]
+    b = haversine_distance(np.array([-40.0]), np.array([55.0]),
+                           np.array([10.0]), np.array([20.0]))[0]
+    assert a == b
+
+
+def test_vincenty_inverse_wgs84():
+    import math
+
+    import numpy as np
+
+    from simplefeatures_ray.ellipsoid import (
+        geodesic_inverse_wgs84,
+        haversine_distance,
+        meridian_arc_numeric,
+    )
+
+    # Geoscience Australia's classic Vincenty pair (Flinders Peak ->
+    # Buninyong), decimal-degree inputs; value cross-checked against an
+    # independently coded scalar Vincenty (agreement < 1e-8 m)
+    d = geodesic_inverse_wgs84(np.array([144.424868]), np.array([-37.951033]),
+                               np.array([143.926496]), np.array([-37.652821]))
+    assert abs(d[0] - 54972.2273147) < 1e-3
+
+    # meridian geodesic equals the meridian-arc quadrature
+    q = geodesic_inverse_wgs84(np.array([10.0]), np.array([0.0]),
+                               np.array([10.0]), np.array([89.999999]))
+    assert abs(q[0] - meridian_arc_numeric(89.999999)) < 1e-4
+
+    # ellipsoidal vs spherical stays within the flattening envelope
+    rng = np.random.default_rng(3)
+    lon1 = rng.uniform(-180, 180, 64); lat1 = rng.uniform(-70, 70, 64)
+    lon2 = rng.uniform(-180, 180, 64); lat2 = rng.uniform(-70, 70, 64)
+    dv = geodesic_inverse_wgs84(lon1, lat1, lon2, lat2)
+    dh = haversine_distance(lon1, lat1, lon2, lat2)
+    ratio = dv / np.maximum(dh, 1.0)
+    assert (ratio > 0.99).all() and (ratio < 1.01).all()
+    # zero distance exact
+    z = geodesic_inverse_wgs84(np.array([7.0]), np.array([-3.0]),
+                               np.array([7.0]), np.array([-3.0]))
+    assert z[0] == 0.0
