@@ -489,6 +489,28 @@ def docs_repetition_metrics(sf_dir: str):
     return repetition_metrics(ds)
 
 
+def docs_contamination(sf_dir: str):
+    """Benchmark decontamination: corpus docs (doc_id % 7 != 0) sharing
+    any exact word 5-gram with the held-out benchmark slice
+    (doc_id % 7 == 0), with overlap occurrence counts
+    (functions/text.contamination_check)."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.text import contamination_check
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (np.asarray(t["doc_id"].to_numpy(), dtype=np.int64) % 7) == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    bench = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    return contamination_check(corpus, bench, ngram=5)
+
+
 def docs_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERING: SimHash pairs (hamming <= 6, complete recall
     via 8x8-bit banding — see docs_simhash_pairs) -> distributed
@@ -1434,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_dup_clusters": docs_dup_clusters,
+        "docs_contamination": docs_contamination,
         "docs_term_stats": docs_term_stats,
         "docs_repetition_metrics": docs_repetition_metrics,
         "docs_fingerprint": docs_fingerprint,
@@ -1680,6 +1703,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 6
+        """,
+        "docs_contamination": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\w'']+'),
+                                    x -> lower(x)) AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 3),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 || ' ' || ws[i+3] || ' ' || ws[i+4])) AS g
+              FROM w WHERE len(ws) >= 5),
+            bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0)
+            SELECT g.doc_id, COUNT(*)::BIGINT AS n_hits
+            FROM g JOIN bench USING (g)
+            WHERE g.doc_id % 7 != 0
+            GROUP BY g.doc_id
         """,
         "docs_term_stats": r"""
             WITH w AS (

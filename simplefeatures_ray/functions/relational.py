@@ -24,7 +24,9 @@ def collect_table(ds_or_table) -> pa.Table:
 
     parts = [t for t in ray.get(ds_or_table.to_arrow_refs()) if t.num_rows]
     if not parts:
-        return ds_or_table.schema().empty_table() if hasattr(ds_or_table, "schema") else pa.table({})
+        sch = ds_or_table.schema() if hasattr(ds_or_table, "schema") else None
+        # an exhausted pipeline over zero input blocks reports schema None
+        return pa.table({}) if sch is None else sch.empty_table()
     return pa.concat_tables(parts, promote_options="permissive").combine_chunks()
 
 

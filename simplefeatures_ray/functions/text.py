@@ -477,3 +477,73 @@ def repetition_metrics(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _ngram_table(batch: pa.Table, id_col: str, text_col: str,
+                 k: int) -> "pa.Table":
+    """(id, gram) rows for word k-grams of each document, tokenized
+    exactly like _word_table (RE2 extract-then-lower)."""
+    import pandas as pd
+
+    w = _word_table(batch, id_col, text_col)
+    ids = np.asarray(w[id_col].to_numpy(), dtype=np.int64)
+    n = len(ids)
+    if n < k:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "g": pa.array([], pa.string())})
+    same = np.ones(n - k + 1, dtype=bool)
+    for j in range(1, k):
+        same &= ids[: n - k + 1] == ids[j: n - k + 1 + j]
+    idx = np.nonzero(same)[0]
+    s = pd.Series(w["g" if "g" in w.column_names else "term"].to_pylist(),
+                  dtype=object)
+    parts = s.iloc[: n - k + 1].reset_index(drop=True)
+    for j in range(1, k):
+        parts = parts + " " + s.shift(-j).iloc[: n - k + 1].reset_index(drop=True)
+    return pa.table({id_col: pa.array(ids[idx], pa.int64()),
+                     "g": pa.array(parts.iloc[idx].tolist(), pa.string())})
+
+
+def contamination_check(corpus_ds, bench_ds, id_col: str = "doc_id",
+                        text_col: str = "text", ngram: int = 5):
+    """Benchmark decontamination (the GPT-3 appendix-C / FLAN-style
+    n-gram overlap check): flag corpus documents sharing any exact word
+    k-gram with a benchmark/eval set, with the number of overlapping
+    k-gram OCCURRENCES per document.
+
+    Scale shape: the benchmark side is small BY DEFINITION (eval sets,
+    not corpora) — its distinct k-grams are collected once and shipped
+    as an Arrow value set; membership is pyarrow `is_in` per corpus
+    batch (C++ hash probe, no shuffle of the corpus), then a per-batch
+    grouped count. A benchmark too large to broadcast would swap the
+    value-set probe for functions/relational.bucketed_join on the gram
+    key — same pipeline shape.
+
+    Returns (id_col, n_hits) for corpus docs with >= 1 overlap.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import collect_table
+
+    def grams(batch: pa.Table) -> pa.Table:
+        return _ngram_table(batch, id_col, text_col, ngram)
+
+    bench_tbl = collect_table(bench_ds.map_batches(grams, batch_format="pyarrow"))
+    bench_set = pc.unique(bench_tbl["g"]) if bench_tbl.num_rows else pa.array([], pa.string())
+
+    def hits(batch: pa.Table) -> pa.Table:
+        g = _ngram_table(batch, id_col, text_col, ngram)
+        if not g.num_rows or not len(bench_set):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        hit = g.filter(pc.is_in(g["g"], value_set=bench_set))
+        if not hit.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        cnt = (hit.to_pandas().groupby(id_col, sort=False)
+               .size().rename("n_hits").reset_index())
+        cnt["n_hits"] = cnt["n_hits"].astype(np.int64)
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    return corpus_ds.map_batches(hits, batch_format="pyarrow")

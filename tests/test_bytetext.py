@@ -133,3 +133,32 @@ def test_repetition_metrics_small(ray_session):
         round(2 / 3, 7), 0.0, 0.0, 1.0]
     # doc1 trigrams "a b a","b a b" unique -> 0; doc4 "c c c" x2 -> 1.0
     assert out["dup_trigram_frac"].tolist() == [0.0, 0.0, 0.0, 1.0]
+
+
+def test_contamination_check_small(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from simplefeatures_ray.functions.text import contamination_check
+
+    bench = pa.table({"doc_id": [100],
+                      "text": ["alpha beta gamma delta epsilon zeta"]})
+    corpus = pa.table({"doc_id": [1, 2, 3], "text": [
+        # two overlapping 5-gram occurrences (positions 0 and 1 windows
+        # both land in the benchmark's 5-gram set)
+        "alpha beta gamma delta epsilon zeta eta",
+        "no overlap here at all with anything",
+        "zeta alpha beta gamma delta",  # shifted - no exact 5-gram match
+    ]})
+    out = (contamination_check(ray.data.from_arrow(corpus),
+                               ray.data.from_arrow(bench), ngram=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_hits"].tolist() == [2]
+
+    # empty benchmark -> no rows, typed schema
+    emptyb = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "text": pa.array([], pa.string())})
+    e = contamination_check(ray.data.from_arrow(corpus),
+                            ray.data.from_arrow(emptyb), ngram=5)
+    assert e.count() == 0
