@@ -608,6 +608,19 @@ def docs_split_assign(sf_dir: str):
     return out.select_columns(["doc_id", "split"])
 
 
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsampling by language: keep 50% of
+    English pages, 25% of French, 10% of Spanish, 5% of everything else,
+    selected by a sha256-derived per-doc bucket. The oracle recomputes
+    the identical hex-prefix hash and CASE thresholds in DuckDB."""
+    from simplefeatures_ray.functions.relational import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", "doc_id",
+                            {"en": 50, "fr": 25, "es": 10}, default_pct=5)
+    return out.select_columns(["doc_id", "lang"])
+
+
 def docs_langid_pred(sf_dir: str):
     from simplefeatures_ray.functions.text import LangId
 
@@ -1462,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
         "docs_split_assign": docs_split_assign,
+        "docs_stratified_sample": docs_stratified_sample,
         "docs_len_quantiles": docs_len_quantiles,
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
@@ -1896,6 +1910,17 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
                                          1, 16))::UBIGINT % 100 AS b
                   FROM documents)
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         ('0x' || substr(sha256('sample:' || CAST(doc_id AS VARCHAR)),
+                                         1, 16))::UBIGINT % 100 AS b
+                  FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 50
+                                WHEN 'fr' THEN 25
+                                WHEN 'es' THEN 10
+                                ELSE 5 END
         """,
         "docs_fingerprint": r"""
             SELECT doc_id,

@@ -229,6 +229,39 @@ def hash_split(ds, key_col: str, splits, salt: str = "split"):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def stratified_sample(ds, group_col: str, key_col: str, fractions,
+                      default_pct: int = 0, salt: str = "sample"):
+    """Deterministic stratified sampling: keep a row iff its sha256-derived
+    bucket of (salt, key) mod 100 falls below its stratum's percentage.
+
+    fractions: dict group-value -> integer percent (0..100); groups not
+    listed fall back to default_pct. A pure per-row filter — no shuffle,
+    no RNG state, the same rows survive at any parallelism or cluster
+    size, and the oracle recomputes the identical hex-prefix hash in SQL.
+    This is the scale-safe shape for corpus rebalancing (e.g. downsample
+    dominant languages): at 100 TB it's a streaming map_batches filter.
+    """
+    import hashlib
+
+    fr = {k: int(v) for k, v in fractions.items()}
+    for name, pct in fr.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"fraction for {name!r} out of [0,100]")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        h = np.fromiter(
+            (int(hashlib.sha256(f"{salt}:{k}".encode()).hexdigest()[:16], 16) % 100
+             for k in keys),
+            dtype=np.int64, count=len(keys))
+        groups = t[group_col].to_pylist()
+        pct = np.fromiter((fr.get(g, default_pct) for g in groups),
+                          dtype=np.int64, count=len(groups))
+        return t.filter(pa.array(h < pct))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def grouped_topk(ds, keys, order_col: str, k: int, descending: bool = True,
                  tie_col: str | None = None, n_parts: int = 64):
     """Top-k rows per group. Per-batch partial top-k per group (combiner)

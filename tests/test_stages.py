@@ -408,6 +408,35 @@ def test_hash_split_deterministic(ray_session):
         hash_split(ds, "doc_id", {"train": 80, "val": 5})
 
 
+def test_stratified_sample_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import stratified_sample
+
+    tbl = pa.table({"doc_id": list(range(4000)),
+                    "grp": ["a", "b", "c", "d"] * 1000})
+    out = stratified_sample(rd.from_arrow(tbl), "grp", "doc_id",
+                            {"a": 100, "b": 50, "c": 0}, default_pct=10
+                            ).to_pandas()
+    counts = out["grp"].value_counts()
+    assert counts["a"] == 1000            # pct=100 keeps every row
+    assert "c" not in counts.index        # pct=0 drops the stratum
+    assert 0.40 < counts["b"] / 1000 < 0.60
+    assert 0.05 < counts.get("d", 0) / 1000 < 0.16   # default_pct
+    # stable across repartitioning (pure per-row filter)
+    out2 = stratified_sample(rd.from_arrow(tbl).repartition(7), "grp",
+                             "doc_id", {"a": 100, "b": 50, "c": 0},
+                             default_pct=10).to_pandas()
+    m = out.sort_values("doc_id").reset_index(drop=True)
+    m2 = out2.sort_values("doc_id").reset_index(drop=True)
+    assert m.equals(m2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(rd.from_arrow(tbl), "grp", "doc_id", {"a": 101})
+
+
 def test_exact_quantiles_and_sessionize(ray_session):
     import numpy as np
     import pyarrow as pa
