@@ -812,6 +812,34 @@ def spatial_grid_cells(sf_dir: str):
     return grouped_agg(cells, ["cell_x", "cell_y"], {"n_points": (None, "count")})
 
 
+def s2_cell_counts(sf_dir: str):
+    """Page counts per level-10 S2 cell (real S2 bit layout: cube face +
+    quadratic ST + Hilbert curve, simplefeatures_ray.s2). Emits the cell
+    as (s2_face, s2_pos) so the SQL oracle can rebuild the identical
+    Hilbert position with three LUT joins in pure BIGINT arithmetic —
+    no uint64 needed on the DuckDB side. The count aggregation is the
+    combiner-style grouped_agg (partials inside map_batches; the
+    exchange carries |cells| rows, not |events|)."""
+    from simplefeatures_ray import s2
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        lon, lat = events_xy(np.asarray(t["event_id"]))
+        ids = s2.lonlat_to_id(lon, lat, level=10)
+        return pa.table(
+            {
+                "s2_face": pa.array(s2.cell_face(ids), pa.int64()),
+                "s2_pos": pa.array(s2.cell_pos(ids, 10), pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(derive, batch_format="pyarrow")
+    return grouped_agg(cells, ["s2_face", "s2_pos"], {"n_points": (None, "count")})
+
+
 def spatial_knn_boxes(sf_dir: str):
     import ray
 
@@ -1491,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_semi_join": spatial_semi_join,
         "spatial_anti_join": spatial_anti_join,
         "spatial_grid_cells": spatial_grid_cells,
+        "s2_cell_counts": s2_cell_counts,
         "spatial_knn_boxes": spatial_knn_boxes,
         # geometry kernels
         "geom_area": geom_area,
@@ -1524,6 +1553,8 @@ def oracle_sql() -> dict[str, str]:
         linestring_corpus,
         polygon_corpus,
     )
+
+    from simplefeatures_ray.s2 import lut_values_sql as _s2_lut_sql
 
     poly_vals = coords_values_sql(polygon_corpus())
     line_vals = coords_values_sql(linestring_corpus())
@@ -2072,6 +2103,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(y / 5.0) AS BIGINT) AS cell_y,
                    COUNT(*) AS n_points
             FROM {event_points_sql('pts')}
+            GROUP BY 1, 2
+        """,
+        # Recomputes the full S2 encode in SQL: lon/lat -> XYZ -> cube
+        # face -> (u,v) -> quadratic (s,t) -> 30-bit (i,j) -> Hilbert
+        # position via three joins against the definitional 4096-entry
+        # lookup table (level-10 pos = top 20 bits = groups k=7,6,5).
+        "s2_cell_counts": f"""
+            WITH lut(k, v) AS (VALUES {_s2_lut_sql()}),
+            pts AS (
+              SELECT radians(x) AS rlon, radians(y) AS rlat
+              FROM {event_points_sql('p0')}),
+            xyz AS (
+              SELECT cos(rlat)*cos(rlon) AS x, cos(rlat)*sin(rlon) AS y,
+                     sin(rlat) AS z
+              FROM pts),
+            f0 AS (
+              SELECT x, y, z,
+                     CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
+                          WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END AS fa
+              FROM xyz),
+            fc AS (
+              SELECT x, y, z,
+                     fa + CASE WHEN (CASE fa WHEN 0 THEN x WHEN 1 THEN y
+                                     ELSE z END) < 0 THEN 3 ELSE 0 END AS face
+              FROM f0),
+            uv AS (
+              SELECT face,
+                     CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y
+                               WHEN 2 THEN -x/z WHEN 3 THEN z/x
+                               WHEN 4 THEN z/y ELSE -y/z END AS u,
+                     CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y
+                               WHEN 2 THEN -y/z WHEN 3 THEN y/x
+                               WHEN 4 THEN -x/y ELSE -x/z END AS v
+              FROM fc),
+            ij AS (
+              SELECT face,
+                     LEAST(GREATEST(CAST(floor(
+                       (CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u)
+                             ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END)
+                       * 1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+                     LEAST(GREATEST(CAST(floor(
+                       (CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v)
+                             ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END)
+                       * 1073741824.0) AS BIGINT), 0), 1073741823) AS j
+              FROM uv),
+            h7 AS (
+              SELECT face, i, j, (v >> 2) AS p7, (v & 3) AS o7
+              FROM ij JOIN lut
+                ON k = (((i >> 28) & 15) << 6) | (((j >> 28) & 15) << 2)
+                       | (face & 1)),
+            h6 AS (
+              SELECT face, i, j, p7, (v >> 2) AS p6, (v & 3) AS o6
+              FROM h7 JOIN lut
+                ON k = (((i >> 24) & 15) << 6) | (((j >> 24) & 15) << 2) | o7),
+            h5 AS (
+              SELECT face, p7, p6, (v >> 2) AS p5
+              FROM h6 JOIN lut
+                ON k = (((i >> 20) & 15) << 6) | (((j >> 20) & 15) << 2) | o6)
+            SELECT CAST(face AS BIGINT) AS s2_face,
+                   CAST((p7 << 16) | (p6 << 8) | p5 AS BIGINT) AS s2_pos,
+                   COUNT(*) AS n_points
+            FROM h5
             GROUP BY 1, 2
         """,
         "spatial_knn_boxes": f"""
