@@ -621,6 +621,41 @@ def docs_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def _docs_with_urls(sf_dir: str):
+    """documents doc_ids + deterministic messy raw URLs (shared integer
+    spec with the oracle's doc_urls_sql; normalization is what's tested)."""
+    from simplefeatures_ray.functions.urls import derive_doc_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = derive_doc_urls(np.asarray(t["doc_id"]))
+        return t.append_column("url", pa.array(u, pa.string()))
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def urls_normalize(sf_dir: str):
+    """URL canonicalization: lowercase scheme/host, strip default ports
+    and fragments, drop utm_* params, extract the registrable domain
+    (mini-PSL). Pure streaming map_batches; the oracle re-implements
+    every rule in independent DuckDB regex/string SQL."""
+    from simplefeatures_ray.functions.urls import normalize_urls
+
+    return normalize_urls(_docs_with_urls(sf_dir), keep=["doc_id"])
+
+
+def urls_domain_cap(sf_dir: str):
+    """Per-domain quota: at most 3 docs per registrable domain, lowest
+    doc_ids win (deterministic). Combiner partial top-k bounds the
+    shuffle to cap x blocks rows per domain."""
+    from simplefeatures_ray.functions.urls import normalize_urls, per_domain_cap
+
+    ds = normalize_urls(_docs_with_urls(sf_dir), keep=["doc_id"])
+    out = per_domain_cap(ds, cap=3, order_col="doc_id")
+    return out.select_columns(["doc_id", "domain"])
+
+
 def docs_langid_pred(sf_dir: str):
     from simplefeatures_ray.functions.text import LangId
 
@@ -1504,6 +1539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid_pred": docs_langid_pred,
         "docs_split_assign": docs_split_assign,
         "docs_stratified_sample": docs_stratified_sample,
+        "urls_normalize": urls_normalize,
+        "urls_domain_cap": urls_domain_cap,
         "docs_len_quantiles": docs_len_quantiles,
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
@@ -1555,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from simplefeatures_ray.s2 import lut_values_sql as _s2_lut_sql
+    from simplefeatures_ray.functions.urls import doc_urls_sql as _doc_urls_sql
 
     poly_vals = coords_values_sql(polygon_corpus())
     line_vals = coords_values_sql(linestring_corpus())
@@ -1941,6 +1979,62 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
                                          1, 16))::UBIGINT % 100 AS b
                   FROM documents)
+        """,
+        # Independent SQL re-implementation of every normalization rule
+        # (the raw-URL derivation is the shared fixture; see
+        # functions/urls.py doc_urls_sql / derive_doc_urls).
+        "urls_normalize": f"""
+            WITH p AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+              FROM {_doc_urls_sql('u')}),
+            q AS (
+              SELECT doc_id, scheme,
+                lower(regexp_extract(regexp_extract(rest, '^([^/?#]+)', 1),
+                                     '^([^:]+)', 1)) AS host,
+                regexp_extract(regexp_extract(rest, '^([^/?#]+)', 1),
+                               ':([0-9]+)$', 1) AS port,
+                regexp_extract(rest, '^[^/?#]+([^?#]*)', 1) AS path,
+                rtrim(regexp_replace(
+                  regexp_extract(rest, '\\?([^#]*)', 1),
+                  'utm_[^&]*(&|$)', '', 'g'), '&') AS qry
+              FROM p)
+            SELECT doc_id,
+              scheme || '://' || host ||
+              CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                     OR (scheme = 'http' AND port = '80')
+                   THEN '' ELSE ':' || port END ||
+              path ||
+              CASE WHEN qry = '' THEN '' ELSE '?' || qry END AS url_norm,
+              CASE WHEN regexp_extract(host,
+                     '([^.]+\\.(co\\.uk|com\\.au|github\\.io|co\\.jp|com\\.br))$', 1) <> ''
+                   THEN regexp_extract(host,
+                     '([^.]+\\.(co\\.uk|com\\.au|github\\.io|co\\.jp|com\\.br))$', 1)
+                   ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+            FROM q
+        """,
+        "urls_domain_cap": f"""
+            WITH p AS (
+              SELECT doc_id,
+                lower(regexp_extract(regexp_extract(
+                  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                  '^([^/?#]+)', 1), '^([^:]+)', 1)) AS host
+              FROM {_doc_urls_sql('u')}),
+            d AS (
+              SELECT doc_id,
+                CASE WHEN regexp_extract(host,
+                       '([^.]+\\.(co\\.uk|com\\.au|github\\.io|co\\.jp|com\\.br))$', 1) <> ''
+                     THEN regexp_extract(host,
+                       '([^.]+\\.(co\\.uk|com\\.au|github\\.io|co\\.jp|com\\.br))$', 1)
+                     ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+              FROM p),
+            r AS (
+              SELECT doc_id, domain,
+                     ROW_NUMBER() OVER (PARTITION BY domain
+                                        ORDER BY doc_id ASC) AS rk
+              FROM d)
+            SELECT doc_id, domain FROM r WHERE rk <= 3
         """,
         "docs_stratified_sample": """
             SELECT doc_id, lang

@@ -600,3 +600,44 @@ def test_connected_components_shuffle_and_empty(ray_session):
     e = connected_components(ray.data.from_arrow(emp))
     assert e.count() == 0
     assert [f.name for f in e.schema().base_schema] == ["doc_id", "cluster_id"]
+
+
+def test_url_normalize_rules(ray_session):
+    import pandas as pd
+
+    from simplefeatures_ray.functions.urls import normalize_url_series
+
+    raw = pd.Series([
+        "HTTPS://WWW.Example.CO.UK:443/A/b?utm_source=x&id=1&utm_medium=y#frag",
+        "http://host.com:80/p",
+        "http://host.com:8080/p?utm_a=1&utm_b=2&q=3",
+        "https://a.b.github.io/x?utm_campaign=only",
+        "https://two.net/",
+        "https://bare/x",          # single-label host: domain falls back to host
+    ])
+    out = normalize_url_series(raw)
+    assert out["url_norm"].tolist() == [
+        "https://www.example.co.uk/A/b?id=1",
+        "http://host.com/p",
+        "http://host.com:8080/p?q=3",
+        "https://a.b.github.io/x",
+        "https://two.net/",
+        "https://bare/x",
+    ]
+    assert out["domain"].tolist() == [
+        "example.co.uk", "host.com", "host.com", "b.github.io", "two.net", "bare",
+    ]
+
+
+def test_per_domain_cap_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.urls import per_domain_cap
+
+    tbl = pa.table({"doc_id": list(range(100)),
+                    "domain": [f"d{i % 4}.com" for i in range(100)]})
+    out = per_domain_cap(rd.from_arrow(tbl).repartition(7), cap=3).to_pandas()
+    assert len(out) == 12
+    # lowest doc_ids win per domain
+    assert sorted(out[out.domain == "d0.com"]["doc_id"]) == [0, 4, 8]
