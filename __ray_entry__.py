@@ -355,9 +355,11 @@ def docs_quality(sf_dir: str):
     )
 
 
-def docs_quality_metrics(sf_dir: str):
-    """SQL-expressible quality features (n_chars, punct ratio, stopword
-    ratio) — the oracle-gated subset of the QualityScore stage."""
+def _quality_features_ds(sf_dir: str):
+    """documents -> (doc_id, n_chars, punct_ratio, stop_ratio) with
+    UNROUNDED ratios — shared by docs_quality_metrics (which rounds at
+    the gate boundary) and docs_quality_classifier (which needs full
+    precision inside the logistic)."""
     import re
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -391,12 +393,38 @@ def docs_quality_metrics(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "n_chars": pa.array(n_chars),
-                "punct_ratio": pa.array(np.round(punct_ratio, 6)),
-                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
+                "punct_ratio": pa.array(punct_ratio.astype(np.float64)),
+                "stop_ratio": pa.array(stop_ratio.astype(np.float64)),
             }
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def docs_quality_metrics(sf_dir: str):
+    """SQL-expressible quality features (n_chars, punct ratio, stopword
+    ratio) — the oracle-gated subset of the QualityScore stage."""
+    return _round_cols(_quality_features_ds(sf_dir),
+                       {"punct_ratio": 6, "stop_ratio": 6})
+
+
+def docs_quality_classifier(sf_dir: str):
+    """Fixed-weight logistic quality classifier over the SQL-expressible
+    feature triple (Gopher/C4-style signals): score = sigmoid(bias +
+    w_len*ln(1+n_chars) + w_punct*punct_ratio + w_stop*stop_ratio),
+    keep = score >= 0.5. The model-inference rung of the pipeline as a
+    streaming map_batches stage; the oracle recomputes the identical
+    expression in SQL."""
+    from simplefeatures_ray.functions.scoring import (
+        QUALITY_BIAS,
+        QUALITY_WEIGHTS,
+        logistic_score,
+    )
+
+    ds = logistic_score(_quality_features_ds(sf_dir), QUALITY_WEIGHTS,
+                        bias=QUALITY_BIAS, log1p_cols=("n_chars",))
+    return _round_cols(ds.select_columns(["doc_id", "score", "keep"]),
+                       {"score": 6})
 
 
 def docs_minhash_pairs(sf_dir: str):
@@ -1528,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_distribution": docs_lang_distribution,
         "docs_quality": docs_quality,
         "docs_quality_metrics": docs_quality_metrics,
+        "docs_quality_classifier": docs_quality_classifier,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
@@ -2101,6 +2130,35 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(array_length(regexp_extract_all(text, '[A-Za-z'']+')) AS DOUBLE)
                          END, 6) AS stop_ratio
             FROM documents
+        """,
+        # Same feature SQL as docs_quality_metrics but UNROUNDED, then
+        # the logistic recomputed term-by-term in the engine's addition
+        # order (left-assoc) so the double matches bit-for-bit.
+        "docs_quality_classifier": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE array_length(regexp_extract_all(text, '[^\w\s]'))
+                               / CAST(greatest(1, length(text)) AS DOUBLE) END
+                         AS punct_ratio,
+                     CASE WHEN array_length(regexp_extract_all(text, '[A-Za-z'']+')) = 0
+                          THEN 0
+                          ELSE len(list_filter(regexp_extract_all(text, '[A-Za-z'']+'),
+                               w -> lower(w) IN ('the','and','of','a','to','in','is','that','for','it')))
+                               / CAST(array_length(regexp_extract_all(text, '[A-Za-z'']+')) AS DOUBLE)
+                          END AS stop_ratio
+              FROM documents),
+            z AS (
+              SELECT doc_id,
+                     -3.2 + 0.55 * ln(1.0 + n_chars)
+                          + -40.0 * punct_ratio
+                          + 18.0 * stop_ratio AS zv
+              FROM f)
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-zv)), 6) AS score,
+                   (1.0 / (1.0 + exp(-zv)) >= 0.5) AS keep
+            FROM z
         """,
         "emb_norm_topk": """
             SELECT vec_id,

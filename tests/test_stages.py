@@ -641,3 +641,18 @@ def test_per_domain_cap_deterministic(ray_session):
     assert len(out) == 12
     # lowest doc_ids win per domain
     assert sorted(out[out.domain == "d0.com"]["doc_id"]) == [0, 4, 8]
+
+
+def test_logistic_score(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.scoring import logistic_score
+
+    tbl = pa.table({"a": [0.0, 1.0, 10.0], "b": [0.0, -1.0, 2.0]})
+    out = logistic_score(rd.from_arrow(tbl), {"a": 1.0, "b": 2.0}, bias=-1.0,
+                         log1p_cols=("a",)).to_pandas()
+    z = -1.0 + np.log(np.array([0.0, 1.0, 10.0]) + 1.0) + 2.0 * np.array([0.0, -1.0, 2.0])
+    assert np.allclose(out["score"], 1 / (1 + np.exp(-z)))
+    assert out["keep"].tolist() == [False, False, True]
