@@ -427,6 +427,18 @@ def docs_quality_classifier(sf_dir: str):
                        {"score": 6})
 
 
+def docs_pack_sequences(sf_dir: str):
+    """Greedy sequence packing: per source, docs in doc_id order are
+    packed into 500-char training sequences (new sequence when the next
+    doc would overflow; oversized docs pack alone). The oracle replays
+    the identical sequential rule with a recursive CTE per source."""
+    from simplefeatures_ray.functions.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = pack_sequences(ds, "source", "doc_id", "n_chars", budget=500)
+    return out.select_columns(["doc_id", "source", "seq_id"])
+
+
 def docs_minhash_pairs(sf_dir: str):
     """Raw LSH candidate pairs (rows-only BY DESIGN: banding admits
     rare band collisions for pairs just under the Jaccard threshold —
@@ -1557,6 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": docs_quality,
         "docs_quality_metrics": docs_quality_metrics,
         "docs_quality_classifier": docs_quality_classifier,
+        "docs_pack_sequences": docs_pack_sequences,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
@@ -2130,6 +2143,29 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(array_length(regexp_extract_all(text, '[A-Za-z'']+')) AS DOUBLE)
                          END, 6) AS stop_ratio
             FROM documents
+        """,
+        # Replays the greedy packing rule sequentially per source via a
+        # recursive CTE stepping one row_number at a time (depth = max
+        # docs per source; fine at oracle scale).
+        "docs_pack_sequences": """
+            WITH RECURSIVE base AS (
+              SELECT source, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id ASC) AS rn
+              FROM documents),
+            packed AS (
+              SELECT source, doc_id, n_chars, rn,
+                     CAST(0 AS BIGINT) AS seq_id, n_chars AS acc
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.source, b.doc_id, b.n_chars, b.rn,
+                     CASE WHEN p.acc + b.n_chars > 500
+                          THEN p.seq_id + 1 ELSE p.seq_id END,
+                     CASE WHEN p.acc + b.n_chars > 500
+                          THEN b.n_chars ELSE p.acc + b.n_chars END
+              FROM base b JOIN packed p
+                ON b.source = p.source AND b.rn = p.rn + 1)
+            SELECT doc_id, source, seq_id FROM packed
         """,
         # Same feature SQL as docs_quality_metrics but UNROUNDED, then
         # the logistic recomputed term-by-term in the engine's addition

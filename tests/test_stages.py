@@ -656,3 +656,29 @@ def test_logistic_score(ray_session):
     z = -1.0 + np.log(np.array([0.0, 1.0, 10.0]) + 1.0) + 2.0 * np.array([0.0, -1.0, 2.0])
     assert np.allclose(out["score"], 1 / (1 + np.exp(-z)))
     assert out["keep"].tolist() == [False, False, True]
+
+
+def test_pack_sequences_rules(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.packing import pack_sequences
+
+    # sizes: 200+300 fit exactly in 500; 501 oversized alone; 500 exact
+    tbl = pa.table({
+        "g": ["a"] * 6 + ["b"] * 2,
+        "i": list(range(6)) + [0, 1],
+        "sz": [200, 300, 501, 500, 400, 200, 100, 100],
+    })
+    out = pack_sequences(rd.from_arrow(tbl), "g", "i", "sz", budget=500
+                         ).to_pandas().sort_values(["g", "i"])
+    assert out[out.g == "a"]["seq_id"].tolist() == [0, 0, 1, 2, 3, 4]
+    assert out[out.g == "b"]["seq_id"].tolist() == [0, 0]
+    # deterministic across partitioning
+    out2 = pack_sequences(rd.from_arrow(tbl).repartition(5), "g", "i", "sz",
+                          budget=500).to_pandas().sort_values(["g", "i"])
+    assert out2["seq_id"].tolist() == out["seq_id"].tolist()
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(rd.from_arrow(tbl), "g", "i", "sz", budget=0)
