@@ -31,6 +31,7 @@ def geotag_join_tiles(
     final_sort: bool = False,
     branch_cache: str = "spill",
     spill_dir: str | None = None,
+    cell_scheme: str = "morton",
 ):
     """pages Dataset + polygon table -> Dataset of
     (url, lat, lon, cell, poly_id[, poly_name], tile_id).
@@ -67,7 +68,8 @@ def geotag_join_tiles(
     )
 
     geo = extracted.filter(expr="has_geo")  # no-op safety net
-    geo = geo.map_batches(encode_cells(res), batch_format="pyarrow")
+    geo = geo.map_batches(encode_cells(res, scheme=cell_scheme),
+                          batch_format="pyarrow")
 
     joined = geo.map_batches(
         spatial_join_batch,

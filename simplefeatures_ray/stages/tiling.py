@@ -19,8 +19,23 @@ import numpy as np
 import pyarrow as pa
 
 
-def encode_cells(res: int, x_col: str = "lon", y_col: str = "lat", out_col: str = "cell"):
-    from ..cells import lonlat_to_cell
+def encode_cells(res: int, x_col: str = "lon", y_col: str = "lat",
+                 out_col: str = "cell", scheme: str = "morton"):
+    """Cell-encode kernel. scheme='morton' (Web-Mercator quadtree,
+    simplefeatures_ray.cells — the fast default) or 's2' (standard S2
+    bit layout, simplefeatures_ray.s2 — interoperable ids whose Hilbert
+    ordering keeps range shards spatially local). Both emit uint64 and
+    plug into the same histogram/tile stages downstream."""
+    if scheme == "morton":
+        from ..cells import lonlat_to_cell
+
+        enc = lambda lon, lat: lonlat_to_cell(lon, lat, res)  # noqa: E731
+    elif scheme == "s2":
+        from ..s2 import lonlat_to_id
+
+        enc = lambda lon, lat: lonlat_to_id(lon, lat, level=res)  # noqa: E731
+    else:
+        raise ValueError(f"unknown cell scheme {scheme!r}")
 
     def kernel(batch: pa.Table) -> pa.Table:
         lon = np.asarray(batch[x_col], dtype=np.float64)
@@ -28,7 +43,7 @@ def encode_cells(res: int, x_col: str = "lon", y_col: str = "lat", out_col: str 
         ok = ~(np.isnan(lon) | np.isnan(lat))
         cells = np.zeros(len(lon), dtype=np.uint64)
         if ok.any():
-            cells[ok] = lonlat_to_cell(lon[ok], lat[ok], res)
+            cells[ok] = enc(lon[ok], lat[ok])
         arr = pa.array(cells, pa.uint64())
         if not ok.all():
             arr = pa.array([int(c) if k else None for c, k in zip(cells, ok)], pa.uint64())

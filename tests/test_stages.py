@@ -682,3 +682,33 @@ def test_pack_sequences_rules(ray_session):
 
     with pytest.raises(ValueError):
         pack_sequences(rd.from_arrow(tbl), "g", "i", "sz", budget=0)
+
+
+def test_geotag_pipeline_s2_scheme(ray_session):
+    """The flagship pipeline runs unchanged on S2 cell ids, with the
+    same rows joined and deterministic tiles at any parallelism."""
+    import numpy as np
+    import ray.data as rd
+
+    from simplefeatures_ray import s2
+    from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
+    from simplefeatures_ray.sources.pages import read_pages
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    polys = make_polygons(16)
+    a = geotag_join_tiles(read_pages(2000), polys, res=10,
+                          cell_scheme="s2").to_pandas()
+    b = geotag_join_tiles(read_pages(2000, parallelism=7), polys, res=10,
+                          cell_scheme="s2").to_pandas()
+    key = ["url", "poly_id"]
+    a1 = a.sort_values(key).reset_index(drop=True)
+    b1 = b.sort_values(key).reset_index(drop=True)
+    assert a1.equals(b1[a1.columns])
+    assert len(a) > 0
+    # every cell is a valid level-10 S2 id and every row got a tile
+    cells = a["cell"].to_numpy(np.uint64)
+    assert (s2.cell_level(cells) == 10).all()
+    assert (a["tile_id"] >= 0).all()
+    # morton and s2 schemes join the same (url, poly_id) pairs
+    m = geotag_join_tiles(read_pages(2000), polys, res=10).to_pandas()
+    assert sorted(zip(m.url, m.poly_id)) == sorted(zip(a.url, a.poly_id))
