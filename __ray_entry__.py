@@ -427,6 +427,17 @@ def docs_quality_classifier(sf_dir: str):
                        {"score": 6})
 
 
+def docs_bm25_topk(sf_dir: str):
+    """BM25 retrieval (Lucene idf form, float-exact k1=1.5/b=0.75) of
+    the top-20 docs for a fixed query term set, via two streaming passes
+    (corpus stats, then scoring) + combiner top-k. The oracle recomputes
+    dl/tf/df/avgdl and the same left-assoc score sum in SQL."""
+    from simplefeatures_ray.functions.text import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["table", "hash", "window"], k=20)
+
+
 def docs_pack_sequences(sf_dir: str):
     """Greedy sequence packing: per source, docs in doc_id order are
     packed into 500-char training sequences (new sequence when the next
@@ -1570,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_metrics": docs_quality_metrics,
         "docs_quality_classifier": docs_quality_classifier,
         "docs_pack_sequences": docs_pack_sequences,
+        "docs_bm25_topk": docs_bm25_topk,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
@@ -2143,6 +2155,43 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(array_length(regexp_extract_all(text, '[A-Za-z'']+')) AS DOUBLE)
                          END, 6) AS stop_ratio
             FROM documents
+        """,
+        # BM25 with the engine's exact float recipe: constants chosen
+        # exact in binary (k1+1=2.5, 1-b=0.25), per-term contributions
+        # summed left-assoc in query order, ROUND at the gate boundary.
+        "docs_bm25_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\w'']+'),
+                                    x -> lower(x)) AS ws
+              FROM documents),
+            f AS (
+              SELECT doc_id, len(ws) AS dl,
+                     len(list_filter(ws, x -> x = 'table')) AS tf_table,
+                     len(list_filter(ws, x -> x = 'hash')) AS tf_hash,
+                     len(list_filter(ws, x -> x = 'window')) AS tf_window
+              FROM w),
+            s AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                     ln(1.0 + ((COUNT(*) - COUNT(*) FILTER (tf_table > 0)) + 0.5)
+                            / (COUNT(*) FILTER (tf_table > 0) + 0.5)) AS idf_table,
+                     ln(1.0 + ((COUNT(*) - COUNT(*) FILTER (tf_hash > 0)) + 0.5)
+                            / (COUNT(*) FILTER (tf_hash > 0) + 0.5)) AS idf_hash,
+                     ln(1.0 + ((COUNT(*) - COUNT(*) FILTER (tf_window > 0)) + 0.5)
+                            / (COUNT(*) FILTER (tf_window > 0) + 0.5)) AS idf_window
+              FROM f),
+            sc AS (
+              SELECT doc_id,
+                     idf_table * (tf_table * 2.5)
+                       / (tf_table + 1.5 * (0.25 + 0.75 * (dl / avgdl)))
+                   + idf_hash * (tf_hash * 2.5)
+                       / (tf_hash + 1.5 * (0.25 + 0.75 * (dl / avgdl)))
+                   + idf_window * (tf_window * 2.5)
+                       / (tf_window + 1.5 * (0.25 + 0.75 * (dl / avgdl))) AS z
+              FROM f CROSS JOIN s)
+            SELECT doc_id, ROUND(z, 6) AS score
+            FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         # Replays the greedy packing rule sequentially per source via a
         # recursive CTE stepping one row_number at a time (depth = max

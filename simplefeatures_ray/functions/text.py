@@ -547,3 +547,88 @@ def contamination_check(corpus_ds, bench_ds, id_col: str = "doc_id",
         return pa.Table.from_pandas(cnt, preserve_index=False)
 
     return corpus_ds.map_batches(hits, batch_format="pyarrow")
+
+
+def bm25_topk(ds, terms, k1: float = 1.5, b: float = 0.75, k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text",
+              round_digits: int = 6):
+    """BM25 retrieval: score every document against a fixed term set and
+    return the global top-k (score desc, id asc).
+
+    Three stages, all bounded:
+      1. per-batch features — dl (non-empty word count) and per-term tf
+         via one Arrow split + numpy bincount over parent indices; the
+         term loop is |terms| bincounts, never a row loop;
+      2. corpus stats — one partial row per batch (N, sum dl, per-term
+         df) collected and reduced on the driver (|terms|+2 numbers);
+      3. scoring + combiner top-k (select_k per block, tiny final sort).
+
+    Constants are chosen float-exact (k1=1.5, b=0.75 ⇒ k1+1, 1-b exact
+    doubles) and the per-term contributions are summed in `terms` order,
+    so the DuckDB oracle can reproduce the double bit-for-bit with an
+    explicit left-assoc sum. idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    (the Robertson/Sparck-Jones form used by Lucene).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import collect_table
+
+    terms = list(terms)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(batch[text_col], pattern=r"[^\w']+")
+        flat = pc.utf8_lower(pc.list_flatten(words)).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        dl = np.bincount(parents[flat != ""], minlength=n)
+        cols = {id_col: batch[id_col],
+                "dl": pa.array(dl.astype(np.int64), pa.int64())}
+        for t in terms:
+            tf = np.bincount(parents[flat == t], minlength=n)
+            cols[f"tf_{t}"] = pa.array(tf.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    # two streaming passes over the input (stats, then scoring) — the
+    # features are recomputed rather than materialized, so nothing
+    # O(corpus) is ever pinned; swap in a parquet spill (flagship
+    # branch_cache pattern) when tokenization dominates.
+    f = ds.map_batches(feats, batch_format="pyarrow")
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        row = {"n": [len(t)], "sdl": [int(np.asarray(t["dl"]).sum())]}
+        for tm in terms:
+            row[f"df_{tm}"] = [int((np.asarray(t[f"tf_{tm}"]) > 0).sum())]
+        return pa.table(row)
+
+    st = collect_table(f.map_batches(stat_partial, batch_format="pyarrow"))
+    n_docs = int(np.asarray(st["n"]).sum())
+    avgdl = float(np.asarray(st["sdl"]).sum()) / float(n_docs)
+    idf = {}
+    for tm in terms:
+        dfv = float(np.asarray(st[f"df_{tm}"]).sum())
+        idf[tm] = float(np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5)))
+
+    k1p1 = k1 + 1.0
+    one_mb = 1.0 - b
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = np.asarray(t["dl"], dtype=np.float64)
+        norm = k1 * (one_mb + b * (dl / avgdl))
+        s = np.zeros(len(t), dtype=np.float64)
+        for tm in terms:  # fixed order = oracle's left-assoc sum order
+            tf = np.asarray(t[f"tf_{tm}"], dtype=np.float64)
+            s += idf[tm] * (tf * k1p1) / (tf + norm)
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         "score": pa.array(np.round(s, round_digits) + 0.0,
+                                           pa.float64())})
+
+    scored = f.map_batches(score, batch_format="pyarrow")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=min(k, len(t)),
+            sort_keys=[("score", "descending"), (id_col, "ascending")])
+        return t.take(idx)
+
+    pruned = scored.map_batches(partial_topk, batch_format="pyarrow")
+    return pruned.sort(["score", id_col], descending=[True, False]).limit(k)

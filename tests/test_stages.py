@@ -712,3 +712,23 @@ def test_geotag_pipeline_s2_scheme(ray_session):
     # morton and s2 schemes join the same (url, poly_id) pairs
     m = geotag_join_tiles(read_pages(2000), polys, res=10).to_pandas()
     assert sorted(zip(m.url, m.poly_id)) == sorted(zip(a.url, a.poly_id))
+
+
+def test_bm25_topk_basic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.text import bm25_topk
+
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["cat cat cat dog", "cat", "dog dog bird", "fish entirely off topic"],
+    })
+    out = bm25_topk(rd.from_arrow(tbl), ["cat", "bird"], k=3).to_pandas()
+    # doc 0 has most 'cat' mass; doc 2 has the rare 'bird'; doc 3 scores 0
+    assert out["doc_id"].tolist()[0] in (0, 2)
+    assert 3 not in out["doc_id"].tolist() or out.set_index("doc_id").loc[3, "score"] == 0.0
+    assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
+    # deterministic across partitioning
+    out2 = bm25_topk(rd.from_arrow(tbl).repartition(3), ["cat", "bird"], k=3).to_pandas()
+    assert out.equals(out2)
