@@ -707,6 +707,20 @@ def urls_domain_cap(sf_dir: str):
     return out.select_columns(["doc_id", "domain"])
 
 
+BLOCKED_DOMAINS = ("site-3.com", "site-7.net", "site-11.co.uk", "site-19.org")
+
+
+def urls_blocklist_filter(sf_dir: str):
+    """Robots/spam-style domain blocklist: docs whose registrable domain
+    is blocked are dropped by a broadcast-set streaming filter (no
+    shuffle). Oracle: NOT IN over the same literal list."""
+    from simplefeatures_ray.functions.urls import blocklist_filter, normalize_urls
+
+    ds = normalize_urls(_docs_with_urls(sf_dir), keep=["doc_id"])
+    out = blocklist_filter(ds, set(BLOCKED_DOMAINS))
+    return out.select_columns(["doc_id", "domain"])
+
+
 def docs_langid_pred(sf_dir: str):
     from simplefeatures_ray.functions.text import LangId
 
@@ -1595,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": docs_stratified_sample,
         "urls_normalize": urls_normalize,
         "urls_domain_cap": urls_domain_cap,
+        "urls_blocklist_filter": urls_blocklist_filter,
         "docs_len_quantiles": docs_len_quantiles,
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
@@ -2089,6 +2104,25 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id ASC) AS rk
               FROM d)
             SELECT doc_id, domain FROM r WHERE rk <= 3
+        """,
+        "urls_blocklist_filter": f"""
+            WITH p AS (
+              SELECT doc_id,
+                lower(regexp_extract(regexp_extract(
+                  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                  '^([^/?#]+)', 1), '^([^:]+)', 1)) AS host
+              FROM {_doc_urls_sql('u')}),
+            d AS (
+              SELECT doc_id,
+                CASE WHEN regexp_extract(host,
+                       '([^.]+\\.(co\\.uk|com\\.au|github\\.io|co\\.jp|com\\.br))$', 1) <> ''
+                     THEN regexp_extract(host,
+                       '([^.]+\\.(co\\.uk|com\\.au|github\\.io|co\\.jp|com\\.br))$', 1)
+                     ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+              FROM p)
+            SELECT doc_id, domain FROM d
+            WHERE domain NOT IN ('site-3.com', 'site-7.net',
+                                 'site-11.co.uk', 'site-19.org')
         """,
         "docs_stratified_sample": """
             SELECT doc_id, lang
