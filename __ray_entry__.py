@@ -975,6 +975,32 @@ def spatial_knn_boxes(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def spatial_cell_join(sf_dir: str):
+    """Large x large point-in-box join via the cell-bucketed SHUFFLE path
+    (stages/join.py cell_spatial_join): boxes exploded to covering grid
+    cells, points tagged with their one cell, hash-bucket equi-join on
+    the packed cell key, exact bbox refine. The box side here is the
+    400-row synthetic table (integer-derived, recomputed exactly by the
+    SQL oracle) standing in for a box corpus too large to broadcast —
+    the complementary scale story to spatial_points_in_boxes'
+    broadcast R-tree."""
+    import ray
+
+    from simplefeatures_ray.pipelines.corpus import events_xy, synth_boxes
+    from simplefeatures_ray.stages.join import cell_spatial_join
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    boxes = ray.data.from_arrow(synth_boxes(400)).repartition(4)
+    out = cell_spatial_join(pts, boxes, cell_size=10.0)
+    return out.select_columns(["event_id", "box_id"])
+
+
 # --------------------------------------------------------------------------- #
 # geometry-kernel queries with coordinate-recomputing SQL oracles
 # --------------------------------------------------------------------------- #
@@ -1625,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_semi_join": spatial_semi_join,
         "spatial_anti_join": spatial_anti_join,
         "spatial_grid_cells": spatial_grid_cells,
+        "spatial_cell_join": spatial_cell_join,
         "s2_cell_counts": s2_cell_counts,
         "spatial_knn_boxes": spatial_knn_boxes,
         # geometry kernels
@@ -1658,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         join_boxes_sql,
         linestring_corpus,
         polygon_corpus,
+        synth_boxes_sql,
     )
 
     from simplefeatures_ray.s2 import lut_values_sql as _s2_lut_sql
@@ -2375,6 +2403,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_points
             FROM {event_points_sql('pts')}
             GROUP BY 1, 2
+        """,
+        "spatial_cell_join": f"""
+            SELECT pts.event_id, boxes.box_id
+            FROM {event_points_sql('pts')}
+            JOIN {synth_boxes_sql(400, 'boxes')}
+              ON pts.x BETWEEN boxes.minx AND boxes.maxx
+             AND pts.y BETWEEN boxes.miny AND boxes.maxy
         """,
         # Recomputes the full S2 encode in SQL: lon/lat -> XYZ -> cube
         # face -> (u,v) -> quadratic (s,t) -> 30-bit (i,j) -> Hilbert

@@ -131,23 +131,27 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         batch_format="pyarrow",
     )
 
-    import pandas as pd
-
     lcols = list(left_ds.schema().names)
     rcols = list(right_ds.schema().names)
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df["__side"] == 0][lcols]
-        rhs = df[df["__side"] == 1][rcols]
-        how = {"inner": "inner", "left outer": "left"}.get(join_type, "inner")
-        return lhs.merge(rhs, on=key, how=how)
+    # per-bucket join in pure Arrow (acero hash join): keeps exact column
+    # types — the union pads each side's missing columns with nulls, and a
+    # pandas round-trip would silently promote int64-with-nulls to float64.
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = pc.equal(t["__side"], 0)
+        lhs = t.filter(side).select(lcols).combine_chunks()
+        rhs = t.filter(pc.invert(side)).select(rcols).combine_chunks()
+        return lhs.join(rhs, keys=key, join_type=join_type)\
+                  .replace_schema_metadata(None)
 
     from .windows import align_union_schema
 
     lt, rt = align_union_schema(lt, rt)
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(
-        arrow_groups(join_bucket), batch_format="pyarrow")
+        join_bucket, batch_format="pyarrow")
 
 
 def dedup_exact(ds, key_cols, keep_col: str | None = None, n_parts: int = 64):

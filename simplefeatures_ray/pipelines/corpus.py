@@ -158,3 +158,45 @@ def coords_values_sql(geoms, only_shell=False) -> str:
         + ", ".join(rows)
         + ") AS t(case_id, ring_id, idx, x, y, sign))"
     )
+
+
+# ------------------------------------------------------------------ #
+# synthetic LARGE box side for the cell-bucketed spatial join gate.
+# Pure integer modular arithmetic -> bit-identical doubles in numpy
+# and DuckDB (same pattern as events_xy / event_points_sql).
+# ------------------------------------------------------------------ #
+
+
+def synth_boxes(n: int = 400):
+    """n deterministic boxes: centers sweep the events lon/lat domain,
+    half-extents 2..10 x-wise and 2..8 y-wise."""
+    import pyarrow as pa
+
+    b = np.arange(n, dtype=np.int64)
+    cx = (b * 7907 % 36000).astype(np.float64) / 100.0 - 180.0
+    cy = (b * 104717 % 14000).astype(np.float64) / 100.0 - 70.0
+    w = (b * 31 % 80).astype(np.float64) / 10.0 + 2.0
+    h = (b * 17 % 60).astype(np.float64) / 10.0 + 2.0
+    return pa.table(
+        {
+            "box_id": pa.array(b),
+            "minx": pa.array(cx - w),
+            "miny": pa.array(cy - h),
+            "maxx": pa.array(cx + w),
+            "maxy": pa.array(cy + h),
+        }
+    )
+
+
+def synth_boxes_sql(n: int = 400, alias: str = "boxes") -> str:
+    """SQL twin of synth_boxes — identical IEEE operation order."""
+    return (
+        f"(SELECT b AS box_id, cx - w AS minx, cy - h AS miny, "
+        f"cx + w AS maxx, cy + h AS maxy FROM ("
+        f"SELECT r AS b, "
+        f"CAST(r * 7907 % 36000 AS DOUBLE)/100.0 - 180.0 AS cx, "
+        f"CAST(r * 104717 % 14000 AS DOUBLE)/100.0 - 70.0 AS cy, "
+        f"CAST(r * 31 % 80 AS DOUBLE)/10.0 + 2.0 AS w, "
+        f"CAST(r * 17 % 60 AS DOUBLE)/10.0 + 2.0 AS h "
+        f"FROM range({n}) t(r))) {alias}"
+    )

@@ -260,3 +260,84 @@ def knn_join_batch(batch: pa.Table, *, index_ref, k=1,
 
     build.__cache_token__ = f"knn-{k}-{x_col}-{y_col}"
     return get_cached(index_ref, build)(batch)
+
+
+# --------------------------------------------------------------------------- #
+# cell-bucketed large x large spatial join (shuffle path)
+# --------------------------------------------------------------------------- #
+
+
+def _pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    """(cell_x, cell_y) int32-range pair -> one int64 key (two's complement
+    pack: cx in the high 32 bits, cy in the low 32). Collision-free for
+    |cell| < 2^31, so the bucket join can key on a single int64 column."""
+    return (cx.astype(np.int64) << 32) | (cy.astype(np.int64) & 0xFFFFFFFF)
+
+
+def cell_spatial_join(points_ds, boxes_ds, cell_size: float,
+                      x_col: str = "x", y_col: str = "y",
+                      box_cols=("minx", "miny", "maxx", "maxy"),
+                      n_buckets: int = 32):
+    """Large x large point-in-box join via grid-cell co-partitioning.
+
+    The broadcast R-tree join (BroadcastSpatialJoin above) requires the
+    polygon side to fit in one object; when BOTH sides are large the
+    scale shape is instead: cover each box with the grid cells it
+    intersects at a fixed resolution (bounded fan-out, vectorized
+    np.repeat explosion — no Python loop), tag each point with its single
+    cell, then hash-bucket both sides on the packed cell key and join per
+    bucket (functions.relational.bucketed_join — one groupby exchange per
+    side). Because a point lies in exactly one cell, every surviving
+    (point, box) pair is emitted exactly once — no post-join dedup pass.
+    An exact vectorized bbox refine follows the equi-join, mirroring the
+    reference's filter-then-refine structure (rtree search + exact test,
+    /root/reference/rtree/rtree.go RangeSearch + alg_point_in_ring.go).
+
+    cell_size tuning: pick ~ the median box extent so the per-box cell
+    fan-out stays O(1); the exchange volume is then |points| + O(|boxes|)
+    rows regardless of cluster size.
+    """
+    from ..functions.relational import bucketed_join
+
+    minx_c, miny_c, maxx_c, maxy_c = box_cols
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[x_col], dtype=np.float64)
+        y = np.asarray(t[y_col], dtype=np.float64)
+        cx = np.floor(x / cell_size).astype(np.int64)
+        cy = np.floor(y / cell_size).astype(np.int64)
+        return t.append_column("__cell", pa.array(_pack_cell(cx, cy)))
+
+    def explode_boxes(t: pa.Table) -> pa.Table:
+        x0 = np.asarray(t[minx_c], dtype=np.float64)
+        y0 = np.asarray(t[miny_c], dtype=np.float64)
+        x1 = np.asarray(t[maxx_c], dtype=np.float64)
+        y1 = np.asarray(t[maxy_c], dtype=np.float64)
+        cx0 = np.floor(x0 / cell_size).astype(np.int64)
+        cy0 = np.floor(y0 / cell_size).astype(np.int64)
+        nx = np.floor(x1 / cell_size).astype(np.int64) - cx0 + 1
+        ny = np.floor(y1 / cell_size).astype(np.int64) - cy0 + 1
+        n = nx * ny
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        offs = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(n, out=offs[1:])
+        local = np.arange(int(offs[-1]), dtype=np.int64) - offs[rep]
+        cellx = cx0[rep] + local // ny[rep]
+        celly = cy0[rep] + local % ny[rep]
+        out = t.take(pa.array(rep))
+        return out.append_column("__cell", pa.array(_pack_cell(cellx, celly)))
+
+    pts = points_ds.map_batches(tag_points, batch_format="pyarrow")
+    bxs = boxes_ds.map_batches(explode_boxes, batch_format="pyarrow")
+    joined = bucketed_join(pts, bxs, key="__cell", n_buckets=n_buckets)
+
+    def refine(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[x_col], dtype=np.float64)
+        y = np.asarray(t[y_col], dtype=np.float64)
+        keep = ((x >= np.asarray(t[minx_c], dtype=np.float64))
+                & (x <= np.asarray(t[maxx_c], dtype=np.float64))
+                & (y >= np.asarray(t[miny_c], dtype=np.float64))
+                & (y <= np.asarray(t[maxy_c], dtype=np.float64)))
+        return t.filter(pa.array(keep)).drop_columns(["__cell"])
+
+    return joined.map_batches(refine, batch_format="pyarrow")

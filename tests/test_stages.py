@@ -279,9 +279,44 @@ def test_bucketed_join_matches_broadcast(ray_session):
                        n_buckets=8).to_pandas()
     s1 = b1.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
     s2 = b2.sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
-    # the union inside bucketed_join promotes int columns to float (nullable)
-    s2 = s2.astype({"k": "int64", "lv": "int64"})
+    # the per-bucket acero join preserves exact integer types through the
+    # side-tagged union (no float64 promotion)
+    assert s2["k"].dtype == "int64" and s2["lv"].dtype == "int64"
     assert s1.astype({"k": "int64", "lv": "int64"}).equals(s2)
+
+
+def test_cell_spatial_join_matches_brute_force(ray_session):
+    """Cell-bucketed shuffle spatial join == O(N*M) numpy brute force,
+    including boxes spanning many cells and points on box edges."""
+    import ray.data as rd
+
+    from simplefeatures_ray.pipelines.corpus import synth_boxes
+    from simplefeatures_ray.stages.join import cell_spatial_join
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    px = rng.uniform(-185, 185, n).round(2)
+    py = rng.uniform(-75, 75, n).round(2)
+    boxes = synth_boxes(120)
+    # force a few edge-exact points
+    px[0], py[0] = boxes["minx"][3].as_py(), boxes["miny"][3].as_py()
+    px[1], py[1] = boxes["maxx"][5].as_py(), boxes["maxy"][5].as_py()
+    pts = pa.table({"pid": pa.array(np.arange(n)), "x": pa.array(px), "y": pa.array(py)})
+
+    out = cell_spatial_join(
+        rd.from_arrow(pts).repartition(5), rd.from_arrow(boxes).repartition(3),
+        cell_size=7.5, n_buckets=16,
+    ).to_pandas()
+    got = set(zip(out["pid"], out["box_id"]))
+    assert out["pid"].dtype == "int64" and out["box_id"].dtype == "int64"
+
+    bx0 = np.asarray(boxes["minx"]); by0 = np.asarray(boxes["miny"])
+    bx1 = np.asarray(boxes["maxx"]); by1 = np.asarray(boxes["maxy"])
+    hit = ((px[:, None] >= bx0) & (px[:, None] <= bx1)
+           & (py[:, None] >= by0) & (py[:, None] <= by1))
+    want = set(zip(*np.nonzero(hit)))
+    assert got == {(int(a), int(b)) for a, b in want}
+    assert len(out) == len(got)  # each pair exactly once
 
 
 def test_bucketed_join_string_keys(ray_session):
