@@ -633,6 +633,27 @@ def events_distinct_users(sf_dir: str):
     return grouped_nunique(ds, "event_type", "user_id")
 
 
+def events_hll_users(sf_dir: str):
+    """APPROXIMATE distinct users per event type via HyperLogLog — the
+    sketch twin of events_distinct_users. The exchange carries at most
+    |types| x 256 register rows per block instead of the distinct pairs;
+    the oracle recomputes the identical sha256-register estimate."""
+    from simplefeatures_ray.functions.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id", p=8)
+
+
+def events_cms_counts(sf_dir: str):
+    """Count-min frequency estimates for the first 20 user ids — the
+    mergeable heavy-hitter sketch (4 x 2048 counters per block, integer
+    sums, exact SQL twin via per-depth cell recomputation)."""
+    from simplefeatures_ray.functions.sketch import cms_counts
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return cms_counts(ds, "user_id", list(range(20)), depth=4, width=2048)
+
+
 def events_sessionize(sf_dir: str):
     """Gap-based sessionization of the event stream (30-minute gap) —
     session sizes per user. Oracle: window-function flood in SQL."""
@@ -1640,6 +1661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
         "events_distinct_users": events_distinct_users,
+        "events_hll_users": events_hll_users,
+        "events_cms_counts": events_cms_counts,
         # embeddings
         "emb_norm_topk": emb_norm_topk,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1690,6 +1713,10 @@ def oracle_sql() -> dict[str, str]:
 
     from simplefeatures_ray.s2 import lut_values_sql as _s2_lut_sql
     from simplefeatures_ray.functions.urls import doc_urls_sql as _doc_urls_sql
+    from simplefeatures_ray.functions.sketch import (
+        cms_sql as _cms_sql,
+        hll_sql as _hll_sql,
+    )
 
     poly_vals = coords_values_sql(polygon_corpus())
     line_vals = coords_values_sql(linestring_corpus())
@@ -2051,6 +2078,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
         """,
+        "events_hll_users": _hll_sql("events", "event_type", "user_id", p=8),
+        "events_cms_counts": _cms_sql(
+            "events", "user_id", "SELECT r AS v FROM range(20) t(r)",
+            depth=4, width=2048),
         "events_sessionize": """
             WITH g AS (
               SELECT event_id, user_id, ts,

@@ -1,0 +1,209 @@
+"""Mergeable sketches as combiner aggregates (HyperLogLog, count-min).
+
+At 100 TB, distinct-count and frequency queries cannot shuffle rows:
+a sketch is a tiny, MERGEABLE partial state, so the exchange carries
+|groups| x |registers| rows per block instead of the data. Both sketches
+here are bit-deterministic: the hash is a sha256 hex prefix (the
+engine's standard oracle-checkable hash, cf. relational.hash_split) and
+every float step is either exact dyadic arithmetic or a single shared
+rounding, so a DuckDB oracle recomputes the identical estimate.
+
+HyperLogLog (Flajolet et al. 2007, classic 32-bit variant): register
+j = top-p bits of h32, rho = leading-zero rank of the remaining
+(32-p) bits. The register MAX is order-independent, and the harmonic
+sum S = sum(2^-M_j) over m <= 1024 registers with M_j <= 33 spans < 53
+mantissa bits, so S is EXACT in float64 under ANY summation order —
+the one trick that makes the estimate reproducible across engines.
+
+Count-min (Cormode & Muthukrishnan 2005): depth x width counter matrix,
+one sha256-salted row hash per depth; integer sums are exact and
+commutative, the estimate is the min over depth rows.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._pdarrow import arrow_groups
+
+
+def _h32(values, salt: str) -> np.ndarray:
+    """sha256-derived 32-bit hashes (first 8 hex chars) of the string
+    form of each value. Hash unique values once per batch (factorize)."""
+    codes, uniq = pd.factorize(pd.Series(values), use_na_sentinel=False)
+    hu = np.fromiter(
+        (int(hashlib.sha256(f"{salt}:{v}".encode()).hexdigest()[:8], 16)
+         for v in uniq),
+        dtype=np.int64, count=len(uniq))
+    return hu[codes]
+
+
+# --------------------------------------------------------------------------- #
+# HyperLogLog
+# --------------------------------------------------------------------------- #
+
+
+def hll_distinct(ds, keys, value_col: str, p: int = 8, salt: str = "hll",
+                 round_to: int = 4) -> pa.Table:
+    """Approximate COUNT(DISTINCT value) per key group via HyperLogLog.
+
+    Per-batch combiner: rows -> (keys, register j, max rho); the grouped
+    MAX exchange carries at most |groups| x 2^p rows per block. Driver
+    finalize: E = alpha * m^2 / S with the standard small-range
+    correction E = m * ln(m / V) when E <= 2.5 m and V empty registers
+    remain. Returns keys + hll_estimate (+ 0.0-canonicalized, rounded).
+    """
+    if not 4 <= p <= 10:
+        raise ValueError("p in [4, 10] (m = 2^p registers)")
+    m = 1 << p
+    q = 32 - p  # rho bits
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _h32(df[value_col].to_numpy(), salt)
+        j = h >> q
+        w = h & ((1 << q) - 1)
+        # rho = leading-zero count of w within q bits, + 1; w == 0 -> q + 1
+        rho = np.where(w > 0, q - np.floor(np.log2(np.maximum(w, 1))).astype(np.int64),
+                       q + 1)
+        out = df[keys].copy()
+        out["__j"] = j
+        out["__rho"] = rho
+        return (out.groupby(keys + ["__j"], sort=False)["__rho"]
+                .max().reset_index())
+
+    from .agg import grouped_agg
+
+    regs_ds = ds.map_batches(arrow_groups(partial), batch_format="pyarrow")
+    regs = grouped_agg(regs_ds, keys + ["__j"], {"M": ("__rho", "max")},
+                       combine="driver").to_pandas()
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rows = []
+    for key, sub in regs.groupby(keys, sort=True):
+        key = key if isinstance(key, tuple) else (key,)
+        M = sub["M"].to_numpy()
+        n_present = len(M)
+        V = m - n_present
+        S = float(np.sum(np.ldexp(1.0, -M.astype(np.int64)))) + float(V)
+        E = (alpha * float(m * m)) / S
+        if E <= 2.5 * m and V > 0:
+            E = m * np.log(m / float(V))
+        rows.append({**dict(zip(keys, key)),
+                     "hll_estimate": np.round(E, round_to) + 0.0})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def hll_sql(table_expr: str, keys, value_col: str, p: int = 8,
+            salt: str = "hll", round_to: int = 4) -> str:
+    """DuckDB twin of hll_distinct over `table_expr` (same hash, same
+    register math, same correction branch, same rounding)."""
+    m = 1 << p
+    q = 32 - p
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ks = ", ".join(keys)
+    alpha_expr = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    return f"""
+        WITH vals AS (SELECT DISTINCT {ks}, {value_col} AS v FROM {table_expr}),
+        h AS (SELECT {ks},
+                ('0x' || substr(sha256('{salt}:' || CAST(v AS VARCHAR)), 1, 8))::UBIGINT AS h
+              FROM vals),
+        r AS (SELECT {ks}, CAST(h // {1 << q} AS BIGINT) AS j,
+                     CAST(h % {1 << q} AS BIGINT) AS w FROM h),
+        reg AS (SELECT {ks}, j,
+                  MAX(CASE WHEN w = 0 THEN {q + 1}
+                      ELSE {q} - CAST(floor(log2(w)) AS BIGINT) END) AS M
+                FROM r GROUP BY ALL),
+        s AS (SELECT {ks}, SUM(power(2.0, -M)) + ({m} - COUNT(*)) AS S,
+                     {m} - COUNT(*) AS V
+              FROM reg GROUP BY ALL)
+        SELECT {ks},
+               ROUND(CASE WHEN ({alpha_expr} * {float(m * m)!r}) / S <= {2.5 * m!r}
+                           AND V > 0
+                     THEN {m} * ln({m} / CAST(V AS DOUBLE))
+                     ELSE ({alpha_expr} * {float(m * m)!r}) / S END,
+                     {round_to}) + 0.0 AS hll_estimate
+        FROM s
+    """
+
+
+# --------------------------------------------------------------------------- #
+# count-min
+# --------------------------------------------------------------------------- #
+
+
+def cms_counts(ds, value_col: str, query_values, depth: int = 4,
+               width: int = 2048, salt: str = "cms") -> pa.Table:
+    """Count-min frequency estimates for `query_values` over the stream.
+
+    Per-batch combiner: a depth x width int64 counter matrix built with
+    np.add.at over factorized values, emitted as (d, cell, n) rows; the
+    grouped SUM exchange carries <= depth x width rows per block. The
+    estimate for a key is min over depth of its cells — always >= the
+    true count (one-sided error bounded by 2N/width per row).
+    """
+    depth_salts = [f"{salt}{d}" for d in range(depth)]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[value_col].to_numpy()
+        codes, uniq = pd.factorize(pd.Series(vals), use_na_sentinel=False)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        ds_, cells, ns = [], [], []
+        for d, dsalt in enumerate(depth_salts):
+            hu = np.fromiter(
+                (int(hashlib.sha256(f"{dsalt}:{v}".encode()).hexdigest()[:8], 16)
+                 for v in uniq),
+                dtype=np.int64, count=len(uniq)) % width
+            # several uniques may share a cell: aggregate
+            agg = np.zeros(width, dtype=np.int64)
+            np.add.at(agg, hu, cnt)
+            nz = np.nonzero(agg)[0]
+            ds_.append(np.full(len(nz), d, dtype=np.int64))
+            cells.append(nz.astype(np.int64))
+            ns.append(agg[nz])
+        return pd.DataFrame({"__d": np.concatenate(ds_),
+                             "__cell": np.concatenate(cells),
+                             "__n": np.concatenate(ns)})
+
+    from .agg import grouped_agg
+
+    part = ds.map_batches(arrow_groups(partial), batch_format="pyarrow")
+    sk = grouped_agg(part, ["__d", "__cell"], {"n": ("__n", "sum")},
+                     combine="driver").to_pandas()
+    mat = np.zeros((depth, width), dtype=np.int64)
+    mat[sk["__d"].to_numpy(), sk["__cell"].to_numpy()] = sk["n"].to_numpy()
+
+    qv = list(query_values)
+    ests = []
+    for v in qv:
+        cells = [int(hashlib.sha256(f"{s}:{v}".encode()).hexdigest()[:8], 16) % width
+                 for s in depth_salts]
+        ests.append(int(min(mat[d, c] for d, c in zip(range(depth), cells))))
+    return pa.table({value_col: pa.array(qv),
+                     "cms_estimate": pa.array(ests, pa.int64())})
+
+
+def cms_sql(table_expr: str, value_col: str, query_values_sql: str,
+            depth: int = 4, width: int = 2048, salt: str = "cms") -> str:
+    """DuckDB twin of cms_counts. `query_values_sql` is a relation
+    `(SELECT ... AS v)` of the queried keys."""
+    per_d = []
+    for d in range(depth):
+        cell = (f"('0x' || substr(sha256('{salt}{d}:' || CAST({{col}} AS VARCHAR)), "
+                f"1, 8))::UBIGINT % {width}")
+        per_d.append(f"""
+          (SELECT q.v, COALESCE(SUM(c.n), 0) AS est
+           FROM ({query_values_sql}) q
+           LEFT JOIN (SELECT {cell.format(col=value_col)} AS cell,
+                             COUNT(*) AS n
+                      FROM {table_expr} GROUP BY 1) c
+             ON c.cell = {cell.format(col='q.v')}
+           GROUP BY q.v)""")
+    unions = " UNION ALL ".join(per_d)
+    return f"""
+        SELECT v AS {value_col}, CAST(MIN(est) AS BIGINT) AS cms_estimate
+        FROM ({unions}) GROUP BY v
+    """

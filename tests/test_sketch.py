@@ -1,0 +1,98 @@
+"""HyperLogLog / count-min sketch operators (functions/sketch.py)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events(n=20000, n_users=3000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "grp": pa.array(rng.integers(0, 3, n)),
+        "uid": pa.array(rng.integers(0, n_users, n)),
+    })
+
+
+def test_hll_accuracy_and_determinism(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.sketch import hll_distinct
+
+    t = _events()
+    est1 = hll_distinct(rd.from_arrow(t).repartition(7), "grp", "uid",
+                        p=10).to_pandas().sort_values("grp")
+    est2 = hll_distinct(rd.from_arrow(t).repartition(2), "grp", "uid",
+                        p=10).to_pandas().sort_values("grp")
+    # merge is order-independent -> identical at any parallelism
+    assert est1["hll_estimate"].tolist() == est2["hll_estimate"].tolist()
+    exact = (t.to_pandas().groupby("grp")["uid"].nunique()
+             .sort_index().to_numpy())
+    rel = np.abs(est1["hll_estimate"].to_numpy() - exact) / exact
+    # standard error ~ 1.04/sqrt(1024) ~ 3.3%; allow 4 sigma
+    assert (rel < 0.13).all(), (est1["hll_estimate"].tolist(), exact)
+
+
+def test_hll_small_range_correction(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.sketch import hll_distinct
+
+    t = pa.table({"g": pa.array([0] * 50), "v": pa.array(list(range(25)) * 2)})
+    est = hll_distinct(rd.from_arrow(t), "g", "v", p=8).to_pandas()
+    # 25 distinct << 2.5 m -> linear-counting branch, near-exact
+    assert abs(est["hll_estimate"][0] - 25) < 3
+
+
+def test_hll_matches_duckdb_twin(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.sketch import hll_distinct, hll_sql
+
+    t = _events(5000, 800, seed=11)
+    eng = hll_distinct(rd.from_arrow(t).repartition(5), "grp", "uid",
+                       p=9).to_pandas().sort_values("grp").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("ev", t.to_pandas())
+    sql = hll_sql("ev", "grp", "uid", p=9)
+    ora = con.execute(sql).fetchdf().sort_values("grp").reset_index(drop=True)
+    assert eng["hll_estimate"].tolist() == ora["hll_estimate"].tolist()
+
+
+def test_cms_one_sided_and_exact_on_heavy(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.sketch import cms_counts
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([np.full(500, 7), np.full(300, 13),
+                           rng.integers(100, 5000, 4000)])
+    t = pa.table({"v": pa.array(vals)})
+    out = cms_counts(rd.from_arrow(t).repartition(6), "v",
+                     [7, 13, 99], depth=4, width=4096).to_pandas()
+    out = out.set_index("v")["cms_estimate"]
+    truth = {7: 500, 13: 300, 99: 0}
+    for k, exact in truth.items():
+        assert out[k] >= exact  # one-sided error
+        assert out[k] - exact <= 2 * len(vals) / 4096 * 4  # loose cm bound
+    # heavy hitters with few collisions: estimates close to exact
+    assert out[7] - 500 <= 10 and out[13] - 300 <= 10
+
+
+def test_cms_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.sketch import cms_counts
+
+    t = _events(8000, 200, seed=9)
+    a = cms_counts(rd.from_arrow(t).repartition(9), "uid", list(range(10)),
+                   width=1024).to_pandas()
+    b = cms_counts(rd.from_arrow(t).repartition(3), "uid", list(range(10)),
+                   width=1024).to_pandas()
+    assert a["cms_estimate"].tolist() == b["cms_estimate"].tolist()
+
+
+def test_hll_p_validation():
+    from simplefeatures_ray.functions.sketch import hll_distinct
+
+    with pytest.raises(ValueError):
+        hll_distinct(None, "g", "v", p=3)
