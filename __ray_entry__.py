@@ -823,6 +823,19 @@ def emb_near_dup_lsh(sf_dir: str):
     return embedding_near_dup_lsh(ds, threshold=0.4, n_bits=6, n_tables=8)
 
 
+def emb_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 3 iterations) over the embedding
+    corpus — broadcast centroids + per-cluster partial-sum combiner, no
+    row shuffle. The oracle replays all three iterations as unrolled SQL
+    CTEs with the identical rounded arithmetic (see functions/cluster.py
+    for the determinism contract)."""
+    from simplefeatures_ray.functions.cluster import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign, _ = kmeans(ds, k=8, iters=3)
+    return assign
+
+
 def ann_ivf_topk(sf_dir: str):
     from simplefeatures_ray.functions.ann import ivf_topk
 
@@ -1669,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_kmeans_clusters": emb_kmeans_clusters,
         # spatial
         "spatial_points_in_boxes": spatial_points_in_boxes,
         "spatial_semi_join": spatial_semi_join,
@@ -1717,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
         cms_sql as _cms_sql,
         hll_sql as _hll_sql,
     )
+    from simplefeatures_ray.functions.cluster import kmeans_sql as _kmeans_sql
 
     poly_vals = coords_values_sql(polygon_corpus())
     line_vals = coords_values_sql(linestring_corpus())
@@ -2394,6 +2409,8 @@ def oracle_sql() -> dict[str, str]:
         # LSH path gated by the SAME exact-pair oracle: 128x6-bit seeded
         # tables give recall 1.0 on the fixed synthetic inputs, so the
         # approximate result equals the exact one here.
+        "emb_kmeans_clusters": _kmeans_sql(
+            "embeddings", dim=64, k=8, iters=3),
         "emb_near_dup_lsh": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(
