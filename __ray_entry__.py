@@ -438,6 +438,17 @@ def docs_bm25_topk(sf_dir: str):
     return bm25_topk(ds, ["table", "hash", "window"], k=20)
 
 
+def docs_lm_perplexity(sf_dir: str):
+    """Per-document perplexity under a corpus-trained add-alpha bigram LM
+    (the CCNet-style quality filter): two streaming passes — combiner
+    unigram/bigram counts, then broadcast-LM scoring. Oracle replays the
+    identical smoothed math in SQL."""
+    from simplefeatures_ray.functions.scoring import bigram_lm_perplexity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_perplexity(ds)
+
+
 def docs_pack_sequences(sf_dir: str):
     """Greedy sequence packing: per source, docs in doc_id order are
     packed into 500-char training sequences (new sequence when the next
@@ -1655,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_metrics": docs_quality_metrics,
         "docs_quality_classifier": docs_quality_classifier,
         "docs_pack_sequences": docs_pack_sequences,
+        "docs_lm_perplexity": docs_lm_perplexity,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
@@ -1732,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
         hll_sql as _hll_sql,
     )
     from simplefeatures_ray.functions.cluster import kmeans_sql as _kmeans_sql
+    from simplefeatures_ray.functions.scoring import bigram_lm_sql as _bigram_lm_sql
 
     poly_vals = coords_values_sql(polygon_corpus())
     line_vals = coords_values_sql(linestring_corpus())
@@ -1944,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE g.doc_id % 7 != 0
             GROUP BY g.doc_id
         """,
+        "docs_lm_perplexity": _bigram_lm_sql("documents"),
         "docs_term_stats": r"""
             WITH w AS (
               SELECT doc_id,

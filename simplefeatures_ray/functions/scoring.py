@@ -55,3 +55,157 @@ QUALITY_WEIGHTS = {
     "stop_ratio": 18.0,
 }
 QUALITY_BIAS = -3.2
+
+
+# --------------------------------------------------------------------------- #
+# bigram language-model perplexity (CCNet-style corpus filter)
+# --------------------------------------------------------------------------- #
+
+
+def _bigram_tables(batch: pa.Table, id_col: str, text_col: str):
+    """Per-batch (doc, prev, cur) bigram rows + (doc, term) unigram rows
+    with the corpus-standard tokenization (text._word_table: RE2 word
+    runs, lowercased) — order-preserving so bigrams are consecutive."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern_regex(batch[text_col], pattern=r"[^\w']+")
+    flat = pc.utf8_lower(pc.list_flatten(words))
+    parents = np.asarray(pc.list_parent_indices(words))
+    terms = np.asarray(flat, dtype=object)
+    keep = terms != ""
+    terms, parents = terms[keep], parents[keep]
+    ids = np.asarray(batch[id_col])[parents]
+    same = parents[:-1] == parents[1:] if len(parents) else np.array([], bool)
+    return (
+        {"doc": ids[:-1][same] if len(ids) else ids,
+         "prev": terms[:-1][same] if len(terms) else terms,
+         "cur": terms[1:][same] if len(terms) else terms},
+        {"doc": ids, "term": terms},
+    )
+
+
+def bigram_lm_perplexity(ds, id_col: str = "doc_id", text_col: str = "text",
+                         alpha: float = 0.5, round_to: int = 4,
+                         min_count: int = 1):
+    """Per-document perplexity under an add-alpha-smoothed bigram LM
+    trained on the corpus itself (the CCNet / Wenzek et al. 2020 quality
+    signal: high-perplexity documents are boilerplate/noise candidates).
+
+    Two passes, both streaming:
+      1. LM stats — per-batch PARTIAL unigram/bigram counts (combiner),
+         summed through one coarse grouped shuffle each; shuffle volume
+         is bounded by distinct vocabulary/bigram types per block, never
+         token count.
+      2. Scoring — the count tables are broadcast (ray.put once) and each
+         batch scores its documents with two vectorized merges. At
+         100 TB, prune the broadcast with min_count > 1 (rare types fall
+         back to count 0, the same smoothed formula applies) — the
+         estimate stays well-defined because alpha > 0.
+
+    p(w|v) = (c(v,w) + alpha) / (c(v) + alpha * V), V = |vocab|;
+    ppl(doc) = exp(-mean ln p over its bigrams), ROUNDed (default 4 dp —
+    the only order-dependent float step is the per-doc log sum, absorbed
+    by the shared rounding). Documents with < 2 tokens are dropped (no
+    bigrams), mirroring the SQL twin's natural GROUP BY semantics.
+
+    Returns a Dataset (id_col, ppl, n_bigrams).
+    """
+    import pandas as pd
+
+    import ray
+
+    from .agg import grouped_agg
+    from ._pdarrow import arrow_groups
+    from .relational import collect_table
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        bi, _ = _bigram_tables(t, id_col, text_col)
+        df = pd.DataFrame({"prev": bi["prev"], "cur": bi["cur"]})
+        g = df.groupby(["prev", "cur"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        _, uni = _bigram_tables(t, id_col, text_col)
+        df = pd.DataFrame({"term": uni["term"]})
+        g = df.groupby("term", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bi_counts = collect_table(grouped_agg(
+        ds.map_batches(bi_partial, batch_format="pyarrow"),
+        ["prev", "cur"], {"n": ("n", "sum")}, combine="shuffle")).to_pandas()
+    uni_counts = collect_table(grouped_agg(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["term"], {"n": ("n", "sum")}, combine="shuffle")).to_pandas()
+
+    vocab_size = int(len(uni_counts))
+    if min_count > 1:
+        bi_counts = bi_counts[bi_counts["n"] >= min_count]
+        uni_counts = uni_counts[uni_counts["n"] >= min_count]
+
+    bi_ref = ray.put(bi_counts)
+    uni_ref = ray.put(uni_counts)
+    a = float(alpha)
+    aV = a * float(vocab_size)
+
+    def score(t: pa.Table) -> pa.Table:
+        bi_c = ray.get(bi_ref)
+        uni_c = ray.get(uni_ref)
+        bi, _ = _bigram_tables(t, id_col, text_col)
+        df = pd.DataFrame(bi)
+        if not len(df):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "ppl": pa.array([], pa.float64()),
+                             "n_bigrams": pa.array([], pa.int64())})
+        df = df.merge(bi_c, on=["prev", "cur"], how="left")
+        df = df.merge(uni_c.rename(columns={"term": "prev", "n": "cn"}),
+                      on="prev", how="left")
+        cb = df["n"].fillna(0).to_numpy(dtype=np.float64)
+        cu = df["cn"].fillna(0).to_numpy(dtype=np.float64)
+        lp = np.log((cb + a) / (cu + aV))
+        g = pd.DataFrame({"doc": df["doc"], "lp": lp}).groupby("doc", sort=True)
+        s = g["lp"].sum()
+        nb = g.size()
+        ppl = np.round(np.exp(-s.to_numpy() / nb.to_numpy(dtype=np.float64)),
+                       round_to) + 0.0
+        return pa.table({id_col: pa.array(s.index.to_numpy(), pa.int64()),
+                         "ppl": pa.array(ppl, pa.float64()),
+                         "n_bigrams": pa.array(nb.to_numpy(), pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_sql(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text", alpha: float = 0.5,
+                  round_to: int = 4) -> str:
+    """DuckDB twin of bigram_lm_perplexity (min_count=1): identical
+    tokenization, identical smoothed probability, shared final ROUND."""
+    return rf"""
+        WITH w AS (
+          SELECT {id_col} AS doc,
+                 list_transform(regexp_extract_all({text_col}, '[\w'']+'),
+                                x -> lower(x)) AS ws
+          FROM {table}),
+        uni AS (
+          SELECT unnest(ws) AS term, doc FROM w),
+        cu AS (SELECT term, COUNT(*)::BIGINT AS n FROM uni GROUP BY term),
+        v AS (SELECT COUNT(*)::DOUBLE AS v FROM cu),
+        bi AS (
+          SELECT doc, unnest(list_transform(range(1, len(ws)),
+                             i -> struct_pack(p := ws[i], c := ws[i + 1]))) AS pc
+          FROM w),
+        dbi AS (SELECT doc, pc.p AS prev, pc.c AS cur FROM bi),
+        cb AS (SELECT prev, cur, COUNT(*)::BIGINT AS n
+               FROM dbi GROUP BY prev, cur),
+        scored AS (
+          SELECT d.doc,
+                 SUM(ln((cb.n + {alpha!r}) / (cu.n + {alpha!r} * v.v))) AS lp,
+                 COUNT(*)::BIGINT AS nb
+          FROM dbi d
+          JOIN cb ON cb.prev = d.prev AND cb.cur = d.cur
+          JOIN cu ON cu.term = d.prev, v
+          GROUP BY d.doc)
+        SELECT doc AS {id_col},
+               ROUND(exp(-lp / nb), {round_to}) + 0.0 AS ppl,
+               nb AS n_bigrams
+        FROM scored
+    """

@@ -96,3 +96,65 @@ def test_hll_p_validation():
 
     with pytest.raises(ValueError):
         hll_distinct(None, "g", "v", p=3)
+
+
+# --------------------------------------------------------------------------- #
+# bigram LM perplexity (functions/scoring.py)
+# --------------------------------------------------------------------------- #
+
+
+def _doc_table():
+    docs = [
+        "the cat sat on the mat the cat sat again",      # repetitive
+        "the dog ran to the park and the dog barked",
+        "quantum flux oscillates stochastically beyond comprehension",
+        "zz",                                             # single token -> dropped
+        "",                                               # empty -> dropped
+    ] * 3
+    return pa.table({"doc_id": pa.array(range(len(docs))),
+                     "text": pa.array(docs)})
+
+
+def test_lm_perplexity_signal_and_drops(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.scoring import bigram_lm_perplexity
+
+    out = bigram_lm_perplexity(rd.from_arrow(_doc_table()).repartition(4)) \
+        .to_pandas().set_index("doc_id")
+    # single-token and empty docs produce no bigrams -> absent
+    assert 3 not in out.index and 4 not in out.index
+    assert out.loc[0, "n_bigrams"] == 9
+    # a doc whose only bigram dominates the corpus scores much lower
+    # perplexity than a doc whose bigram appears once
+    common = pa.table({"doc_id": pa.array(range(31)),
+                       "text": pa.array(["aa bb"] * 30 + ["cc dd"])})
+    o2 = bigram_lm_perplexity(rd.from_arrow(common)).to_pandas() \
+        .set_index("doc_id")
+    assert o2.loc[0, "ppl"] < o2.loc[30, "ppl"]
+
+
+def test_lm_perplexity_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.scoring import bigram_lm_perplexity
+
+    t = _doc_table()
+    a = bigram_lm_perplexity(rd.from_arrow(t).repartition(6)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = bigram_lm_perplexity(rd.from_arrow(t).repartition(1)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_lm_perplexity_min_count_prune(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.scoring import bigram_lm_perplexity
+
+    t = _doc_table()
+    out = bigram_lm_perplexity(rd.from_arrow(t), min_count=2).to_pandas()
+    # pruning drops rare types from the broadcast but scoring still
+    # covers every doc with bigrams (smoothing handles zero counts)
+    assert set(out["doc_id"]) == {i for i in range(15) if i % 5 not in (3, 4)}
+    assert (out["ppl"] > 0).all()
