@@ -644,6 +644,31 @@ def events_distinct_users(sf_dir: str):
     return grouped_nunique(ds, "event_type", "user_id")
 
 
+def events_interval_join(sf_dir: str):
+    """Events joined to the 300 synthetic time intervals containing
+    their timestamp — the 1-D bucketed shuffle join
+    (functions/windows.interval_join; epoch-us integer domain). The
+    interval side stands in for a window table too large to broadcast."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.windows import interval_join
+    from simplefeatures_ray.pipelines.corpus import synth_intervals
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "t_us": pc.cast(t["ts"], pa.int64())})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    iv = ray.data.from_arrow(synth_intervals(300)).repartition(4)
+    out = interval_join(pts, iv, "t_us", "t_start", "t_end",
+                        bucket=7200 * 1000000)
+    return out.select_columns(["event_id", "interval_id"])
+
+
 def events_hll_users(sf_dir: str):
     """APPROXIMATE distinct users per event type via HyperLogLog — the
     sketch twin of events_distinct_users. The exchange carries at most
@@ -1686,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
         "events_distinct_users": events_distinct_users,
+        "events_interval_join": events_interval_join,
         "events_hll_users": events_hll_users,
         "events_cms_counts": events_cms_counts,
         # embeddings
@@ -1735,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         linestring_corpus,
         polygon_corpus,
         synth_boxes_sql,
+        synth_intervals_sql,
     )
 
     from simplefeatures_ray.s2 import lut_values_sql as _s2_lut_sql
@@ -2106,6 +2133,12 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "events_interval_join": f"""
+            SELECT e.event_id, iv.interval_id
+            FROM events e
+            JOIN {synth_intervals_sql(300, 'iv')}
+              ON epoch_us(e.ts) BETWEEN iv.t_start AND iv.t_end
         """,
         "events_hll_users": _hll_sql("events", "event_type", "user_id", p=8),
         "events_cms_counts": _cms_sql(

@@ -227,3 +227,48 @@ def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
 
     return parted.groupby("__part").map_groups(
         arrow_groups(per_part), batch_format="pyarrow")
+
+
+def interval_join(left_ds, intervals_ds, t_col: str, start_col: str,
+                  end_col: str, bucket: int, n_buckets: int = 32):
+    """Large x large point-in-interval join — the 1-D time-domain analog
+    of stages/join.cell_spatial_join: each interval is exploded to the
+    integer buckets it covers (vectorized np.repeat, bounded fan-out
+    when `bucket` ~ the median interval length), each point carries its
+    single bucket, both sides meet through one hash-bucket equi-join
+    (relational.bucketed_join), and an exact start <= t <= end refine
+    follows. A point lies in exactly one bucket, so every matching
+    (point, interval) pair is emitted exactly once — no dedup pass.
+
+    All three of t_col/start_col/end_col must be int64-comparable (e.g.
+    epoch microseconds); `bucket` is in the same unit.
+    """
+    from .relational import bucketed_join
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[t_col], dtype=np.int64)
+        return t.append_column("__b", pa.array(v // int(bucket)))
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[start_col], dtype=np.int64)
+        e = np.asarray(t[end_col], dtype=np.int64)
+        b0 = s // int(bucket)
+        n = e // int(bucket) - b0 + 1
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        offs = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(n, out=offs[1:])
+        local = np.arange(int(offs[-1]), dtype=np.int64) - offs[rep]
+        out = t.take(pa.array(rep))
+        return out.append_column("__b", pa.array(b0[rep] + local))
+
+    lt = left_ds.map_batches(tag, batch_format="pyarrow")
+    it = intervals_ds.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_join(lt, it, key="__b", n_buckets=n_buckets)
+
+    def refine(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[t_col], dtype=np.int64)
+        keep = ((v >= np.asarray(t[start_col], dtype=np.int64))
+                & (v <= np.asarray(t[end_col], dtype=np.int64)))
+        return t.filter(pa.array(keep)).drop_columns(["__b"])
+
+    return joined.map_batches(refine, batch_format="pyarrow")

@@ -200,3 +200,32 @@ def synth_boxes_sql(n: int = 400, alias: str = "boxes") -> str:
         f"CAST(r * 17 % 60 AS DOUBLE)/10.0 + 2.0 AS h "
         f"FROM range({n}) t(r))) {alias}"
     )
+
+
+def synth_intervals(n: int = 300):
+    """n deterministic time intervals (epoch-us int64) inside the events
+    table's January-2024 span — integer modular arithmetic, exact in SQL."""
+    import pyarrow as pa
+
+    i = np.arange(n, dtype=np.int64)
+    base = 1704067200000000  # 2024-01-01T00:00:00Z in epoch microseconds
+    start = base + (i * 104729 % 2592000) * 1000000
+    dur = ((i * 131 % 7200) + 600) * 1000000
+    return pa.table(
+        {
+            "interval_id": pa.array(i),
+            "t_start": pa.array(start),
+            "t_end": pa.array(start + dur),
+        }
+    )
+
+
+def synth_intervals_sql(n: int = 300, alias: str = "iv") -> str:
+    """SQL twin of synth_intervals."""
+    return (
+        f"(SELECT r AS interval_id, "
+        f"1704067200000000 + (r * 104729 % 2592000) * 1000000 AS t_start, "
+        f"1704067200000000 + (r * 104729 % 2592000) * 1000000 "
+        f"+ ((r * 131 % 7200) + 600) * 1000000 AS t_end "
+        f"FROM range({n}) t(r)) {alias}"
+    )

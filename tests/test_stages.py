@@ -767,3 +767,32 @@ def test_bm25_topk_basic(ray_session):
     # deterministic across partitioning
     out2 = bm25_topk(rd.from_arrow(tbl).repartition(3), ["cat", "bird"], k=3).to_pandas()
     assert out.equals(out2)
+
+
+def test_interval_join_matches_brute_force(ray_session):
+    """1-D bucketed interval join == numpy brute force, incl. intervals
+    spanning many buckets and points exactly on endpoints."""
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.windows import interval_join
+    from simplefeatures_ray.pipelines.corpus import synth_intervals
+
+    iv = synth_intervals(80)
+    rng = np.random.default_rng(21)
+    base = 1704067200000000
+    t = base + rng.integers(0, 2_592_000, 3000) * 1_000_000
+    t[0] = iv["t_start"][7].as_py()   # exact endpoints
+    t[1] = iv["t_end"][9].as_py()
+    pts = pa.table({"pid": pa.array(np.arange(3000)), "t": pa.array(t)})
+
+    out = interval_join(
+        rd.from_arrow(pts).repartition(5), rd.from_arrow(iv).repartition(2),
+        "t", "t_start", "t_end", bucket=3600 * 1_000_000, n_buckets=8,
+    ).to_pandas()
+    got = set(zip(out["pid"], out["interval_id"]))
+
+    s = np.asarray(iv["t_start"]); e = np.asarray(iv["t_end"])
+    hit = (t[:, None] >= s) & (t[:, None] <= e)
+    want = {(int(a), int(b)) for a, b in zip(*np.nonzero(hit))}
+    assert got == want
+    assert len(out) == len(got)
