@@ -438,6 +438,24 @@ def docs_bm25_topk(sf_dir: str):
     return bm25_topk(ds, ["table", "hash", "window"], k=20)
 
 
+def docs_jsonl_roundtrip(sf_dir: str):
+    """Documents parquet -> canonical JSONL shards (atomic per-block
+    sink) -> ray.data.read_json (arrow C++ NDJSON parse) -> table.
+    Proves the web-pipeline ingestion format round-trips losslessly;
+    oracle is the original parquet. A fresh tempdir per call — never a
+    reusable /tmp cache (ADVICE r2: content-staleness)."""
+    import tempfile
+
+    from simplefeatures_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source", "n_chars"])
+    out = tempfile.mkdtemp(prefix="sfr_jsonl_")
+    write_jsonl(ds, out)
+    back = read_jsonl(out)
+    return back.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def docs_lm_perplexity(sf_dir: str):
     """Per-document perplexity under a corpus-trained add-alpha bigram LM
     (the CCNet-style quality filter): two streaming passes — combiner
@@ -1692,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_classifier": docs_quality_classifier,
         "docs_pack_sequences": docs_pack_sequences,
         "docs_lm_perplexity": docs_lm_perplexity,
+        "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
@@ -1985,6 +2004,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g.doc_id
         """,
         "docs_lm_perplexity": _bigram_lm_sql("documents"),
+        "docs_jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
         "docs_term_stats": r"""
             WITH w AS (
               SELECT doc_id,
