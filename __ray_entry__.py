@@ -438,6 +438,19 @@ def docs_bm25_topk(sf_dir: str):
     return bm25_topk(ds, ["table", "hash", "window"], k=20)
 
 
+def docs_bloom_prefilter(sf_dir: str):
+    """Bloom-filter anti-join prefilter: documents whose doc_id is
+    definitely NOT in the blocked set (multiples of 7 below 200),
+    including the filter's deterministic false-positive drops — the
+    broadcast-a-bitset-instead-of-the-keys scale pattern; the oracle
+    rebuilds the identical lit-bit set in SQL."""
+    from simplefeatures_ray.functions.sketch import bloom_anti_filter, bloom_build
+
+    bits = bloom_build(range(0, 200, 7), n_bits=1024, k=3)
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return bloom_anti_filter(ds, "doc_id", bits, k=3)
+
+
 def docs_jsonl_roundtrip(sf_dir: str):
     """Documents parquet -> canonical JSONL shards (atomic per-block
     sink) -> ray.data.read_json (arrow C++ NDJSON parse) -> table.
@@ -1711,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": docs_pack_sequences,
         "docs_lm_perplexity": docs_lm_perplexity,
         "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+        "docs_bloom_prefilter": docs_bloom_prefilter,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
@@ -1786,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
     from simplefeatures_ray.s2 import lut_values_sql as _s2_lut_sql
     from simplefeatures_ray.functions.urls import doc_urls_sql as _doc_urls_sql
     from simplefeatures_ray.functions.sketch import (
+        bloom_anti_sql as _bloom_anti_sql,
         cms_sql as _cms_sql,
         hll_sql as _hll_sql,
     )
@@ -2007,6 +2022,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
+        "docs_bloom_prefilter": _bloom_anti_sql(
+            "(SELECT doc_id, n_chars FROM documents)", "doc_id",
+            "SELECT r * 7 AS v FROM range(29) t(r)", n_bits=1024, k=3),
         "docs_term_stats": r"""
             WITH w AS (
               SELECT doc_id,

@@ -207,3 +207,76 @@ def cms_sql(table_expr: str, value_col: str, query_values_sql: str,
         SELECT v AS {value_col}, CAST(MIN(est) AS BIGINT) AS cms_estimate
         FROM ({unions}) GROUP BY v
     """
+
+
+# --------------------------------------------------------------------------- #
+# Bloom filter (broadcast membership prefilter)
+# --------------------------------------------------------------------------- #
+
+
+def bloom_build(values, n_bits: int = 4096, k: int = 3,
+                salt: str = "bloom") -> np.ndarray:
+    """Bit array (uint8, length n_bits) with k sha256-salted positions
+    lit per value. Broadcast this instead of the key set itself when the
+    blocklist is large: 100M keys -> a few hundred MB of bits instead of
+    gigabytes of strings, at a bounded false-positive rate
+    (~(1 - e^{-kn/m})^k)."""
+    bits = np.zeros(n_bits, dtype=np.uint8)
+    for v in values:
+        for d in range(k):
+            bits[int(hashlib.sha256(f"{salt}{d}:{v}".encode()).hexdigest()[:8],
+                     16) % n_bits] = 1
+    return bits
+
+
+def bloom_anti_filter(ds, key_col: str, bits: np.ndarray, k: int = 3,
+                      salt: str = "bloom"):
+    """Keep rows whose key is definitely NOT in the filter (any of its k
+    bits unset). One-sided: a false positive drops a clean row (rate set
+    by n_bits/k), never the reverse — the right trade for a blocklist
+    prefilter feeding an exact verification stage. Pure streaming
+    map_batches over a ray.put bitset; per-batch hashing touches each
+    DISTINCT key once (factorize)."""
+    import ray
+
+    n_bits = len(bits)
+    bits_ref = ray.put(bits)
+    depth_salts = [f"{salt}{d}" for d in range(k)]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        vals = t[key_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.Series(vals), use_na_sentinel=False)
+        hit = np.ones(len(uniq), dtype=bool)
+        for dsalt in depth_salts:
+            pos = np.fromiter(
+                (int(hashlib.sha256(f"{dsalt}:{v}".encode()).hexdigest()[:8],
+                     16) % n_bits for v in uniq),
+                dtype=np.int64, count=len(uniq))
+            hit &= b[pos].astype(bool)
+        return t.filter(pa.array(~hit[codes]))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def bloom_anti_sql(table_expr: str, key_col: str, block_values_sql: str,
+                   n_bits: int = 4096, k: int = 3, salt: str = "bloom") -> str:
+    """DuckDB twin of bloom_build + bloom_anti_filter: the lit-bit set is
+    rebuilt from `block_values_sql` (a relation `(SELECT ... AS v)`), and
+    a row survives iff at least one of its k positions is unlit —
+    INCLUDING the filter's deterministic false positives."""
+    def pos(col, d):
+        return (f"('0x' || substr(sha256('{salt}{d}:' || CAST({col} AS VARCHAR)), "
+                f"1, 8))::UBIGINT % {n_bits}")
+
+    lit = " UNION ".join(
+        f"SELECT {pos('v', d)} AS p FROM ({block_values_sql})"
+        for d in range(k))
+    survive = " OR ".join(
+        f"{pos(f't.{key_col}', d)} NOT IN (SELECT p FROM lit)"
+        for d in range(k))
+    return f"""
+        WITH lit AS ({lit})
+        SELECT t.* FROM {table_expr} t
+        WHERE {survive}
+    """

@@ -158,3 +158,40 @@ def test_lm_perplexity_min_count_prune(ray_session):
     # covers every doc with bigrams (smoothing handles zero counts)
     assert set(out["doc_id"]) == {i for i in range(15) if i % 5 not in (3, 4)}
     assert (out["ppl"] > 0).all()
+
+
+# --------------------------------------------------------------------------- #
+# Bloom filter (functions/sketch.py)
+# --------------------------------------------------------------------------- #
+
+
+def test_bloom_anti_filter_semantics(ray_session):
+    """Blocked keys always dropped; survivors = exactly the keys whose
+    bloom probe misses (false positives drop deterministically, never
+    the reverse)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.sketch import bloom_anti_filter, bloom_build
+
+    blocked = list(range(0, 50))
+    n_bits, k = 128, 2  # tiny filter -> guaranteed false positives
+    bits = bloom_build(blocked, n_bits=n_bits, k=k)
+    t = pa.table({"key": pa.array(list(range(500)))})
+    out = bloom_anti_filter(rd.from_arrow(t).repartition(4), "key", bits,
+                            k=k).to_pandas()
+    survivors = set(out["key"])
+    assert survivors.isdisjoint(blocked)  # no blocked key survives
+
+    def probe_hits(v):
+        return all(
+            bits[int(hashlib.sha256(f"bloom{d}:{v}".encode()).hexdigest()[:8],
+                     16) % n_bits]
+            for d in range(k))
+
+    expect = {v for v in range(500) if not probe_hits(v)}
+    assert survivors == expect
+    # the tiny filter really does produce false positives
+    fps = {v for v in range(50, 500) if probe_hits(v)}
+    assert fps and fps.isdisjoint(survivors)
