@@ -604,6 +604,17 @@ def docs_contamination(sf_dir: str):
     return contamination_check(corpus, bench, ngram=5)
 
 
+def docs_exact_ngram_pairs(sf_dir: str):
+    """Exact substring-level duplicate pairs: docs sharing >= 2 exact
+    word 8-grams (Lee et al. 2022 style), df-bounded stop-gram guard
+    (functions/dedup.exact_ngram_dup_pairs). Full SQL twin with the
+    identical sha256 gram keys."""
+    from simplefeatures_ray.functions.dedup import exact_ngram_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_ngram_dup_pairs(ds, ngram=8, min_shared=2, max_df=16)
+
+
 def docs_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERING: SimHash pairs (hamming <= 6, complete recall
     via 8x8-bit banding — see docs_simhash_pairs) -> distributed
@@ -1730,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_dup_clusters": docs_dup_clusters,
+        "docs_exact_ngram_pairs": docs_exact_ngram_pairs,
         "docs_contamination": docs_contamination,
         "docs_term_stats": docs_term_stats,
         "docs_repetition_metrics": docs_repetition_metrics,
@@ -2019,6 +2031,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g.doc_id
         """,
         "docs_lm_perplexity": _bigram_lm_sql("documents"),
+        "docs_exact_ngram_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\w'']+'),
+                                    x -> lower(x)) AS ws
+              FROM documents),
+            g0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 6),
+                            i -> array_to_string(list_slice(ws, i, i + 7), ' ')))
+                       AS g
+              FROM w),
+            g AS (SELECT DISTINCT doc_id, g FROM g0),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(sha256(g), 1, 16))::UBIGINT AS gh
+                  FROM g),
+            d AS (SELECT gh FROM h GROUP BY gh
+                  HAVING COUNT(*) BETWEEN 2 AND 16),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM h a JOIN d USING (gh) JOIN h b USING (gh)
+                  WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, COUNT(*)::BIGINT AS n_shared
+            FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
         "docs_jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,

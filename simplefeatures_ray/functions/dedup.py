@@ -602,3 +602,74 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
                          label_out: pc.cast(t["label"], pa.int64())})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def exact_ngram_dup_pairs(ds, *, ngram: int = 8, min_shared: int = 2,
+                          max_df: int = 16, id_col: str = "doc_id",
+                          text_col: str = "text", n_parts: int = 256):
+    """EXACT substring-level duplicate pairs (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): all
+    document pairs sharing >= min_shared exact word n-grams, with the
+    shared-gram count.
+
+    Scale shape: documents explode to DISTINCT (gram-hash, doc) rows
+    (one sha256-derived 64-bit key per gram — the string itself never
+    shuffles); rows co-locate on a coarse hash partition of the gram key,
+    so the per-partition document-frequency bound IS the global one
+    (all copies of a gram share its partition). Grams with df > max_df
+    are dropped before pairing — the stop-gram guard that keeps the
+    quadratic per-gram pair fan-out bounded (a gram in D docs yields
+    D*(D-1)/2 pairs); pairing itself is the vectorized size-grouped
+    kernel (bucketed_pairs_vectorized, no per-gram loop). Per-partition
+    PARTIAL pair counts then combine through one grouped-sum shuffle
+    bounded by distinct surviving pairs.
+
+    Returns Dataset (id_a, id_b, n_shared), id_a < id_b.
+    """
+    import hashlib
+
+    from .agg import grouped_agg
+    from .text import _ngram_table
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        g = _ngram_table(t, id_col, text_col, ngram)
+        df = g.to_pandas().drop_duplicates()
+        codes, uniq = pd.factorize(df["g"], use_na_sentinel=False)
+        hu = np.fromiter(
+            (int(hashlib.sha256(s.encode()).hexdigest()[:16], 16)
+             for s in uniq),
+            dtype=np.uint64, count=len(uniq))
+        gh = hu[codes]
+        return pa.table({
+            "gh": pa.array(gh),
+            id_col: pa.array(df[id_col].to_numpy(np.int64)),
+            "gpart": pa.array((gh % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    rows = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def pairs_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        # global df bound: every copy of a gram is in this partition
+        cnt = df.groupby("gh")["gh"].transform("size")
+        df = df[(cnt >= 2) & (cnt <= max_df)]
+        ia, ib = bucketed_pairs_vectorized(
+            df["gh"].to_numpy(np.uint64), df[id_col].to_numpy(np.int64))
+        out = pd.DataFrame({"id_a": ia, "id_b": ib})
+        g = out.groupby(["id_a", "id_b"], sort=False).size() \
+               .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partial = rows.groupby("gpart").map_groups(
+        arrow_groups(pairs_in_part), batch_format="pyarrow")
+    counts = grouped_agg(partial, ["id_a", "id_b"],
+                         {"n_shared": ("n", "sum")}, combine="shuffle")
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["n_shared"], min_shared))
+        return t.set_column(t.schema.get_field_index("n_shared"), "n_shared",
+                            pc.cast(t["n_shared"], pa.int64()))
+
+    return counts.map_batches(final_filter, batch_format="pyarrow")

@@ -796,3 +796,31 @@ def test_interval_join_matches_brute_force(ray_session):
     want = {(int(a), int(b)) for a, b in zip(*np.nonzero(hit))}
     assert got == want
     assert len(out) == len(got)
+
+
+def test_exact_ngram_dup_pairs(ray_session):
+    """Planted exact-substring duplicates found with exact shared-gram
+    counts; stop-gram guard suppresses pairs induced by ubiquitous
+    grams."""
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.dedup import exact_ngram_dup_pairs
+
+    boiler = "all rights reserved terms of service apply here now"  # 9 words
+    texts = [f"unique doc {i} " + " ".join(f"w{i}_{j}" for j in range(12))
+             + " " + boiler for i in range(20)]
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts.append("first copy intro " + shared)
+    texts.append("second copy other intro words " + shared)
+    t = pa.table({"doc_id": pa.array(range(len(texts))),
+                  "text": pa.array(texts)})
+
+    out = exact_ngram_dup_pairs(rd.from_arrow(t).repartition(4), ngram=8,
+                                min_shared=2, max_df=4).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (20, 21) in got
+    # boilerplate grams appear in 20 docs > max_df -> no boiler-only pairs
+    assert all(a >= 20 for a, b in got)
+    # shared has 10 words -> 3 shared 8-grams
+    n = out.set_index(["id_a", "id_b"]).loc[(20, 21), "n_shared"]
+    assert n == 3
