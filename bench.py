@@ -28,6 +28,11 @@ HEADLINE_QUERIES = [
     "spatial_knn_boxes",
     "ann_cosine_topk",
     "docs_minhash_pairs",
+    # round-3 late additions (comparability: keys above are unchanged
+    # from rounds 1-2; these three only ADD timings)
+    "spatial_cell_join",
+    "emb_kmeans_clusters",
+    "docs_lm_perplexity",
 ]
 
 
