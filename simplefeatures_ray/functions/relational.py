@@ -87,10 +87,19 @@ def broadcast_join(big_ds, small, keys, right_keys=None, join_type="inner",
 
 
 def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
-                  join_type: str = "inner"):
+                  join_type: str = "inner", n_salts: int = 1):
     """Large×large partitioned hash join: add bucket = hash(key) % B to both
     sides, then join per bucket inside map_groups. The all-to-all cost is
-    one groupby shuffle per side; B bounds per-task memory."""
+    one groupby shuffle per side; B bounds per-task memory.
+
+    n_salts > 1 is the HOT-KEY guard: every left row additionally takes an
+    arbitrary salt in [0, n_salts) (salting is pure load-splitting — the
+    join result is identical for ANY assignment) and every right row is
+    replicated to all n_salts shards of its bucket, so a single dominant
+    key (one grid cell holding a city's worth of points) spreads across
+    n_salts tasks at the cost of n_salts x |right| exchange volume —
+    the classic skew-join trade, same rationale as stages/shuffle.py's
+    salted aggregation."""
     import pyarrow.compute as pc
 
     def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
@@ -115,11 +124,24 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         return pa.array(np.concatenate(out) if out else np.array([], np.int32),
                         pa.int32())
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__bucket", _bucket_of(t[key]))
+    def add_bucket_left(t: pa.Table) -> pa.Table:
+        b = np.asarray(_bucket_of(t[key]), dtype=np.int32)
+        if n_salts > 1:
+            salt = (np.arange(len(t)) % n_salts).astype(np.int32)
+            b = b * np.int32(n_salts) + salt
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
 
-    lt = left_ds.map_batches(add_bucket, batch_format="pyarrow")
-    rt = right_ds.map_batches(add_bucket, batch_format="pyarrow")
+    def add_bucket_right(t: pa.Table) -> pa.Table:
+        b = np.asarray(_bucket_of(t[key]), dtype=np.int32)
+        if n_salts > 1:
+            rep = np.repeat(np.arange(len(t), dtype=np.int64), n_salts)
+            salt = np.tile(np.arange(n_salts, dtype=np.int32), len(t))
+            t = t.take(pa.array(rep))
+            b = b[rep] * np.int32(n_salts) + salt
+        return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+    lt = left_ds.map_batches(add_bucket_left, batch_format="pyarrow")
+    rt = right_ds.map_batches(add_bucket_right, batch_format="pyarrow")
 
     # tag sides, union, then per-bucket join in map_groups
     lt = lt.map_batches(

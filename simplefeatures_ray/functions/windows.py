@@ -230,7 +230,8 @@ def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
 
 
 def interval_join(left_ds, intervals_ds, t_col: str, start_col: str,
-                  end_col: str, bucket: int, n_buckets: int = 32):
+                  end_col: str, bucket: int, n_buckets: int = 32,
+                  n_salts: int = 1):
     """Large x large point-in-interval join — the 1-D time-domain analog
     of stages/join.cell_spatial_join: each interval is exploded to the
     integer buckets it covers (vectorized np.repeat, bounded fan-out
@@ -263,7 +264,8 @@ def interval_join(left_ds, intervals_ds, t_col: str, start_col: str,
 
     lt = left_ds.map_batches(tag, batch_format="pyarrow")
     it = intervals_ds.map_batches(explode, batch_format="pyarrow")
-    joined = bucketed_join(lt, it, key="__b", n_buckets=n_buckets)
+    joined = bucketed_join(lt, it, key="__b", n_buckets=n_buckets,
+                           n_salts=n_salts)
 
     def refine(t: pa.Table) -> pa.Table:
         v = np.asarray(t[t_col], dtype=np.int64)

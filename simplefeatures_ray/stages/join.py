@@ -277,7 +277,7 @@ def _pack_cell(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
 def cell_spatial_join(points_ds, boxes_ds, cell_size: float,
                       x_col: str = "x", y_col: str = "y",
                       box_cols=("minx", "miny", "maxx", "maxy"),
-                      n_buckets: int = 32):
+                      n_buckets: int = 32, n_salts: int = 1):
     """Large x large point-in-box join via grid-cell co-partitioning.
 
     The broadcast R-tree join (BroadcastSpatialJoin above) requires the
@@ -329,7 +329,10 @@ def cell_spatial_join(points_ds, boxes_ds, cell_size: float,
 
     pts = points_ds.map_batches(tag_points, batch_format="pyarrow")
     bxs = boxes_ds.map_batches(explode_boxes, batch_format="pyarrow")
-    joined = bucketed_join(pts, bxs, key="__cell", n_buckets=n_buckets)
+    # n_salts > 1: spread a hot cell (urban point pile-up) across salt
+    # shards — results invariant, right side replicated n_salts x
+    joined = bucketed_join(pts, bxs, key="__cell", n_buckets=n_buckets,
+                           n_salts=n_salts)
 
     def refine(t: pa.Table) -> pa.Table:
         x = np.asarray(t[x_col], dtype=np.float64)

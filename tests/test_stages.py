@@ -824,3 +824,51 @@ def test_exact_ngram_dup_pairs(ray_session):
     # shared has 10 words -> 3 shared 8-grams
     n = out.set_index(["id_a", "id_b"]).loc[(20, 21), "n_shared"]
     assert n == 3
+
+
+def test_salted_bucketed_join_invariant(ray_session):
+    """n_salts spreads a hot key across shards without changing results
+    (left split + right replication)."""
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import bucketed_join
+
+    # one dominant key (90% of rows) + a long tail
+    k = np.concatenate([np.zeros(900, np.int64),
+                        np.arange(1, 101).repeat(1)])
+    left = pa.table({"k": pa.array(k), "lv": pa.array(np.arange(len(k)))})
+    right = pa.table({"k": pa.array(np.arange(0, 101)),
+                      "rv": pa.array(np.arange(0, 101) * 10)})
+    base = bucketed_join(rd.from_arrow(left).repartition(4),
+                         rd.from_arrow(right), "k",
+                         n_buckets=8).to_pandas()
+    salted = bucketed_join(rd.from_arrow(left).repartition(4),
+                           rd.from_arrow(right), "k",
+                           n_buckets=8, n_salts=4).to_pandas()
+    cols = ["k", "lv", "rv"]
+    a = base[cols].sort_values(["k", "lv"]).reset_index(drop=True)
+    b = salted[cols].sort_values(["k", "lv"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(b) == 1000  # every left row matched exactly once
+
+
+def test_cell_join_salted_invariant(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.pipelines.corpus import synth_boxes
+    from simplefeatures_ray.stages.join import cell_spatial_join
+
+    rng = np.random.default_rng(3)
+    # hot cell: 80% of points in one 5x5 area
+    px = np.concatenate([rng.uniform(0, 5, 800), rng.uniform(-180, 180, 200)])
+    py = np.concatenate([rng.uniform(0, 5, 800), rng.uniform(-70, 70, 200)])
+    pts = pa.table({"pid": pa.array(np.arange(1000)),
+                    "x": pa.array(px), "y": pa.array(py)})
+    boxes = synth_boxes(60)
+    plain = cell_spatial_join(rd.from_arrow(pts), rd.from_arrow(boxes),
+                              cell_size=10.0).to_pandas()
+    salted = cell_spatial_join(rd.from_arrow(pts), rd.from_arrow(boxes),
+                               cell_size=10.0, n_salts=3).to_pandas()
+    assert (set(zip(plain["pid"], plain["box_id"]))
+            == set(zip(salted["pid"], salted["box_id"])))
+    assert len(plain) == len(salted)
