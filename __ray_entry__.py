@@ -1113,6 +1113,34 @@ def spatial_cell_join(sf_dir: str):
     return out.select_columns(["event_id", "box_id"])
 
 
+def spatial_overlap_join(sf_dir: str):
+    """Box-overlap SELF-join of the 400 synthetic boxes through the
+    cell-partitioned shuffle join with REFERENCE-POINT dedup
+    (stages/join.cell_overlap_join): a pair is kept only in the cell
+    holding the top-left corner of the boxes' intersection, so each
+    overlapping pair is emitted exactly once with no dedup pass. sf_dir
+    is unused beyond parity with the registry signature (the input is
+    the deterministic synthetic table both engines rebuild)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.pipelines.corpus import synth_boxes
+    from simplefeatures_ray.stages.join import cell_overlap_join
+
+    boxes = synth_boxes(400)
+    a = ray.data.from_arrow(boxes).repartition(4)
+    b = ray.data.from_arrow(boxes).repartition(3)
+    out = cell_overlap_join(a, b, cell_size=15.0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["box_id"], t["box_id_r"])
+        t = t.filter(keep)
+        return pa.table({"id_a": t["box_id"], "id_b": t["box_id_r"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------- #
 # geometry-kernel queries with coordinate-recomputing SQL oracles
 # --------------------------------------------------------------------------- #
@@ -1772,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_anti_join": spatial_anti_join,
         "spatial_grid_cells": spatial_grid_cells,
         "spatial_cell_join": spatial_cell_join,
+        "spatial_overlap_join": spatial_overlap_join,
         "s2_cell_counts": s2_cell_counts,
         "spatial_knn_boxes": spatial_knn_boxes,
         # geometry kernels
@@ -2581,6 +2610,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN {synth_boxes_sql(400, 'boxes')}
               ON pts.x BETWEEN boxes.minx AND boxes.maxx
              AND pts.y BETWEEN boxes.miny AND boxes.maxy
+        """,
+        "spatial_overlap_join": f"""
+            SELECT a.box_id AS id_a, b.box_id AS id_b
+            FROM {synth_boxes_sql(400, 'a')}
+            JOIN {synth_boxes_sql(400, 'b')}
+              ON a.box_id < b.box_id
+             AND a.minx <= b.maxx AND b.minx <= a.maxx
+             AND a.miny <= b.maxy AND b.miny <= a.maxy
         """,
         # Recomputes the full S2 encode in SQL: lon/lat -> XYZ -> cube
         # face -> (u,v) -> quadratic (s,t) -> 30-bit (i,j) -> Hilbert

@@ -344,3 +344,87 @@ def cell_spatial_join(points_ds, boxes_ds, cell_size: float,
         return t.filter(pa.array(keep)).drop_columns(["__cell"])
 
     return joined.map_batches(refine, batch_format="pyarrow")
+
+
+def cell_overlap_join(left_ds, right_ds, cell_size: float,
+                      left_cols=("minx", "miny", "maxx", "maxy"),
+                      right_cols=None, suffix: str = "_r",
+                      n_buckets: int = 32, n_salts: int = 1):
+    """Large x large BOX-OVERLAP join via grid cells with REFERENCE-POINT
+    deduplication: both sides explode to their covering cells, meet in a
+    hash-bucket equi-join, and a pair is kept only in the single cell
+    containing the top-left corner (max of the min corners) of the
+    boxes' intersection — so each overlapping pair is emitted EXACTLY
+    once with no dedup shuffle (the standard distributed spatial-join
+    trick; cf. the partition-dedup discussion in SpatialHadoop/GeoSpark
+    literature). Envelope overlap is closed (touching edges join).
+
+    Right-side columns are renamed with `suffix` when they collide with
+    left names. Returns the joined rows (all left columns + renamed
+    right columns).
+    """
+    from ..functions.relational import bucketed_join
+
+    right_cols = tuple(right_cols or left_cols)
+    lx0, ly0, lx1, ly1 = left_cols
+
+    def explode(cols):
+        x0c, y0c, x1c, y1c = cols
+
+        def f(t: pa.Table) -> pa.Table:
+            x0 = np.asarray(t[x0c], dtype=np.float64)
+            y0 = np.asarray(t[y0c], dtype=np.float64)
+            x1 = np.asarray(t[x1c], dtype=np.float64)
+            y1 = np.asarray(t[y1c], dtype=np.float64)
+            cx0 = np.floor(x0 / cell_size).astype(np.int64)
+            cy0 = np.floor(y0 / cell_size).astype(np.int64)
+            nx = np.floor(x1 / cell_size).astype(np.int64) - cx0 + 1
+            ny = np.floor(y1 / cell_size).astype(np.int64) - cy0 + 1
+            n = nx * ny
+            rep = np.repeat(np.arange(len(t), dtype=np.int64), n)
+            offs = np.zeros(len(t) + 1, dtype=np.int64)
+            np.cumsum(n, out=offs[1:])
+            local = np.arange(int(offs[-1]), dtype=np.int64) - offs[rep]
+            cellx = cx0[rep] + local // ny[rep]
+            celly = cy0[rep] + local % ny[rep]
+            out = t.take(pa.array(rep))
+            return out.append_column("__cell",
+                                     pa.array(_pack_cell(cellx, celly)))
+
+        return f
+
+    # rename colliding right columns BEFORE the union-based bucket join
+    left_names = set(left_ds.schema().names)
+    rename = {c: (c + suffix if c in left_names else c)
+              for c in right_ds.schema().names}
+    rx0, ry0, rx1, ry1 = (rename[c] for c in right_cols)
+
+    def do_rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([rename[c] for c in t.column_names])
+
+    lt = left_ds.map_batches(explode(left_cols), batch_format="pyarrow")
+    rt = right_ds.map_batches(do_rename, batch_format="pyarrow") \
+                 .map_batches(explode((rx0, ry0, rx1, ry1)),
+                              batch_format="pyarrow")
+    joined = bucketed_join(lt, rt, key="__cell", n_buckets=n_buckets,
+                           n_salts=n_salts)
+
+    def refine(t: pa.Table) -> pa.Table:
+        ax0 = np.asarray(t[lx0], dtype=np.float64)
+        ay0 = np.asarray(t[ly0], dtype=np.float64)
+        ax1 = np.asarray(t[lx1], dtype=np.float64)
+        ay1 = np.asarray(t[ly1], dtype=np.float64)
+        bx0 = np.asarray(t[rx0], dtype=np.float64)
+        by0 = np.asarray(t[ry0], dtype=np.float64)
+        bx1 = np.asarray(t[rx1], dtype=np.float64)
+        by1 = np.asarray(t[ry1], dtype=np.float64)
+        overlap = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+        # reference point: top-left corner of the intersection
+        refx = np.maximum(ax0, bx0)
+        refy = np.maximum(ay0, by0)
+        ref_cell = _pack_cell(np.floor(refx / cell_size).astype(np.int64),
+                              np.floor(refy / cell_size).astype(np.int64))
+        keep = overlap & (ref_cell == np.asarray(t["__cell"]))
+        return t.filter(pa.array(keep)).drop_columns(["__cell"])
+
+    return joined.map_batches(refine, batch_format="pyarrow")

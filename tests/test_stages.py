@@ -872,3 +872,35 @@ def test_cell_join_salted_invariant(ray_session):
     assert (set(zip(plain["pid"], plain["box_id"]))
             == set(zip(salted["pid"], salted["box_id"])))
     assert len(plain) == len(salted)
+
+
+def test_cell_overlap_join_reference_point_dedup(ray_session):
+    """Box-overlap join == brute force, each pair EXACTLY once even when
+    the overlap region spans many cells (reference-point dedup)."""
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.join import cell_overlap_join
+
+    rng = np.random.default_rng(17)
+    def boxes(n, seed_off):
+        cx = rng.uniform(-50, 50, n); cy = rng.uniform(-50, 50, n)
+        w = rng.uniform(1, 30, n); h = rng.uniform(1, 30, n)
+        return pa.table({"bid": pa.array(np.arange(n) + seed_off),
+                         "minx": pa.array(cx - w), "miny": pa.array(cy - h),
+                         "maxx": pa.array(cx + w), "maxy": pa.array(cy + h)})
+
+    A, B = boxes(120, 0), boxes(90, 1000)
+    out = cell_overlap_join(rd.from_arrow(A).repartition(4),
+                            rd.from_arrow(B).repartition(3),
+                            cell_size=8.0,  # much smaller than many overlaps
+                            left_cols=("minx", "miny", "maxx", "maxy")).to_pandas()
+    pairs = list(zip(out["bid"], out["bid_r"]))
+    assert len(pairs) == len(set(pairs))  # exactly-once
+    ax0, ay0 = np.asarray(A["minx"]), np.asarray(A["miny"])
+    ax1, ay1 = np.asarray(A["maxx"]), np.asarray(A["maxy"])
+    bx0, by0 = np.asarray(B["minx"]), np.asarray(B["miny"])
+    bx1, by1 = np.asarray(B["maxx"]), np.asarray(B["maxy"])
+    hit = ((ax0[:, None] <= bx1) & (bx0 <= ax1[:, None])
+           & (ay0[:, None] <= by1) & (by0 <= ay1[:, None]))
+    want = {(int(i), int(j) + 1000) for i, j in zip(*np.nonzero(hit))}
+    assert set(pairs) == want
