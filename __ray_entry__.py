@@ -1113,6 +1113,30 @@ def spatial_cell_join(sf_dir: str):
     return out.select_columns(["event_id", "box_id"])
 
 
+def spatial_cell_polygon_join(sf_dir: str):
+    """Events joined to the 60 synthetic convex octagons containing
+    their point — the cell-partitioned shuffle join with FULL polygon
+    refine (WKB decoded once per distinct polygon per batch, vectorized
+    crossing-number PIP; stages/join.cell_polygon_join). Oracle: the
+    convex all-edges-left test over the identical inlined vertex
+    doubles (same pattern as geom_pip_convex)."""
+    import ray
+
+    from simplefeatures_ray.pipelines.corpus import events_xy, synth_convex_polys
+    from simplefeatures_ray.stages.join import cell_polygon_join
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    polys = ray.data.from_arrow(synth_convex_polys(60)).repartition(3)
+    out = cell_polygon_join(pts, polys, cell_size=10.0)
+    return out.select_columns(["event_id", "poly_id"])
+
+
 def spatial_overlap_join(sf_dir: str):
     """Box-overlap SELF-join of the 400 synthetic boxes through the
     cell-partitioned shuffle join with REFERENCE-POINT dedup
@@ -1801,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_grid_cells": spatial_grid_cells,
         "spatial_cell_join": spatial_cell_join,
         "spatial_overlap_join": spatial_overlap_join,
+        "spatial_cell_polygon_join": spatial_cell_polygon_join,
         "s2_cell_counts": s2_cell_counts,
         "spatial_knn_boxes": spatial_knn_boxes,
         # geometry kernels
@@ -1848,6 +1873,11 @@ def oracle_sql() -> dict[str, str]:
     from simplefeatures_ray.functions.cluster import kmeans_sql as _kmeans_sql
     from simplefeatures_ray.functions.scoring import bigram_lm_sql as _bigram_lm_sql
 
+    from simplefeatures_ray.pipelines.corpus import (
+        synth_convex_polys_values as _scpv,
+    )
+
+    _convex_poly_vals = _scpv(60)
     poly_vals = coords_values_sql(polygon_corpus())
     line_vals = coords_values_sql(linestring_corpus())
     convex_vals = coords_values_sql(
@@ -2610,6 +2640,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN {synth_boxes_sql(400, 'boxes')}
               ON pts.x BETWEEN boxes.minx AND boxes.maxx
              AND pts.y BETWEEN boxes.miny AND boxes.maxy
+        """,
+        "spatial_cell_polygon_join": f"""
+            WITH v AS (SELECT * FROM (VALUES {_convex_poly_vals})
+                       AS t(poly_id, idx, x, y)),
+            seg AS (SELECT poly_id, x, y,
+                           lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                    FROM (SELECT * FROM v UNION ALL
+                          SELECT poly_id, 8 AS idx, x, y FROM v WHERE idx = 0)
+                    WINDOW w AS (PARTITION BY poly_id ORDER BY idx)),
+            crosses AS (
+              SELECT p.event_id, s.poly_id,
+                     (s.x2 - s.x) * (p.y - s.y) - (s.y2 - s.y) * (p.x - s.x) AS cr
+              FROM {event_points_sql('p')} CROSS JOIN seg s
+              WHERE s.x2 IS NOT NULL)
+            SELECT event_id, poly_id
+            FROM crosses GROUP BY event_id, poly_id
+            HAVING MIN(cr) >= 0
         """,
         "spatial_overlap_join": f"""
             SELECT a.box_id AS id_a, b.box_id AS id_b

@@ -229,3 +229,61 @@ def synth_intervals_sql(n: int = 300, alias: str = "iv") -> str:
         f"+ ((r * 131 % 7200) + 600) * 1000000 AS t_end "
         f"FROM range({n}) t(r)) {alias}"
     )
+
+
+# octagon direction set (CCW, dyadic components -> exact doubles)
+_OCT_OX = np.array([1.0, 0.75, 0.0, -0.75, -1.0, -0.75, 0.0, 0.75])
+_OCT_OY = np.array([0.0, 0.75, 1.0, 0.75, 0.0, -0.75, -1.0, -0.75])
+
+
+def synth_convex_polys(n: int = 60):
+    """n deterministic convex octagons (CCW shells) over the events
+    domain — engine polygon-table schema (wkb + envelope). The SQL twin
+    (synth_convex_polys_values) inlines the SAME vertex doubles as
+    literals, the established pattern of the geom_* oracles."""
+    import pyarrow as pa
+
+    from ..geometry.core import Geometry
+    from ..geometry.wkb import to_wkb
+
+    b = np.arange(n, dtype=np.int64)
+    cx = (b * 7907 % 36000).astype(np.float64) / 100.0 - 180.0
+    cy = (b * 104717 % 14000).astype(np.float64) / 100.0 - 70.0
+    r = (b * 31 % 80).astype(np.float64) / 16.0 + 2.0
+    ids, wkbs, minx, miny, maxx, maxy = [], [], [], [], [], []
+    for i in range(n):
+        vx = cx[i] + r[i] * _OCT_OX
+        vy = cy[i] + r[i] * _OCT_OY
+        ring = np.column_stack([np.append(vx, vx[0]), np.append(vy, vy[0])])
+        ids.append(int(b[i]))
+        wkbs.append(to_wkb(Geometry(3, 0, rings=[ring])))
+        minx.append(vx.min())
+        miny.append(vy.min())
+        maxx.append(vx.max())
+        maxy.append(vy.max())
+    return pa.table(
+        {
+            "poly_id": pa.array(ids, pa.int64()),
+            "wkb": pa.array(wkbs, pa.binary()),
+            "minx": pa.array(minx),
+            "miny": pa.array(miny),
+            "maxx": pa.array(maxx),
+            "maxy": pa.array(maxy),
+        }
+    )
+
+
+def synth_convex_polys_values(n: int = 60) -> str:
+    """(poly_id, idx, x, y) VALUES literals for the SQL twin — the exact
+    doubles the engine table holds, via repr round-trip."""
+    b = np.arange(n, dtype=np.int64)
+    cx = (b * 7907 % 36000).astype(np.float64) / 100.0 - 180.0
+    cy = (b * 104717 % 14000).astype(np.float64) / 100.0 - 70.0
+    r = (b * 31 % 80).astype(np.float64) / 16.0 + 2.0
+    rows = []
+    for i in range(n):
+        vx = cx[i] + r[i] * _OCT_OX
+        vy = cy[i] + r[i] * _OCT_OY
+        for j in range(len(_OCT_OX)):
+            rows.append(f"({int(b[i])},{j},{vx[j]!r},{vy[j]!r})")
+    return ", ".join(rows)

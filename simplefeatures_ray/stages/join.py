@@ -428,3 +428,74 @@ def cell_overlap_join(left_ds, right_ds, cell_size: float,
         return t.filter(pa.array(keep)).drop_columns(["__cell"])
 
     return joined.map_batches(refine, batch_format="pyarrow")
+
+
+def cell_polygon_join(points_ds, polys_ds, cell_size: float,
+                      x_col: str = "x", y_col: str = "y",
+                      poly_id_col: str = "poly_id", wkb_col: str = "wkb",
+                      n_buckets: int = 32, n_salts: int = 1):
+    """Large x large point-in-POLYGON join: envelope cells co-partition
+    the sides exactly like cell_spatial_join (a point is in one cell —
+    exactly-once pairs, no dedup), but the refine stage decodes each
+    candidate polygon's WKB ONCE PER DISTINCT POLYGON PER BATCH and runs
+    the vectorized crossing-number test (geometry/predicates
+    points_in_polygon, reference alg_point_in_ring.go semantics) over
+    all of its candidate points at once. This is the shuffle-path
+    complement to BroadcastSpatialJoin for polygon corpora too large to
+    ray.put; the polygon table must carry envelope columns
+    (minx/miny/maxx/maxy — the engine's standard polygon-table schema).
+    """
+    from ..functions.relational import bucketed_join
+    from ..geometry.predicates import points_in_polygon
+    from ..geometry.wkb import from_wkb
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[x_col], dtype=np.float64)
+        y = np.asarray(t[y_col], dtype=np.float64)
+        cx = np.floor(x / cell_size).astype(np.int64)
+        cy = np.floor(y / cell_size).astype(np.int64)
+        return t.append_column("__cell", pa.array(_pack_cell(cx, cy)))
+
+    def explode_polys(t: pa.Table) -> pa.Table:
+        x0 = np.asarray(t["minx"], dtype=np.float64)
+        y0 = np.asarray(t["miny"], dtype=np.float64)
+        x1 = np.asarray(t["maxx"], dtype=np.float64)
+        y1 = np.asarray(t["maxy"], dtype=np.float64)
+        cx0 = np.floor(x0 / cell_size).astype(np.int64)
+        cy0 = np.floor(y0 / cell_size).astype(np.int64)
+        nx = np.floor(x1 / cell_size).astype(np.int64) - cx0 + 1
+        ny = np.floor(y1 / cell_size).astype(np.int64) - cy0 + 1
+        n = nx * ny
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        offs = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(n, out=offs[1:])
+        local = np.arange(int(offs[-1]), dtype=np.int64) - offs[rep]
+        cellx = cx0[rep] + local // ny[rep]
+        celly = cy0[rep] + local % ny[rep]
+        out = t.take(pa.array(rep))
+        return out.append_column("__cell", pa.array(_pack_cell(cellx, celly)))
+
+    pts = points_ds.map_batches(tag_points, batch_format="pyarrow")
+    pls = polys_ds.map_batches(explode_polys, batch_format="pyarrow")
+    joined = bucketed_join(pts, pls, key="__cell", n_buckets=n_buckets,
+                           n_salts=n_salts)
+
+    def refine(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t.drop_columns(["__cell", wkb_col])
+        px = np.asarray(t[x_col], dtype=np.float64)
+        py = np.asarray(t[y_col], dtype=np.float64)
+        pid = np.asarray(t[poly_id_col], dtype=np.int64)
+        wkbs = t[wkb_col].to_pylist()
+        keep = np.zeros(len(t), dtype=bool)
+        order = np.argsort(pid, kind="stable")
+        bounds = np.flatnonzero(np.diff(pid[order])) + 1
+        for grp in np.split(order, bounds):
+            rings = []
+            for leaf in from_wkb(wkbs[int(grp[0])]).flatten():
+                rings.extend(leaf.rings)
+            loc = points_in_polygon(px[grp], py[grp], rings)
+            keep[grp] = loc >= 0
+        return t.filter(pa.array(keep)).drop_columns(["__cell", wkb_col])
+
+    return joined.map_batches(refine, batch_format="pyarrow")

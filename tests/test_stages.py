@@ -904,3 +904,58 @@ def test_cell_overlap_join_reference_point_dedup(ray_session):
            & (ay0[:, None] <= by1) & (by0 <= ay1[:, None]))
     want = {(int(i), int(j) + 1000) for i, j in zip(*np.nonzero(hit))}
     assert set(pairs) == want
+
+
+def test_cell_polygon_join_nonconvex_and_holes(ray_session):
+    """Polygon cell join plumbing: matches per-polygon PIP brute force
+    incl. a non-convex shell and a polygon with a hole spanning several
+    cells; exactly-once pairs."""
+    import ray.data as rd
+
+    from simplefeatures_ray.geometry import from_wkt, to_wkb
+    from simplefeatures_ray.geometry.predicates import points_in_polygon
+    from simplefeatures_ray.geometry.wkb import from_wkb
+    from simplefeatures_ray.stages.join import cell_polygon_join
+
+    wkts = [
+        "POLYGON((0 0,20 0,20 20,0 20,0 0),(5 5,15 5,15 15,5 15,5 5))",  # hole
+        "POLYGON((30 0,50 0,50 20,40 5,30 20,30 0))",                    # non-convex
+        "POLYGON((-30 -30,-10 -30,-10 -10,-30 -10,-30 -30))",
+    ]
+    geoms = [from_wkt(w) for w in wkts]
+    env = []
+    for g in geoms:
+        xy = g.all_xy()
+        env.append((xy[:, 0].min(), xy[:, 1].min(), xy[:, 0].max(), xy[:, 1].max()))
+    polys = pa.table({
+        "poly_id": pa.array(range(3), pa.int64()),
+        "wkb": pa.array([to_wkb(g) for g in geoms], pa.binary()),
+        "minx": pa.array([e[0] for e in env]),
+        "miny": pa.array([e[1] for e in env]),
+        "maxx": pa.array([e[2] for e in env]),
+        "maxy": pa.array([e[3] for e in env]),
+    })
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-40, 60, 2000)
+    py = rng.uniform(-40, 30, 2000)
+    px[0], py[0] = 10.0, 10.0   # inside the hole -> excluded
+    px[1], py[1] = 10.0, 2.0    # in the ring -> included
+    px[2], py[2] = 40.0, 15.0   # in the notch -> excluded
+    pts = pa.table({"pid": pa.array(np.arange(2000)),
+                    "x": pa.array(px), "y": pa.array(py)})
+
+    out = cell_polygon_join(rd.from_arrow(pts).repartition(5),
+                            rd.from_arrow(polys).repartition(2),
+                            cell_size=7.0, n_buckets=16).to_pandas()
+    got = sorted(zip(out["pid"], out["poly_id"]))
+    assert len(got) == len(set(got))
+    want = []
+    for j, g in enumerate(geoms):
+        rings = []
+        for leaf in g.flatten():
+            rings.extend(leaf.rings)
+        loc = points_in_polygon(px, py, rings)
+        want += [(int(i), j) for i in np.nonzero(loc >= 0)[0]]
+    assert got == sorted(want)
+    gotset = set(got)
+    assert (1, 0) in gotset and (0, 0) not in gotset and (2, 1) not in gotset
