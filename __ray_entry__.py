@@ -438,6 +438,17 @@ def docs_bm25_topk(sf_dir: str):
     return bm25_topk(ds, ["table", "hash", "window"], k=20)
 
 
+def docs_chunk_windows(sf_dir: str):
+    """Context-window chunking: overlapping 64-token windows, stride 48
+    (functions/text.chunk_documents) — documents become model-context
+    rows. Pure streaming flat_map; SQL twin slices the identical token
+    lists."""
+    from simplefeatures_ray.functions.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, window=64, stride=48)
+
+
 def docs_bloom_prefilter(sf_dir: str):
     """Bloom-filter anti-join prefilter: documents whose doc_id is
     definitely NOT in the blocked set (multiples of 7 below 200),
@@ -1788,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_perplexity": docs_lm_perplexity,
         "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
         "docs_bloom_prefilter": docs_bloom_prefilter,
+        "docs_chunk_windows": docs_chunk_windows,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
@@ -2116,6 +2128,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "docs_chunk_windows": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\w'']+'),
+                                    x -> lower(x)) AS ws
+              FROM documents),
+            n AS (SELECT doc_id, ws, len(ws)::BIGINT AS n FROM w
+                  WHERE len(ws) > 0),
+            c AS (SELECT doc_id, ws, n,
+                         unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+                  FROM n)
+            SELECT doc_id, chunk_id,
+                   array_to_string(
+                     list_slice(ws, chunk_id * 48 + 1,
+                                least(chunk_id * 48 + 64, n)), ' ') AS chunk_text,
+                   least(chunk_id * 48 + 64, n) - chunk_id * 48 AS n_tokens
+            FROM c
         """,
         "docs_bloom_prefilter": _bloom_anti_sql(
             "(SELECT doc_id, n_chars FROM documents)", "doc_id",

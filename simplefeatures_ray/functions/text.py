@@ -632,3 +632,56 @@ def bm25_topk(ds, terms, k1: float = 1.5, b: float = 0.75, k: int = 20,
 
     pruned = scored.map_batches(partial_topk, batch_format="pyarrow")
     return pruned.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def chunk_documents(ds, window: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Context-window chunking: split each document into overlapping
+    token windows (the training-data op that turns documents into
+    model-context-sized rows). Window i covers tokens
+    [i*stride, i*stride + window); the chunk count is
+    1 + ceil((n - window) / stride) for n > window, else 1; empty
+    documents yield no chunks. Tokenization is the corpus standard
+    (RE2 word runs, lowercased); chunk_text is the canonical
+    space-joined form. A pure per-batch flat_map — no shuffle, no
+    state; at 100 TB this streams.
+
+    Returns Dataset (id_col, chunk_id, chunk_text, n_tokens).
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(t[text_col], pattern=r"[^\w']+")
+        flat = np.asarray(pc.utf8_lower(pc.list_flatten(words)), dtype=object)
+        parents = np.asarray(pc.list_parent_indices(words))
+        keep = flat != ""
+        flat, parents = flat[keep], parents[keep]
+        ids = np.asarray(t[id_col])
+        out_id, out_chunk, out_text, out_n = [], [], [], []
+        # per-document slicing: offsets of each doc's token run
+        if len(parents):
+            starts = np.flatnonzero(np.concatenate(
+                ([True], parents[1:] != parents[:-1])))
+            ends = np.append(starts[1:], len(parents))
+            for s, e in zip(starts, ends):
+                n = int(e - s)
+                did = int(ids[parents[s]])
+                n_chunks = 1 if n <= window else 1 + -(-(n - window) // stride)
+                for ci in range(n_chunks):
+                    lo = ci * stride
+                    hi = min(lo + window, n)
+                    out_id.append(did)
+                    out_chunk.append(ci)
+                    out_text.append(" ".join(flat[s + lo:s + hi]))
+                    out_n.append(hi - lo)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

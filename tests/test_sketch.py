@@ -195,3 +195,38 @@ def test_bloom_anti_filter_semantics(ray_session):
     # the tiny filter really does produce false positives
     fps = {v for v in range(50, 500) if probe_hits(v)}
     assert fps and fps.isdisjoint(survivors)
+
+
+# --------------------------------------------------------------------------- #
+# context-window chunking (functions/text.py)
+# --------------------------------------------------------------------------- #
+
+
+def test_chunk_documents_boundaries(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.text import chunk_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3]),
+        "text": pa.array([
+            " ".join(f"t{i}" for i in range(10)),   # n=10 <= window -> 1 chunk
+            " ".join(f"u{i}" for i in range(16)),   # n=16 -> chunks at 0,6,12
+            "solo",                                  # 1 token
+            "",                                      # empty -> no chunks
+        ]),
+    })
+    out = chunk_documents(rd.from_arrow(docs).repartition(3), window=12,
+                          stride=6).to_pandas().sort_values(
+        ["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert out[out["doc_id"] == 0]["n_tokens"].tolist() == [10]
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_id"].tolist() == [0, 1]
+    assert d1["n_tokens"].tolist() == [12, 10]  # second window clipped at 16
+    assert d1["chunk_text"].iloc[1].split() == [f"u{i}" for i in range(6, 16)]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["solo"]
+    assert 3 not in set(out["doc_id"])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(None, window=4, stride=8)
