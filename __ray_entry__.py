@@ -1148,6 +1148,41 @@ def spatial_cell_polygon_join(sf_dir: str):
     return out.select_columns(["event_id", "poly_id"])
 
 
+def spatial_knn_radius(sf_dir: str):
+    """Bounded kNN join through the cell shuffle path
+    (stages/join.cell_knn_join): for each event point, the 3 nearest of
+    the 400 synthetic boxes within radius 15 (point-to-box distance,
+    0 inside) — the distributed kNN twin of the broadcast
+    spatial_knn_boxes. Distances are bit-identical to the SQL twin
+    (exact clamps, same product order, IEEE sqrt)."""
+    import ray
+
+    from simplefeatures_ray.pipelines.corpus import events_xy, synth_boxes
+    from simplefeatures_ray.stages.join import cell_knn_join
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    boxes = ray.data.from_arrow(synth_boxes(400)).repartition(4)
+    out = cell_knn_join(pts, boxes, k=3, radius=15.0, cell_size=10.0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # np.round (not pc.round): bit-matches DuckDB ROUND at halfway
+        # doubles
+        d = np.round(np.asarray(t["knn_dist"], dtype=np.float64), 6)
+        return pa.table({
+            "event_id": t["event_id"],
+            "box_id": t["box_id"],
+            "knn_dist": pa.array(d, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def spatial_overlap_join(sf_dir: str):
     """Box-overlap SELF-join of the 400 synthetic boxes through the
     cell-partitioned shuffle join with REFERENCE-POINT dedup
@@ -1838,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cell_join": spatial_cell_join,
         "spatial_overlap_join": spatial_overlap_join,
         "spatial_cell_polygon_join": spatial_cell_polygon_join,
+        "spatial_knn_radius": spatial_knn_radius,
         "s2_cell_counts": s2_cell_counts,
         "spatial_knn_boxes": spatial_knn_boxes,
         # geometry kernels
@@ -2688,6 +2724,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, poly_id
             FROM crosses GROUP BY event_id, poly_id
             HAVING MIN(cr) >= 0
+        """,
+        "spatial_knn_radius": f"""
+            WITH d AS (
+              SELECT p.event_id, b.box_id,
+                     sqrt(greatest(greatest(b.minx - p.x, 0), p.x - b.maxx)
+                          * greatest(greatest(b.minx - p.x, 0), p.x - b.maxx)
+                        + greatest(greatest(b.miny - p.y, 0), p.y - b.maxy)
+                          * greatest(greatest(b.miny - p.y, 0), p.y - b.maxy))
+                       AS dist
+              FROM {event_points_sql('p')}
+              CROSS JOIN {synth_boxes_sql(400, 'b')}),
+            f AS (SELECT * FROM d WHERE dist <= 15.0),
+            r AS (SELECT event_id, box_id, dist,
+                         ROW_NUMBER() OVER (PARTITION BY event_id
+                                            ORDER BY dist, box_id) AS rn
+                  FROM f)
+            SELECT event_id, box_id, ROUND(dist, 6) AS knn_dist
+            FROM r WHERE rn <= 3
         """,
         "spatial_overlap_join": f"""
             SELECT a.box_id AS id_a, b.box_id AS id_b

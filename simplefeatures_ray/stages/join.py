@@ -499,3 +499,99 @@ def cell_polygon_join(points_ds, polys_ds, cell_size: float,
         return t.filter(pa.array(keep)).drop_columns(["__cell", wkb_col])
 
     return joined.map_batches(refine, batch_format="pyarrow")
+
+
+def cell_knn_join(points_ds, boxes_ds, k: int, radius: float,
+                  cell_size: float, x_col: str = "x", y_col: str = "y",
+                  point_id_col: str = "event_id", box_id_col: str = "box_id",
+                  box_cols=("minx", "miny", "maxx", "maxy"),
+                  n_buckets: int = 32, n_salts: int = 1):
+    """Bounded kNN join, shuffle path: for each point, the k nearest
+    boxes within `radius` (Euclidean point-to-box distance, 0 inside) —
+    the practical distributed kNN formulation (a max radius makes the
+    join single-round and exact; unbounded kNN needs iterative ring
+    expansion, which is the broadcast KNNJoin's territory).
+
+    Shape: each point explodes to the cells covering its radius-bbox,
+    each box to its envelope cells; candidates meet in the hash-bucket
+    equi-join and a pair is kept only in the REFERENCE-POINT cell of the
+    two bboxes' intersection (exactly-once, no dedup shuffle). The
+    radius filter then bounds candidates and grouped_topk (per-batch
+    partial top-k + coarse-partition final, never a task per point)
+    selects k per point with deterministic (dist, box_id) ties.
+
+    Distances are bit-identical to the SQL twin by construction:
+    dx/dy are exact max/0 clamps, dx*dx + dy*dy is evaluated in the
+    same order, and IEEE sqrt is correctly rounded.
+    """
+    from ..functions.relational import bucketed_join, grouped_topk
+
+    minx_c, miny_c, maxx_c, maxy_c = box_cols
+
+    def explode_points(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[x_col], dtype=np.float64)
+        y = np.asarray(t[y_col], dtype=np.float64)
+        cx0 = np.floor((x - radius) / cell_size).astype(np.int64)
+        cy0 = np.floor((y - radius) / cell_size).astype(np.int64)
+        nx = np.floor((x + radius) / cell_size).astype(np.int64) - cx0 + 1
+        ny = np.floor((y + radius) / cell_size).astype(np.int64) - cy0 + 1
+        n = nx * ny
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        offs = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(n, out=offs[1:])
+        local = np.arange(int(offs[-1]), dtype=np.int64) - offs[rep]
+        cellx = cx0[rep] + local // ny[rep]
+        celly = cy0[rep] + local % ny[rep]
+        out = t.take(pa.array(rep))
+        return out.append_column("__cell", pa.array(_pack_cell(cellx, celly)))
+
+    def explode_boxes(t: pa.Table) -> pa.Table:
+        x0 = np.asarray(t[minx_c], dtype=np.float64)
+        y0 = np.asarray(t[miny_c], dtype=np.float64)
+        x1 = np.asarray(t[maxx_c], dtype=np.float64)
+        y1 = np.asarray(t[maxy_c], dtype=np.float64)
+        cx0 = np.floor(x0 / cell_size).astype(np.int64)
+        cy0 = np.floor(y0 / cell_size).astype(np.int64)
+        nx = np.floor(x1 / cell_size).astype(np.int64) - cx0 + 1
+        ny = np.floor(y1 / cell_size).astype(np.int64) - cy0 + 1
+        n = nx * ny
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        offs = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(n, out=offs[1:])
+        local = np.arange(int(offs[-1]), dtype=np.int64) - offs[rep]
+        cellx = cx0[rep] + local // ny[rep]
+        celly = cy0[rep] + local % ny[rep]
+        out = t.take(pa.array(rep))
+        return out.append_column("__cell", pa.array(_pack_cell(cellx, celly)))
+
+    pts = points_ds.map_batches(explode_points, batch_format="pyarrow")
+    bxs = boxes_ds.map_batches(explode_boxes, batch_format="pyarrow")
+    joined = bucketed_join(pts, bxs, key="__cell", n_buckets=n_buckets,
+                           n_salts=n_salts)
+
+    def refine(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[x_col], dtype=np.float64)
+        y = np.asarray(t[y_col], dtype=np.float64)
+        x0 = np.asarray(t[minx_c], dtype=np.float64)
+        y0 = np.asarray(t[miny_c], dtype=np.float64)
+        x1 = np.asarray(t[maxx_c], dtype=np.float64)
+        y1 = np.asarray(t[maxy_c], dtype=np.float64)
+        # reference point of (query-bbox ∩ box-bbox): exactly-once guard
+        refx = np.maximum(x - radius, x0)
+        refy = np.maximum(y - radius, y0)
+        ref_cell = _pack_cell(np.floor(refx / cell_size).astype(np.int64),
+                              np.floor(refy / cell_size).astype(np.int64))
+        dx = np.maximum(np.maximum(x0 - x, 0.0), x - x1)
+        dy = np.maximum(np.maximum(y0 - y, 0.0), y - y1)
+        dist = np.sqrt(dx * dx + dy * dy)
+        keep = (dist <= radius) & (ref_cell == np.asarray(t["__cell"]))
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            point_id_col: t[point_id_col],
+            box_id_col: t[box_id_col],
+            "knn_dist": pa.array(dist[keep], pa.float64()),
+        })
+
+    cands = joined.map_batches(refine, batch_format="pyarrow")
+    return grouped_topk(cands, point_id_col, "knn_dist", k,
+                        descending=False, tie_col=box_id_col)

@@ -959,3 +959,46 @@ def test_cell_polygon_join_nonconvex_and_holes(ray_session):
     assert got == sorted(want)
     gotset = set(got)
     assert (1, 0) in gotset and (0, 0) not in gotset and (2, 1) not in gotset
+
+
+def test_cell_knn_join_matches_brute_force(ray_session):
+    """Bounded kNN shuffle join == numpy brute force: same neighbor
+    sets, same distances, deterministic ties, radius cut honored."""
+    import ray.data as rd
+
+    from simplefeatures_ray.pipelines.corpus import synth_boxes
+    from simplefeatures_ray.stages.join import cell_knn_join
+
+    rng = np.random.default_rng(29)
+    n = 600
+    px = rng.uniform(-180, 180, n)
+    py = rng.uniform(-70, 70, n)
+    pts = pa.table({"event_id": pa.array(np.arange(n)),
+                    "x": pa.array(px), "y": pa.array(py)})
+    boxes = synth_boxes(120)
+    R, K = 20.0, 4
+    out = cell_knn_join(rd.from_arrow(pts).repartition(5),
+                        rd.from_arrow(boxes).repartition(3),
+                        k=K, radius=R, cell_size=9.0, n_buckets=16).to_pandas()
+    got = {}
+    for _, r in out.iterrows():
+        got.setdefault(int(r["event_id"]), []).append(
+            (r["knn_dist"], int(r["box_id"])))
+    for v in got.values():
+        v.sort()
+
+    x0 = np.asarray(boxes["minx"]); y0 = np.asarray(boxes["miny"])
+    x1 = np.asarray(boxes["maxx"]); y1 = np.asarray(boxes["maxy"])
+    dx = np.maximum(np.maximum(x0[None, :] - px[:, None], 0.0),
+                    px[:, None] - x1[None, :])
+    dy = np.maximum(np.maximum(y0[None, :] - py[:, None], 0.0),
+                    py[:, None] - y1[None, :])
+    dist = np.sqrt(dx * dx + dy * dy)
+    for i in range(n):
+        cand = sorted((dist[i, j], j) for j in range(len(x0))
+                      if dist[i, j] <= R)[:K]
+        want = [(d, j) for d, j in cand]
+        have = got.get(i, [])
+        assert len(have) == len(want), i
+        for (dh, jh), (dw, jw) in zip(have, want):
+            assert jh == jw and abs(dh - dw) < 1e-9, i
