@@ -639,6 +639,21 @@ def docs_dup_clusters(sf_dir: str):
                                 a_col="id_a", b_col="id_b")
 
 
+def docs_dedup_filtered(sf_dir: str):
+    """Near-dup REMOVAL applied end-to-end: SimHash pairs -> connected
+    components -> drop every non-canonical cluster member (doc_id !=
+    cluster_id) via a broadcast anti-join. The corpus that ships after
+    dedup."""
+    from simplefeatures_ray.functions.relational import broadcast_join, collect_table
+    import pyarrow.compute as pc
+
+    t = collect_table(docs_dup_clusters(sf_dir))
+    losers = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])) \
+              .select(["doc_id"])
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return broadcast_join(ds, losers, keys="doc_id", join_type="left anti")
+
+
 def docs_fingerprint(sf_dir: str):
     """Document fingerprints over the SAME vectorized normalization the
     Fingerprint stage uses (lower, collapse ws, strip), surfaced as a
@@ -1840,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_dup_clusters": docs_dup_clusters,
+        "docs_dedup_filtered": docs_dedup_filtered,
         "docs_exact_ngram_pairs": docs_exact_ngram_pairs,
         "docs_contamination": docs_contamination,
         "docs_term_stats": docs_term_stats,
@@ -1957,6 +1973,44 @@ def oracle_sql() -> dict[str, str]:
     _eta_terms = " + ".join(
         f"{_al[j]}*cos({2*(j+1)}*xip)*((exp({2*(j+1)}*etap)-exp(-{2*(j+1)}*etap))/2)"
         for j in range(6))
+
+    _dup_cluster_sql = r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                           x -> lower(x))) AS wd
+              FROM documents),
+            wh AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(wd), 1, 16))::UBIGINT AS h
+              FROM w),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM wh, range(64) b(bit)
+              GROUP BY doc_id, b.bit),
+            sims0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                              ELSE 0 END) AS UBIGINT) AS sim
+              FROM votes GROUP BY doc_id),
+            sims AS (
+              SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 6),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+            SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY u
+        """
 
     return {
         "q1_pricing_summary": """
@@ -2238,42 +2292,12 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure by recursive CTE (reach(u, r) = r reachable
         # from u), cluster id = min reachable node — the same fixpoint
         # the engine's min-label propagation computes
-        "docs_dup_clusters": r"""
-            WITH RECURSIVE w AS (
-              SELECT doc_id,
-                     unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
-                                           x -> lower(x))) AS wd
-              FROM documents),
-            wh AS (
-              SELECT doc_id,
-                     ('0x' || substr(sha256(wd), 1, 16))::UBIGINT AS h
-              FROM w),
-            votes AS (
-              SELECT doc_id, b.bit,
-                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM wh, range(64) b(bit)
-              GROUP BY doc_id, b.bit),
-            sims0 AS (
-              SELECT doc_id,
-                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
-                              ELSE 0 END) AS UBIGINT) AS sim
-              FROM votes GROUP BY doc_id),
-            sims AS (
-              SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
-              FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id),
-            pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.sim, b.sim)) <= 6),
-            edges AS (
-              SELECT id_a AS u, id_b AS v FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-            reach(u, r) AS (
-              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-              UNION
-              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
-            SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY u
+        "docs_dup_clusters": _dup_cluster_sql,
+        "docs_dedup_filtered": f"""
+            WITH clusters AS ({_dup_cluster_sql})
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN
+              (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
         """,
         # exact pairwise 3-gram-shingle Jaccard (the LSH candidate pass
         # has complete recall on this corpus: every true pair's J >= 0.88,
