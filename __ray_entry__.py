@@ -438,6 +438,16 @@ def docs_bm25_topk(sf_dir: str):
     return bm25_topk(ds, ["table", "hash", "window"], k=20)
 
 
+def docs_sentence_stats(sf_dir: str):
+    """Sentence segmentation stats (functions/text.sentence_stats):
+    RE2 terminal-punctuation split, explicit-charset trim, per-doc
+    count + mean trimmed length — SQL twin replays the identical rule."""
+    from simplefeatures_ray.functions.text import sentence_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sentence_stats(ds)
+
+
 def docs_chunk_windows(sf_dir: str):
     """Context-window chunking: overlapping 64-token windows, stride 48
     (functions/text.chunk_documents) — documents become model-context
@@ -1850,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
         "docs_bloom_prefilter": docs_bloom_prefilter,
         "docs_chunk_windows": docs_chunk_windows,
+        "docs_sentence_stats": docs_sentence_stats,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
@@ -2218,6 +2229,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "docs_sentence_stats": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     trim(unnest(regexp_split_to_array(text, '[.!?]+')),
+                          ' ' || chr(9) || chr(10) || chr(13)) AS sent
+              FROM documents),
+            f AS (SELECT doc_id, length(sent)::BIGINT AS n
+                  FROM s WHERE length(sent) > 0)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_sentences,
+                   ROUND(SUM(n) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0
+                     AS mean_sentence_chars
+            FROM f GROUP BY doc_id
         """,
         "docs_chunk_windows": r"""
             WITH w AS (

@@ -685,3 +685,38 @@ def chunk_documents(ds, window: int = 64, stride: int = 48,
         })
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def sentence_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                   round_to: int = 4):
+    """Sentence segmentation stats per document: sentences are the
+    non-empty (after explicit-charset trim) pieces between terminal
+    punctuation runs [.!?]+ — a deterministic RE2 rule DuckDB replays
+    verbatim. Emits n_sentences and the mean trimmed sentence length in
+    chars (rounded; docs with no sentences are dropped, mirroring SQL
+    GROUP semantics). All Arrow C++ kernels: split, flatten, trim,
+    lengths, parent-index groupby via numpy bincount — no Python rows.
+    """
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        pieces = pc.split_pattern_regex(t[text_col], pattern=r"[.!?]+")
+        flat = pc.list_flatten(pieces)
+        parents = np.asarray(pc.list_parent_indices(pieces))
+        trimmed = pc.utf8_trim(flat, characters=" \t\n\r")
+        lens = np.asarray(pc.utf8_length(trimmed), dtype=np.int64)
+        keep = lens > 0
+        parents, lens = parents[keep], lens[keep]
+        n_rows = len(t)
+        n_sent = np.bincount(parents, minlength=n_rows)
+        tot = np.bincount(parents, weights=lens, minlength=n_rows)
+        has = n_sent > 0
+        ids = np.asarray(t[id_col])[has]
+        mean = np.round(tot[has] / n_sent[has].astype(np.float64), round_to) + 0.0
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_sentences": pa.array(n_sent[has], pa.int64()),
+            "mean_sentence_chars": pa.array(mean, pa.float64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -230,3 +230,24 @@ def test_chunk_documents_boundaries(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(None, window=4, stride=8)
+
+
+def test_sentence_stats_rules(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.text import sentence_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2]),
+        "text": pa.array([
+            "One. Two two! Three three three?",
+            "No terminal punctuation here",
+            "...",                       # only punctuation -> dropped
+        ]),
+    })
+    out = sentence_stats(rd.from_arrow(docs).repartition(2)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "n_sentences"] == 3
+    assert out.loc[0, "mean_sentence_chars"] == round((3 + 7 + 17) / 3, 4)
+    assert out.loc[1, "n_sentences"] == 1  # whole doc is one sentence
+    assert 2 not in out.index
