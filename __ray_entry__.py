@@ -747,6 +747,30 @@ def events_interval_join(sf_dir: str):
     return out.select_columns(["event_id", "interval_id"])
 
 
+def events_rolling_mean(sf_dir: str):
+    """Per-user trailing 5-row rolling mean of event value
+    (functions/windows.rolling_mean): one coarse key shuffle, vectorized
+    grouped rolling per partition; cents-exact integer sums make the
+    mean bit-match the SQL window-function twin."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.windows import rolling_mean
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "t_us": pc.cast(t["ts"], pa.int64()),
+            "value": t["value"],
+        })
+
+    d = ds.map_batches(derive, batch_format="pyarrow")
+    return rolling_mean(d, "user_id", "t_us", "value", window_rows=5,
+                        tie_col="event_id")
+
+
 def events_hll_users(sf_dir: str):
     """APPROXIMATE distinct users per event type via HyperLogLog — the
     sketch twin of events_distinct_users. The exchange carries at most
@@ -1883,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top3_per_type": events_top3_per_type,
         "events_distinct_users": events_distinct_users,
         "events_interval_join": events_interval_join,
+        "events_rolling_mean": events_rolling_mean,
         "events_hll_users": events_hll_users,
         "events_cms_counts": events_cms_counts,
         # embeddings
@@ -2389,6 +2414,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN {synth_intervals_sql(300, 'iv')}
               ON epoch_us(e.ts) BETWEEN iv.t_start AND iv.t_end
+        """,
+        "events_rolling_mean": """
+            SELECT event_id,
+                   ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                         / (100.0 * COUNT(*) OVER w), 6) + 0.0 AS roll_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "events_hll_users": _hll_sql("events", "event_type", "user_id", p=8),
         "events_cms_counts": _cms_sql(

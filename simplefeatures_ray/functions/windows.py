@@ -274,3 +274,49 @@ def interval_join(left_ds, intervals_ds, t_col: str, start_col: str,
         return t.filter(pa.array(keep)).drop_columns(["__b"])
 
     return joined.map_batches(refine, batch_format="pyarrow")
+
+
+def rolling_mean(ds, key: str, ts_col: str, value_col: str,
+                 window_rows: int, tie_col: str, out_col: str = "roll_mean",
+                 n_parts: int = 64):
+    """Row-based rolling mean per key: for each row (ordered by
+    ts_col, tie_col within its key), the mean of value over the current
+    and preceding window_rows-1 rows — the per-entity trailing-window
+    signal (fraud velocity, rate smoothing).
+
+    Scale shape: one coarse hash-partition shuffle on the key (all rows
+    of a key co-locate, same as sessionize), then a vectorized pandas
+    sort + grouped rolling per partition — never a task per key.
+
+    Exactness contract: values are summed as ROUND(value*100) cents
+    (int64, order-independent), the mean divides once in float64, and
+    the result is ROUNDed — so the SQL window-function twin reproduces
+    identical doubles.
+    """
+    import pandas as pd
+
+    from ._pdarrow import arrow_groups
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.asarray(t[key], dtype=np.int64)
+        return t.append_column(
+            "__part", pa.array((h % n_parts).astype(np.int32)))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort")
+        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        df = df.assign(__cents=cents)
+        g = df.groupby(key, sort=False)["__cents"]
+        s = g.rolling(window_rows, min_periods=1).sum() \
+             .reset_index(level=0, drop=True)
+        c = g.rolling(window_rows, min_periods=1).count() \
+             .reset_index(level=0, drop=True)
+        mean = np.round(s.to_numpy() / (100.0 * c.to_numpy()), 6) + 0.0
+        out = df[[tie_col]].copy()
+        out[out_col] = mean
+        return out
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(
+        arrow_groups(per_part), batch_format="pyarrow")

@@ -251,3 +251,26 @@ def test_sentence_stats_rules(ray_session):
     assert out.loc[0, "mean_sentence_chars"] == round((3 + 7 + 17) / 3, 4)
     assert out.loc[1, "n_sentences"] == 1  # whole doc is one sentence
     assert 2 not in out.index
+
+
+def test_rolling_mean_windows(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.windows import rolling_mean
+
+    t = pa.table({
+        "eid": pa.array([0, 1, 2, 3, 4, 5]),
+        "uid": pa.array([7, 7, 7, 7, 9, 9]),
+        "ts": pa.array([10, 20, 30, 40, 10, 5]),
+        "value": pa.array([1.0, 2.0, 3.0, 10.0, 5.0, 1.0]),
+    })
+    out = rolling_mean(rd.from_arrow(t).repartition(3), "uid", "ts",
+                       "value", window_rows=3, tie_col="eid") \
+        .to_pandas().set_index("eid")["roll_mean"]
+    assert out[0] == 1.0
+    assert out[1] == 1.5
+    assert out[2] == 2.0            # (1+2+3)/3
+    assert out[3] == 5.0            # (2+3+10)/3
+    # user 9 ordered by ts: eid5 (ts=5) comes first
+    assert out[5] == 1.0
+    assert out[4] == 3.0            # (1+5)/2
