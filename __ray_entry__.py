@@ -438,6 +438,27 @@ def docs_bm25_topk(sf_dir: str):
     return bm25_topk(ds, ["table", "hash", "window"], k=20)
 
 
+def docs_nfc_normalize(sf_dir: str):
+    """Unicode NFC canonicalization pass (functions/text.
+    nfc_normalize_stats): changed flag + sha256-hex16 of the normalized
+    form; DuckDB nfc_normalize replays the transform."""
+    from simplefeatures_ray.functions.text import nfc_normalize_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return nfc_normalize_stats(ds)
+
+
+def docs_lang_source_matrix(sf_dir: str):
+    """Pivot/crosstab report: per language, counts for sources
+    src0..src4 plus other and total (functions/text.pivot_counts —
+    per-batch crosstab partials + one grouped-sum combine)."""
+    from simplefeatures_ray.functions.text import pivot_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return pivot_counts(ds, "lang", "source",
+                        ["src0", "src1", "src2", "src3", "src4"])
+
+
 def docs_sentence_stats(sf_dir: str):
     """Sentence segmentation stats (functions/text.sentence_stats):
     RE2 terminal-punctuation split, explicit-charset trim, per-doc
@@ -1885,6 +1906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bloom_prefilter": docs_bloom_prefilter,
         "docs_chunk_windows": docs_chunk_windows,
         "docs_sentence_stats": docs_sentence_stats,
+        "docs_nfc_normalize": docs_nfc_normalize,
+        "docs_lang_source_matrix": docs_lang_source_matrix,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
@@ -2254,6 +2277,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jsonl_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "docs_nfc_normalize": """
+            SELECT doc_id,
+                   nfc_normalize(text) <> text AS nfc_changed,
+                   substr(sha256(nfc_normalize(text)), 1, 16) AS nfc_sha16
+            FROM documents
+        """,
+        "docs_lang_source_matrix": """
+            SELECT lang,
+                   COUNT(*) FILTER (source = 'src0') AS n_src0,
+                   COUNT(*) FILTER (source = 'src1') AS n_src1,
+                   COUNT(*) FILTER (source = 'src2') AS n_src2,
+                   COUNT(*) FILTER (source = 'src3') AS n_src3,
+                   COUNT(*) FILTER (source = 'src4') AS n_src4,
+                   COUNT(*) FILTER (source NOT IN
+                     ('src0','src1','src2','src3','src4')) AS n_other,
+                   COUNT(*) AS n_total
+            FROM documents GROUP BY lang
         """,
         "docs_sentence_stats": r"""
             WITH s AS (

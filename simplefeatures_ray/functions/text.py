@@ -720,3 +720,68 @@ def sentence_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def nfc_normalize_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode NFC canonical normalization pass: per doc, whether NFC
+    changed the text and a sha256-hex16 fingerprint of the normalized
+    form (the dedup-safe canonical key — visually identical strings with
+    different combining-mark encodings collapse). DuckDB's
+    nfc_normalize() replays the identical transform in the oracle.
+    Per-row Python (unicodedata has no Arrow kernel) — a codec-class
+    stage, same budget as the WKT/JSON codecs."""
+    import hashlib
+    import unicodedata
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        changed, sha = [], []
+        for s in texts:
+            s = s or ""
+            n = unicodedata.normalize("NFC", s)
+            changed.append(n != s)
+            sha.append(hashlib.sha256(n.encode()).hexdigest()[:16])
+        return pa.table({
+            id_col: t[id_col],
+            "nfc_changed": pa.array(changed, pa.bool_()),
+            "nfc_sha16": pa.array(sha, pa.string()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_key: str, col_key: str, col_values,
+                 other: str = "other"):
+    """Wide (crosstab) counts: one output row per row_key with a count
+    column per listed col_value plus `other` and a total — the
+    pivot/aggregation shape reports and stratified rebalancing need.
+    Combiner pattern: per-batch pandas crosstab partials, one small
+    grouped-sum exchange; returns a pyarrow Table (driver combine —
+    |row_key| domain is the report's row count, small by definition).
+    """
+    import pandas as pd
+
+    from .agg import grouped_agg
+    from ._pdarrow import arrow_groups
+
+    col_values = list(col_values)
+    out_cols = [f"n_{v}" for v in col_values] + [f"n_{other}", "n_total"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[col_key].astype(object)
+        c = c.where(c.isin(col_values), other)
+        x = pd.crosstab(df[row_key], c)
+        for v in col_values + [other]:
+            if v not in x.columns:
+                x[v] = 0
+        out = pd.DataFrame({
+            row_key: x.index,
+            **{f"n_{v}": x[v].to_numpy(dtype=np.int64)
+               for v in col_values + [other]},
+        })
+        out["n_total"] = out[[f"n_{v}" for v in col_values + [other]]].sum(axis=1)
+        return out
+
+    part = ds.map_batches(arrow_groups(partial), batch_format="pyarrow")
+    return grouped_agg(part, row_key,
+                       {c: (c, "sum") for c in out_cols}, combine="driver")

@@ -274,3 +274,37 @@ def test_rolling_mean_windows(ray_session):
     # user 9 ordered by ts: eid5 (ts=5) comes first
     assert out[5] == 1.0
     assert out[4] == 3.0            # (1+5)/2
+
+
+def test_nfc_normalize_detects_decomposed(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.text import nfc_normalize_stats
+
+    composed = "café"            # é precomposed
+    decomposed = "café"         # e + combining acute
+    t = pa.table({"doc_id": pa.array([0, 1, 2]),
+                  "text": pa.array([composed, decomposed, "plain"])})
+    out = nfc_normalize_stats(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert not out.loc[0, "nfc_changed"]
+    assert out.loc[1, "nfc_changed"]
+    # both forms collapse to the same canonical fingerprint
+    assert out.loc[0, "nfc_sha16"] == out.loc[1, "nfc_sha16"]
+    assert not out.loc[2, "nfc_changed"]
+
+
+def test_pivot_counts(ray_session):
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.text import pivot_counts
+
+    t = pa.table({
+        "lang": pa.array(["en"] * 5 + ["de"] * 3),
+        "src": pa.array(["a", "a", "b", "zz", "q", "b", "b", "a"]),
+    })
+    out = pivot_counts(rd.from_arrow(t).repartition(3), "lang", "src",
+                       ["a", "b"]).to_pandas().set_index("lang")
+    assert out.loc["en", "n_a"] == 2 and out.loc["en", "n_b"] == 1
+    assert out.loc["en", "n_other"] == 2 and out.loc["en", "n_total"] == 5
+    assert out.loc["de", "n_a"] == 1 and out.loc["de", "n_b"] == 2
+    assert out.loc["de", "n_other"] == 0 and out.loc["de", "n_total"] == 3
