@@ -792,6 +792,19 @@ def events_rolling_mean(sf_dir: str):
                         tie_col="event_id")
 
 
+def events_funnel(sf_dir: str):
+    """First-touch funnel over the clickstream: users reaching
+    view -> click -> purchase strictly in order (earliest qualifying
+    event per stage). One coarse user-hash shuffle, vectorized
+    per-partition stage folding, combiner sum
+    (functions/windows.funnel_counts)."""
+    from simplefeatures_ray.functions.windows import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 def events_hll_users(sf_dir: str):
     """APPROXIMATE distinct users per event type via HyperLogLog — the
     sketch twin of events_distinct_users. The exchange carries at most
@@ -1931,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": events_distinct_users,
         "events_interval_join": events_interval_join,
         "events_rolling_mean": events_rolling_mean,
+        "events_funnel": events_funnel,
         "events_hll_users": events_hll_users,
         "events_cms_counts": events_cms_counts,
         # embeddings
@@ -2463,6 +2477,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t
+              FROM events WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+              GROUP BY e.user_id)
+            SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+                   (SELECT COUNT(*) FROM s1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 1::BIGINT, 'click', (SELECT COUNT(*) FROM s2)::BIGINT
+            UNION ALL
+            SELECT 2::BIGINT, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT
         """,
         "events_hll_users": _hll_sql("events", "event_type", "user_id", p=8),
         "events_cms_counts": _cms_sql(

@@ -320,3 +320,90 @@ def rolling_mean(ds, key: str, ts_col: str, value_col: str,
     parted = ds.map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("__part").map_groups(
         arrow_groups(per_part), batch_format="pyarrow")
+
+
+def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
+                  stages, n_parts: int = 64):
+    """Ordered funnel analysis: for a sequence of stage event types
+    (e.g. view -> click -> purchase), count the users who reached each
+    stage IN ORDER — stage k counts a user iff some stage-k event falls
+    strictly after the user's chosen stage-(k-1) event, where "chosen"
+    is the EARLIEST qualifying event (classic first-touch funnel; the
+    product-analytics op a clickstream pipeline runs per release).
+
+    Returns one row per stage: (stage_idx int64, stage string,
+    n_users int64).
+
+    Scale shape: project to (user, epoch-us, type) and filter to the
+    stage types inside map_batches (everything else never enters the
+    exchange), then ONE coarse hash-partition shuffle on the user key —
+    all of a user's stage events co-locate, per-partition work is a
+    vectorized pandas pass (grouped mins + merges, one per stage, no
+    Python per user) — then a tiny combiner sum of per-partition stage
+    counts. Timestamps compare as integer microseconds so "strictly
+    after" is exact and the SQL twin reproduces it bit-for-bit.
+    """
+    import pandas as pd
+
+    from ._pdarrow import arrow_groups
+
+    stages = list(stages)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t[type_col], value_set=pa.array(stages))
+        t = t.filter(keep)
+        us = _epoch_us(t[ts_col])
+        h = np.asarray(t[user_col], dtype=np.int64)
+        return pa.table({
+            user_col: t[user_col],
+            "__t": pa.array(us, pa.int64()),
+            type_col: t[type_col],
+            "__part": pa.array((h % n_parts).astype(np.int32)),
+        })
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(stages), dtype=np.int64)
+        if len(df):
+            # reached: per-user epoch-us of the chosen event at the
+            # current stage; starts as the first stage's per-user min
+            cur = (df[df[type_col] == stages[0]]
+                   .groupby(user_col)["__t"].min())
+            counts[0] = len(cur)
+            for k in range(1, len(stages)):
+                if cur.empty:
+                    break
+                nxt = df[df[type_col] == stages[k]].merge(
+                    cur.rename("__prev"), left_on=user_col,
+                    right_index=True)
+                nxt = nxt[nxt["__t"] > nxt["__prev"]]
+                cur = nxt.groupby(user_col)["__t"].min()
+                counts[k] = len(cur)
+        return pd.DataFrame({
+            "stage_idx": np.arange(len(stages), dtype=np.int64),
+            "stage": stages,
+            "n_users": counts,
+        })
+
+    parted = ds.map_batches(project, batch_format="pyarrow")
+    per = parted.groupby("__part").map_groups(
+        arrow_groups(per_part), batch_format="pyarrow")
+
+    from .agg import grouped_agg
+
+    out = grouped_agg(per, ["stage_idx", "stage"],
+                      {"n_users": ("n_users", "sum")}, combine="driver")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "stage_idx": pc.cast(t["stage_idx"], pa.int64()),
+            "stage": t["stage"],
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    if isinstance(out, pa.Table):
+        return finish(out)
+    return out.map_batches(finish, batch_format="pyarrow")
