@@ -792,6 +792,51 @@ def events_rolling_mean(sf_dir: str):
                         tie_col="event_id")
 
 
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER bucketed join: every customer joined to their
+    high-value orders (o_totalprice > 150000), customers with none kept
+    with a zero count. Exercises functions/relational.bucketed_join's
+    'left outer' path (per-bucket Arrow acero outer join — each left
+    row lives in exactly one hash bucket, so per-bucket outer == global
+    outer), then a combiner grouped count of matches."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.functions.relational import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 150000.0))
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"]})
+
+    big = orders.map_batches(prep, batch_format="pyarrow")
+    joined = bucketed_join(cust, big, key="c_custkey",
+                           join_type="left outer")
+
+    def matched(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "matched": m})
+
+    tagged = joined.map_batches(matched, batch_format="pyarrow")
+    out = grouped_agg(tagged, ["c_custkey", "c_mktsegment"],
+                      {"n_orders": ("matched", "sum")}, combine="shuffle")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def events_funnel(sf_dir: str):
     """First-touch funnel over the clickstream: users reaching
     view -> click -> purchase strictly in order (earliest qualifying
@@ -1944,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": events_distinct_users,
         "events_interval_join": events_interval_join,
         "events_rolling_mean": events_rolling_mean,
+        "customer_order_counts": customer_order_counts,
         "events_funnel": events_funnel,
         "events_hll_users": events_hll_users,
         "events_cms_counts": events_cms_counts,
@@ -2477,6 +2523,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "customer_order_counts": """
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   c.c_mktsegment,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
+            GROUP BY c.c_custkey, c.c_mktsegment
         """,
         "events_funnel": """
             WITH s1 AS (
