@@ -1929,6 +1929,186 @@ def flagship_tiles(sf_dir: str):
     return read_checkpointed(out_dir)
 
 
+_FLAGSHIP_ORACLE_CACHE: dict[int, str] = {}
+
+
+def _flagship_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
+                         res: int = 12) -> str:
+    """Independent recompute oracle for flagship_tiles (VERDICT r2 ask).
+
+    Split by what SQL can faithfully express:
+      * per-page values (geotag parse + the four text-analysis columns +
+        the blake2b fingerprint, which DuckDB cannot compute) are
+        re-derived DRIVER-SIDE with naive per-row Python — plain
+        re.findall / float() / hashlib over each page, none of the
+        engine's vectorized byte-class kernels — and emitted as one
+        VALUES table;
+      * the actual north-star semantics — Web-Mercator Morton cell
+        encoding, point-in-polygon via crossing-number parity over a
+        polygon-edge VALUES table (rings parsed here from the join
+        input's WKB with a local 20-line reader, not the engine codec),
+        the post-join cell histogram and the (count desc, cell asc)
+        rank that defines tile_id — run wholly in SQL.
+
+    Inputs are shared with the query by construction: the page table is
+    the deterministic generator both sides read (sources/pages.py), the
+    polygon table is make_polygons(64) — exactly like the sf parquet
+    views every other oracle shares.
+    """
+    if n_pages in _FLAGSHIP_ORACLE_CACHE:
+        return _FLAGSHIP_ORACLE_CACHE[n_pages]
+    import hashlib
+    import re as _re
+    import struct
+
+    def fsql(v: float) -> str:
+        # DOUBLE literal: DuckDB types bare decimals as DECIMAL, whose
+        # cast to DOUBLE is not bit-exact — force an exponent form
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
+    from simplefeatures_ray.sources.pages import gen_pages_batch
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    # ---- per-page naive recompute (geo pages only; engine drops the rest)
+    geo_re = _re.compile(
+        rb'<meta\s+name="geo\.position"\s+content="([-0-9.]+);([-0-9.]+)"')
+    token_re = _re.compile(r"[A-Za-z]+(?:'[a-z]+)?|\d+|[^\sA-Za-z\d]")
+    punct_re = _re.compile(r"[^\w\s]")
+    word_re = _re.compile(r"[A-Za-z']+")
+    wordnum_re = _re.compile(r"[\w']+", _re.U)
+    profiles = [
+        ("en", {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"}),
+        ("de", {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"}),
+        ("fr", {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"}),
+        ("es", {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"}),
+        ("pt", {"o", "a", "os", "e", "é", "um", "uma", "de", "que", "para"}),
+    ]
+    en_stop = profiles[0][1]
+
+    rows = []
+    for lo in range(0, n_pages, 4096):
+        ids = np.arange(lo, min(lo + 4096, n_pages), dtype=np.int64)
+        tbl = gen_pages_batch({"id": ids})
+        urls = tbl["url"].to_pylist()
+        htmls = tbl["html"].to_pylist()
+        texts = tbl["text"].to_pylist()
+        for url, html, text in zip(urls, htmls, texts):
+            m = geo_re.search(html)
+            if m is None:
+                continue
+            lat = float(m.group(1))
+            lon = float(m.group(2))
+            n_tokens = len(token_re.findall(text))
+            n_chars = len(text)
+            n_punct = len(punct_re.findall(text))
+            words = word_re.findall(text)
+            pr = n_punct / max(1, n_chars) if n_chars > 0 else 0.0
+            sr = (sum(1 for w in words if w.lower() in en_stop) / len(words)
+                  if words else 0.0)
+            quality = (min(max(n_chars / 500.0, 0.0), 1.0) * 0.3
+                       + min(max(sr * 4, 0.0), 1.0) * 0.4
+                       + min(max(1.0 - pr * 5, 0.0), 1.0) * 0.3)
+            ws200 = [w.lower() for w in wordnum_re.findall(text)[:200]]
+            best, best_score = "und", 0
+            for lang, stop in profiles:
+                score = sum(1 for w in ws200 if w in stop)
+                if score > best_score:
+                    best, best_score = lang, score
+            norm = " ".join(text.lower().split()).encode()
+            fp = int.from_bytes(
+                hashlib.blake2b(norm, digest_size=8).digest(), "little")
+            rows.append(f"('{url}',{fsql(lat)},{fsql(lon)},{n_tokens},"
+                        f"{fsql(quality)},'{best}',{fp})")
+    page_vals = ",\n             ".join(rows)
+
+    # ---- polygon edges from the join input's WKB (local naive reader)
+    polys = make_polygons(n_polys)
+    edge_rows, name_rows = [], []
+    for pid, name, wkb in zip(polys["poly_id"].to_pylist(),
+                              polys["name"].to_pylist(),
+                              polys["wkb"].to_pylist()):
+        le = wkb[0] == 1
+        fmt = "<" if le else ">"
+        (n_rings,) = struct.unpack_from(fmt + "I", wkb, 5)
+        off = 9
+        for _ in range(n_rings):
+            (n_pts,) = struct.unpack_from(fmt + "I", wkb, off)
+            off += 4
+            pts = struct.unpack_from(fmt + f"{2 * n_pts}d", wkb, off)
+            off += 16 * n_pts
+            for i in range(n_pts - 1):
+                x1, y1 = pts[2 * i], pts[2 * i + 1]
+                x2, y2 = pts[2 * i + 2], pts[2 * i + 3]
+                edge_rows.append(
+                    f"({pid},{fsql(x1)},{fsql(y1)},{fsql(x2)},{fsql(y2)})")
+        name_rows.append(f"({pid},'{name}')")
+    edge_vals = ",\n             ".join(edge_rows)
+    name_vals = ", ".join(name_rows)
+
+    # Morton interleave of the 2*res payload bits, unrolled
+    morton = " + ".join(
+        f"(((ix >> {b}) & 1) << {2 * b}) + (((iy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(res)
+    )
+    scale = float(1 << res)
+
+    sql = f"""
+        WITH geo AS (
+          SELECT * FROM (VALUES {page_vals})
+            AS g(url, lat, lon, n_tokens, quality, lang_pred, fingerprint)),
+        merc AS (
+          SELECT *,
+                 (lon + 180.0) / 360.0 AS mx,
+                 (1.0 - ln(tan(pi() / 4.0
+                      + (least(greatest(lat, -85.05112878), 85.05112878)
+                         * (pi() / 180.0)) / 2.0)) / pi()) / 2.0 AS my
+          FROM geo),
+        grid AS (
+          SELECT *,
+                 greatest(CAST(least(floor(mx * {fsql(scale)}), {fsql(scale - 1)}) AS BIGINT), 0) AS ix,
+                 greatest(CAST(least(floor(my * {fsql(scale)}), {fsql(scale - 1)}) AS BIGINT), 0) AS iy
+          FROM merc),
+        cellt AS (
+          SELECT *, (1::BIGINT << {2 * res}) + ({morton}) AS cell
+          FROM grid),
+        edges AS (
+          SELECT * FROM (VALUES {edge_vals})
+            AS e(poly_id, x1, y1, x2, y2)),
+        pnames AS (SELECT * FROM (VALUES {name_vals}) AS p(poly_id, poly_name)),
+        hits AS (
+          SELECT c.url, e.poly_id
+          FROM cellt c CROSS JOIN edges e
+          GROUP BY c.url, c.lat, c.lon, e.poly_id
+          HAVING SUM(CASE WHEN e.y1 <> e.y2
+                           AND ((e.y1 > c.lat) <> (e.y2 > c.lat))
+                           AND c.lon <
+                               e.x1 + ((c.lat - e.y1) / (e.y2 - e.y1)) * (e.x2 - e.x1)
+                     THEN 1 ELSE 0 END) % 2 = 1),
+        joined AS (
+          SELECT c.*, h.poly_id, p.poly_name
+          FROM hits h
+          JOIN cellt c ON c.url = h.url
+          JOIN pnames p ON p.poly_id = h.poly_id),
+        hist AS (SELECT cell, COUNT(*) AS n FROM joined GROUP BY cell),
+        tiles AS (
+          SELECT cell, ROW_NUMBER() OVER (ORDER BY n DESC, cell ASC) - 1 AS tile_id
+          FROM hist)
+        SELECT j.url, j.lat, j.lon,
+               CAST(j.cell AS UBIGINT) AS cell,
+               CAST(j.poly_id AS BIGINT) AS poly_id,
+               j.poly_name,
+               CAST(t.tile_id AS BIGINT) AS tile_id,
+               CAST(j.n_tokens AS BIGINT) AS n_tokens,
+               j.quality,
+               j.lang_pred,
+               CAST(j.fingerprint AS UBIGINT) AS fingerprint
+        FROM joined j JOIN tiles t ON j.cell = t.cell
+    """
+    _FLAGSHIP_ORACLE_CACHE[n_pages] = sql
+    return sql
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale; driver checks rows >= 0."""
     return flagship_tiles("/root/testdata/sf0.001")
@@ -3251,6 +3431,9 @@ def oracle_sql() -> dict[str, str]:
                     WHERE c.group_id = g.group_id) AS n_polygons
             FROM grids g GROUP BY g.group_id
         """,
+        # flagship: independent recompute (naive per-page Python VALUES)
+        # + real-SQL Morton/PIP/tile-rank — see _flagship_oracle_sql
+        "flagship_tiles": _flagship_oracle_sql(),
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),
             c AS (SELECT * FROM {convex_vals} t),
