@@ -1813,9 +1813,22 @@ def geom_buffer_stats(sf_dir: str):
     return _corpus_ds(polygon_corpus()).map_batches(kernel, batch_format="pyarrow")
 
 
+# Disc definition shared by raster_tiles and its oracle (INPUT
+# construction, like make_polygons): a 12-gon of radius 2.5 pixels
+# (pixel = 2^-12 in mercator unit space at res 6 x 64) around each
+# joined page point.
+_DISC_R = 2.5 / 4096.0
+_DISC_ANG = 2.0 * np.pi * np.arange(12) / 12.0
+_DISC_UX = np.cos(_DISC_ANG) * _DISC_R
+_DISC_UY = np.sin(_DISC_ANG) * _DISC_R
+
+
 def raster_tiles(sf_dir: str):
     """Per-cell rasterization of joined page points buffered to discs —
-    the groupby(tile).map_groups raster stage (rows-only)."""
+    the groupby(tile).map_groups raster stage. Gated by an independent
+    oracle that recomputes coverage with a DIFFERENT algorithm
+    (per-pixel-center point-in-disc vs the engine's even-odd scanline
+    span fill)."""
     from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
     from simplefeatures_ray.raster import RasterizeTiles
     from simplefeatures_ray.sources.pages import read_pages
@@ -1825,7 +1838,7 @@ def raster_tiles(sf_dir: str):
     joined = geotag_join_tiles(read_pages(n), make_polygons(64), res=6, final_sort=False)
 
     def to_wkb_points(t: pa.Table) -> pa.Table:
-        from simplefeatures_ray.geometry.core import Geometry
+        from simplefeatures_ray.geometry.core import POLYGON, Geometry
         from simplefeatures_ray.geometry.wkb import to_wkb
 
         lons = np.asarray(t["lon"])
@@ -1834,7 +1847,11 @@ def raster_tiles(sf_dir: str):
         from simplefeatures_ray.cells import mercator_xy
 
         x, y = mercator_xy(lons, lats)
-        wkbs = [to_wkb(Geometry.point(float(a), float(b))) for a, b in zip(x, y)]
+        wkbs = []
+        for a, b in zip(x, y):
+            ring = np.stack([a + _DISC_UX, b + _DISC_UY], axis=1)
+            ring = np.concatenate([ring, ring[:1]], axis=0)
+            wkbs.append(to_wkb(Geometry(POLYGON, 0, rings=[ring])))
         return pa.table({"cell": t["cell"], "wkb": pa.array(wkbs, pa.binary())})
 
     pts = joined.map_batches(to_wkb_points, batch_format="pyarrow")
@@ -1929,6 +1946,86 @@ def flagship_tiles(sf_dir: str):
     return read_checkpointed(out_dir)
 
 
+def _fsql(v: float) -> str:
+    """DOUBLE literal for oracle SQL: DuckDB types bare decimals as
+    DECIMAL, whose cast to DOUBLE is not bit-exact — force an exponent
+    form so the parser goes straight to strtod."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+_ORACLE_PAGES_CACHE: dict[int, list] = {}
+
+
+def _oracle_geo_pages(n_pages: int) -> list:
+    """Naive driver-side geotag parse of the deterministic page table:
+    [(url, lat, lon, text), ...] for pages carrying a geo.position tag.
+    Plain re.search + float() per row — none of the engine's extract
+    stage code."""
+    if n_pages in _ORACLE_PAGES_CACHE:
+        return _ORACLE_PAGES_CACHE[n_pages]
+    import re as _re
+
+    from simplefeatures_ray.sources.pages import gen_pages_batch
+
+    geo_re = _re.compile(
+        rb'<meta\s+name="geo\.position"\s+content="([-0-9.]+);([-0-9.]+)"')
+    out = []
+    for lo in range(0, n_pages, 4096):
+        ids = np.arange(lo, min(lo + 4096, n_pages), dtype=np.int64)
+        tbl = gen_pages_batch({"id": ids})
+        for url, html, text in zip(tbl["url"].to_pylist(),
+                                   tbl["html"].to_pylist(),
+                                   tbl["text"].to_pylist()):
+            m = geo_re.search(html)
+            if m is not None:
+                out.append((url, float(m.group(1)), float(m.group(2)), text))
+    _ORACLE_PAGES_CACHE[n_pages] = out
+    return out
+
+
+def _oracle_poly_rings(n_polys: int = 64) -> list:
+    """[(poly_id, name, [ring ndarray, ...]), ...] from the join input's
+    WKB via a local 20-line reader (not the engine codec)."""
+    import struct
+
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    polys = make_polygons(n_polys)
+    out = []
+    for pid, name, wkb in zip(polys["poly_id"].to_pylist(),
+                              polys["name"].to_pylist(),
+                              polys["wkb"].to_pylist()):
+        fmt = "<" if wkb[0] == 1 else ">"
+        (n_rings,) = struct.unpack_from(fmt + "I", wkb, 5)
+        off = 9
+        rings = []
+        for _ in range(n_rings):
+            (n_pts,) = struct.unpack_from(fmt + "I", wkb, off)
+            off += 4
+            pts = struct.unpack_from(fmt + f"{2 * n_pts}d", wkb, off)
+            off += 16 * n_pts
+            rings.append(np.asarray(pts, dtype=np.float64).reshape(-1, 2))
+        out.append((pid, name, rings))
+    return out
+
+
+def _oracle_pip_mask(lons: np.ndarray, lats: np.ndarray, rings) -> np.ndarray:
+    """Textbook even-odd crossing parity of many points vs one polygon's
+    rings (the same rule the flagship oracle states in SQL)."""
+    parity = np.zeros(len(lons), dtype=bool)
+    for ring in rings:
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
+            if ey1 == ey2:
+                continue
+            cond = (ey1 > lats) != (ey2 > lats)
+            t = (lats - ey1) / (ey2 - ey1)
+            parity ^= cond & (lons < ex1 + t * (ex2 - ex1))
+    return parity
+
+
 _FLAGSHIP_ORACLE_CACHE: dict[int, str] = {}
 
 
@@ -1959,20 +2056,10 @@ def _flagship_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
         return _FLAGSHIP_ORACLE_CACHE[n_pages]
     import hashlib
     import re as _re
-    import struct
 
-    def fsql(v: float) -> str:
-        # DOUBLE literal: DuckDB types bare decimals as DECIMAL, whose
-        # cast to DOUBLE is not bit-exact — force an exponent form
-        s = repr(float(v))
-        return s if ("e" in s or "E" in s) else s + "e0"
-
-    from simplefeatures_ray.sources.pages import gen_pages_batch
-    from simplefeatures_ray.sources.polygons import make_polygons
+    fsql = _fsql
 
     # ---- per-page naive recompute (geo pages only; engine drops the rest)
-    geo_re = _re.compile(
-        rb'<meta\s+name="geo\.position"\s+content="([-0-9.]+);([-0-9.]+)"')
     token_re = _re.compile(r"[A-Za-z]+(?:'[a-z]+)?|\d+|[^\sA-Za-z\d]")
     punct_re = _re.compile(r"[^\w\s]")
     word_re = _re.compile(r"[A-Za-z']+")
@@ -1987,18 +2074,7 @@ def _flagship_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
     en_stop = profiles[0][1]
 
     rows = []
-    for lo in range(0, n_pages, 4096):
-        ids = np.arange(lo, min(lo + 4096, n_pages), dtype=np.int64)
-        tbl = gen_pages_batch({"id": ids})
-        urls = tbl["url"].to_pylist()
-        htmls = tbl["html"].to_pylist()
-        texts = tbl["text"].to_pylist()
-        for url, html, text in zip(urls, htmls, texts):
-            m = geo_re.search(html)
-            if m is None:
-                continue
-            lat = float(m.group(1))
-            lon = float(m.group(2))
+    for url, lat, lon, text in _oracle_geo_pages(n_pages):
             n_tokens = len(token_re.findall(text))
             n_chars = len(text)
             n_punct = len(punct_re.findall(text))
@@ -2023,23 +2099,10 @@ def _flagship_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
     page_vals = ",\n             ".join(rows)
 
     # ---- polygon edges from the join input's WKB (local naive reader)
-    polys = make_polygons(n_polys)
     edge_rows, name_rows = [], []
-    for pid, name, wkb in zip(polys["poly_id"].to_pylist(),
-                              polys["name"].to_pylist(),
-                              polys["wkb"].to_pylist()):
-        le = wkb[0] == 1
-        fmt = "<" if le else ">"
-        (n_rings,) = struct.unpack_from(fmt + "I", wkb, 5)
-        off = 9
-        for _ in range(n_rings):
-            (n_pts,) = struct.unpack_from(fmt + "I", wkb, off)
-            off += 4
-            pts = struct.unpack_from(fmt + f"{2 * n_pts}d", wkb, off)
-            off += 16 * n_pts
-            for i in range(n_pts - 1):
-                x1, y1 = pts[2 * i], pts[2 * i + 1]
-                x2, y2 = pts[2 * i + 2], pts[2 * i + 3]
+    for pid, name, rings in _oracle_poly_rings(n_polys):
+        for ring in rings:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
                 edge_rows.append(
                     f"({pid},{fsql(x1)},{fsql(y1)},{fsql(x2)},{fsql(y2)})")
         name_rows.append(f"({pid},'{name}')")
@@ -2106,6 +2169,94 @@ def _flagship_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
         FROM joined j JOIN tiles t ON j.cell = t.cell
     """
     _FLAGSHIP_ORACLE_CACHE[n_pages] = sql
+    return sql
+
+
+_RASTER_ORACLE_CACHE: dict[int, str] = {}
+
+
+def _raster_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
+                       res: int = 6, px: int = 64) -> str:
+    """Independent recompute oracle for raster_tiles.
+
+    The engine rasterizes each disc with an even-odd SCANLINE SPAN FILL
+    (raster.py _fill_rings: per-row edge intersections -> sorted span
+    pairs -> ceil/floor pixel ranges). This oracle recomputes coverage
+    with a different algorithm: classify every PIXEL CENTER against
+    every candidate disc with the textbook crossing-parity test. Pixel
+    centers are exact dyadic floats (cell bounds and pixel pitch are
+    powers of two), so the two algorithms must agree bit-for-bit except
+    on measure-zero center-on-boundary coincidences. Shared inputs:
+    the deterministic page/polygon tables and the 12-gon disc
+    definition (_DISC_UX/_DISC_UY) — the geometry under test is the
+    rasterization itself.
+    """
+    if n_pages in _RASTER_ORACLE_CACHE:
+        return _RASTER_ORACLE_CACHE[n_pages]
+    pages = _oracle_geo_pages(n_pages)
+    lats = np.array([p[1] for p in pages])
+    lons = np.array([p[2] for p in pages])
+
+    # join hit set (one entry per point with >= 1 polygon match; raster
+    # max-accumulates, so multiplicity is irrelevant)
+    hit = np.zeros(len(lons), dtype=bool)
+    for _pid, _name, rings in _oracle_poly_rings(n_polys):
+        hit |= _oracle_pip_mask(lons, lats, rings)
+    lats, lons = lats[hit], lons[hit]
+
+    # mercator unit coords + res cell (documented forward transform)
+    lat_c = np.clip(lats, -85.05112878, 85.05112878)
+    mx = (lons + 180.0) / 360.0
+    my = (1.0 - np.log(np.tan(np.pi / 4.0 + np.radians(lat_c) / 2.0))
+          / np.pi) / 2.0
+    scale = float(1 << res)
+    ix = np.minimum(np.floor(mx * scale), scale - 1).astype(np.int64)
+    iy = np.minimum(np.floor(my * scale), scale - 1).astype(np.int64)
+
+    def interleave(a: int, b: int) -> int:
+        out = 0
+        for bit in range(res):
+            out |= ((a >> bit) & 1) << (2 * bit)
+            out |= ((b >> bit) & 1) << (2 * bit + 1)
+        return out
+
+    size = 1.0 / (1 << res)
+    pitch = size / px  # pixel pitch: exact power of two
+    lit: dict[int, set] = {}
+    for x, y, cx_i, cy_i in zip(mx, my, ix, iy):
+        cell = (1 << (2 * res)) | interleave(int(cx_i), int(cy_i))
+        x0 = cx_i * size
+        y0 = cy_i * size
+        # candidate pixel window under the disc's bbox
+        c_lo = max(0, int(np.ceil((x - _DISC_R - x0) / pitch - 0.5)))
+        c_hi = min(px - 1, int(np.floor((x + _DISC_R - x0) / pitch - 0.5)))
+        r_lo = max(0, int(np.ceil((y - _DISC_R - y0) / pitch - 0.5)))
+        r_hi = min(px - 1, int(np.floor((y + _DISC_R - y0) / pitch - 0.5)))
+        s = lit.setdefault(cell, set())
+        if c_hi < c_lo or r_hi < r_lo:
+            continue
+        cols = np.arange(c_lo, c_hi + 1)
+        rws = np.arange(r_lo, r_hi + 1)
+        ccx = x0 + (cols + 0.5) * pitch
+        ccy = y0 + (rws + 0.5) * pitch
+        gx, gy = np.meshgrid(ccx, ccy)
+        ring = np.stack([x + _DISC_UX, y + _DISC_UY], axis=1)
+        ring = np.concatenate([ring, ring[:1]], axis=0)
+        inside = _oracle_pip_mask(gx.ravel(), gy.ravel(), [ring])
+        rr, cc = np.meshgrid(rws, cols, indexing="ij")
+        for r_, c_ in zip(rr.ravel()[inside], cc.ravel()[inside]):
+            s.add((int(r_), int(c_)))
+
+    rows = [f"({cell},{px},{px},{_fsql(len(pix) / float(px * px))})"
+            for cell, pix in sorted(lit.items())]
+    sql = f"""
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               coverage
+        FROM (VALUES {", ".join(rows)}) AS t(cell, width, height, coverage)
+    """
+    _RASTER_ORACLE_CACHE[n_pages] = sql
     return sql
 
 
@@ -3434,6 +3585,9 @@ def oracle_sql() -> dict[str, str]:
         # flagship: independent recompute (naive per-page Python VALUES)
         # + real-SQL Morton/PIP/tile-rank — see _flagship_oracle_sql
         "flagship_tiles": _flagship_oracle_sql(),
+        # raster: coverage recomputed with a different algorithm
+        # (pixel-center PIP vs the engine's scanline span fill)
+        "raster_tiles": _raster_oracle_sql(),
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),
             c AS (SELECT * FROM {convex_vals} t),
