@@ -1915,6 +1915,97 @@ def media_features(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def media_audio_features(sf_dir: str):
+    """WAV RIFF decode + MJPEG frame indexing gated end-to-end: audio
+    rms/zcr/peak, clip duration and sampled-frame count. Unlike
+    media_features' lossy-JPEG mean_r, every column here is
+    independently recomputable — PCM is lossless, so the oracle goes
+    straight from the synthesis samples (never touching the engine's
+    RIFF parser), and the frame pick is a pure function of the frame
+    count."""
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.multimodal import (
+        DecodeAudio,
+        SampleFrames,
+        real_audio_table,
+        real_media_table,
+    )
+
+    media = real_media_table(256)
+    audio = real_audio_table(256)
+    tbl = pa.table({
+        "media_id": audio["media_id"],
+        "audio_bytes": audio["audio_bytes"],
+        "video_bytes": media["video_bytes"],
+    })
+    ds = rd.from_arrow(tbl)
+    ds = ds.map_batches(DecodeAudio, batch_format="pyarrow",
+                        concurrency=auto_concurrency(), batch_size=64)
+    ds = ds.map_batches(SampleFrames, batch_format="pyarrow",
+                        concurrency=auto_concurrency(), batch_size=64)
+
+    def finish(t: pa.Table) -> pa.Table:
+        af = t["audio_features"].combine_chunks()
+        a = np.asarray(af.values, dtype=np.float64).reshape(len(t), -1)
+        return pa.table({
+            "media_id": t["media_id"],
+            "audio_rms": pa.array(np.round(a[:, 0], 6)),
+            "audio_zcr": pa.array(np.round(a[:, 1], 6)),
+            "audio_peak": pa.array(np.round(a[:, 2], 6)),
+            "duration_s": t["duration_s"],
+            "n_frames_sampled": pa.array(
+                [len(v) for v in t["frame_offsets"].to_pylist()], pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+_MEDIA_AUDIO_ORACLE_CACHE: dict[int, str] = {}
+
+
+def _media_audio_oracle_sql(n: int = 256, rate: int = 8000,
+                            seconds: float = 0.25) -> str:
+    """Oracle for media_audio_features: recompute rms/zcr/peak directly
+    from the synthesis PCM samples (int16 is lossless through the WAV
+    container, so a correct RIFF decode must reproduce them exactly);
+    the sampled-frame count replays the documented even-coverage pick
+    over n_frames = 4 + id % 4."""
+    if n in _MEDIA_AUDIO_ORACLE_CACHE:
+        return _MEDIA_AUDIO_ORACLE_CACHE[n]
+    t = np.arange(int(rate * seconds)) / rate
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(2000 + i)
+        f1, f2 = 100 + (i * 37) % 900, 1000 + (i * 91) % 2000
+        sig = (0.5 * np.sin(2 * np.pi * f1 * t)
+               + 0.3 * np.sin(2 * np.pi * f2 * t)
+               + 0.05 * rng.standard_normal(len(t)))
+        pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+        x = pcm.astype(np.float64) / 32768.0
+        rms = np.round(float(np.float32(np.sqrt(np.mean(x ** 2)))), 6)
+        zcr = np.round(float(np.float32(
+            np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))), 6)
+        peak = np.round(float(np.float32(np.abs(x).max())), 6)
+        dur = np.round(len(x) / rate, 6)
+        n_frames = 4 + i % 4
+        k = min(4, n_frames)
+        picks = ({(j * (n_frames - 1)) // max(k - 1, 1) for j in range(k)}
+                 if k > 1 else {0})
+        rows.append(f"({i},{_fsql(rms)},{_fsql(zcr)},{_fsql(peak)},"
+                    f"{_fsql(dur)},{len(picks)})")
+    sql = f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               audio_rms, audio_zcr, audio_peak, duration_s,
+               CAST(n_frames_sampled AS BIGINT) AS n_frames_sampled
+        FROM (VALUES {", ".join(rows)})
+          AS t(media_id, audio_rms, audio_zcr, audio_peak, duration_s,
+               n_frames_sampled)
+    """
+    _MEDIA_AUDIO_ORACLE_CACHE[n] = sql
+    return sql
+
+
 # --------------------------------------------------------------------------- #
 # flagship
 # --------------------------------------------------------------------------- #
@@ -2361,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proj_web_mercator": proj_web_mercator,
         "raster_tiles": raster_tiles,
         "media_features": media_features,
+        "media_audio_features": media_audio_features,
         # flagship (rows-only check)
         "flagship_tiles": flagship_tiles,
     }
@@ -3588,6 +3680,9 @@ def oracle_sql() -> dict[str, str]:
         # raster: coverage recomputed with a different algorithm
         # (pixel-center PIP vs the engine's scanline span fill)
         "raster_tiles": _raster_oracle_sql(),
+        # audio/video plumbing: features recomputed from the lossless
+        # synthesis PCM, never touching the engine's RIFF parser
+        "media_audio_features": _media_audio_oracle_sql(),
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),
             c AS (SELECT * FROM {convex_vals} t),
