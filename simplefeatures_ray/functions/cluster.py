@@ -64,8 +64,14 @@ def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
     from .relational import collect_table, topk
 
-    init = collect_table(topk(ds.select_columns([id_col, vec_col]),
-                              id_col, k, descending=False))
+    # Lloyd is iterative: pin the (id, vec) projection in the object
+    # store once instead of re-reading + re-decoding the parquet on
+    # every pass (init + iters + final assign = iters + 2 executions).
+    # Bounded by the embedding corpus bytes; Ray spills to disk when it
+    # exceeds the store — still cheaper than N full re-reads.
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
+    init = collect_table(topk(ds, id_col, k, descending=False))
     order = np.argsort(np.asarray(init[id_col]), kind="stable")
     C = np.round(_batch_matrix(init, vec_col).astype(np.float64)[order],
                  round_centroid)

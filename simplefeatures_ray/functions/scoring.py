@@ -118,24 +118,30 @@ def bigram_lm_perplexity(ds, id_col: str = "doc_id", text_col: str = "text",
     from ._pdarrow import arrow_groups
     from .relational import collect_table
 
-    def bi_partial(t: pa.Table) -> pa.Table:
-        bi, _ = _bigram_tables(t, id_col, text_col)
-        df = pd.DataFrame({"prev": bi["prev"], "cur": bi["cur"]})
-        g = df.groupby(["prev", "cur"], sort=False).size().rename("n").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    # ONE pass + ONE shuffle for both count tables: each batch tokenizes
+    # once and emits its bigram partials (kind=0) unioned with its
+    # unigram partials (kind=1, cur='' — tokenization drops empty terms,
+    # so '' can never collide with a real token)
+    def counts_partial(t: pa.Table) -> pa.Table:
+        bi, uni = _bigram_tables(t, id_col, text_col)
+        db = pd.DataFrame({"prev": bi["prev"], "cur": bi["cur"]})
+        gb = db.groupby(["prev", "cur"], sort=False).size().rename("n").reset_index()
+        gb.insert(0, "kind", np.int64(0))
+        du = pd.DataFrame({"prev": uni["term"]})
+        gu = du.groupby("prev", sort=False).size().rename("n").reset_index()
+        gu.insert(1, "cur", "")
+        gu.insert(0, "kind", np.int64(1))
+        out = pd.concat([gb, gu], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def uni_partial(t: pa.Table) -> pa.Table:
-        _, uni = _bigram_tables(t, id_col, text_col)
-        df = pd.DataFrame({"term": uni["term"]})
-        g = df.groupby("term", sort=False).size().rename("n").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    bi_counts = collect_table(grouped_agg(
-        ds.map_batches(bi_partial, batch_format="pyarrow"),
-        ["prev", "cur"], {"n": ("n", "sum")}, combine="shuffle")).to_pandas()
-    uni_counts = collect_table(grouped_agg(
-        ds.map_batches(uni_partial, batch_format="pyarrow"),
-        ["term"], {"n": ("n", "sum")}, combine="shuffle")).to_pandas()
+    counts = collect_table(grouped_agg(
+        ds.map_batches(counts_partial, batch_format="pyarrow"),
+        ["kind", "prev", "cur"], {"n": ("n", "sum")},
+        combine="shuffle")).to_pandas()
+    bi_counts = (counts[counts["kind"] == 0][["prev", "cur", "n"]]
+                 .reset_index(drop=True))
+    uni_counts = (counts[counts["kind"] == 1][["prev", "n"]]
+                  .rename(columns={"prev": "term"}).reset_index(drop=True))
 
     vocab_size = int(len(uni_counts))
     if min_count > 1:
