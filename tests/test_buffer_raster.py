@@ -178,3 +178,40 @@ def test_buffer_corpus_positive_areas_pinned():
         ap = area(buf(g, 0.5, quad_segments=8))
         per = length(boundary(g))
         assert ap > a0 + 0.5 * per * 0.95, (cid, a0, ap)
+
+
+def test_raster_tile_disc_coverage_nonzero():
+    """Regression (round 3): raster_tiles passed bare POINT WKBs to the
+    tile rasterizer, which draws only polygon/line geometries — every
+    cell reported coverage 0.0. The query now burns explicit 12-gon
+    discs; pin that a disc group rasterizes to nonzero coverage and
+    that the per-pixel-center recompute (the oracle's algorithm)
+    agrees with the scanline span fill."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+    from simplefeatures_ray.cells import cell_bounds_xy
+    from simplefeatures_ray.geometry.core import POLYGON, Geometry
+    from simplefeatures_ray.geometry.wkb import to_wkb
+    from simplefeatures_ray.raster import RasterizeTiles
+
+    res = 6
+    cell = (1 << (2 * res)) | 0b010110  # arbitrary res-6 cell
+    x0, y0, x1, y1 = (float(v) for v in cell_bounds_xy(np.array([cell], dtype=np.uint64)))
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    ring = np.stack([cx + e._DISC_UX, cy + e._DISC_UY], axis=1)
+    ring = np.concatenate([ring, ring[:1]], axis=0)
+    df = pd.DataFrame({"cell": [int(cell)],
+                       "wkb": [to_wkb(Geometry(POLYGON, 0, rings=[ring]))]})
+    out = RasterizeTiles(width=64, height=64)(df)
+    cov = float(out["coverage"].iloc[0])
+    assert cov > 0.0
+
+    # oracle's independent algorithm: pixel centers inside the disc
+    pitch = (x1 - x0) / 64
+    cols = np.arange(64)
+    ccx = x0 + (cols + 0.5) * pitch
+    ccy = y0 + (cols + 0.5) * pitch
+    gx, gy = np.meshgrid(ccx, ccy)
+    inside = e._oracle_pip_mask(gx.ravel(), gy.ravel(), [ring])
+    assert cov == inside.sum() / 4096.0
