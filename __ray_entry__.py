@@ -1961,6 +1961,80 @@ def media_audio_features(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def media_image_dc(sf_dir: str):
+    """Lossy-JPEG decode gated END-TO-END by a pure-SQL oracle: images
+    are per-8x8-block constant, so the JPEG round trip reduces to the
+    closed-form DC quantize/dequantize chain — exactly recomputable in
+    DuckDB with no image code. Round-robins PNG (lossless), baseline
+    JPEG q90, per-image optimized-Huffman q92, and RGB 4:2:0 q90 with
+    restart markers through the real DecodeImage actor pool; emits the
+    integer red-channel pixel sum per image (no float hash hazards)."""
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.multimodal import DecodeImage, dc_media_table
+
+    ds = rd.from_arrow(dc_media_table(192))
+    ds = ds.map_batches(DecodeImage,
+                        fn_constructor_kwargs={"target_size": (24, 24)},
+                        batch_format="pyarrow",
+                        concurrency=auto_concurrency(), batch_size=64)
+
+    def finish(t: pa.Table) -> pa.Table:
+        arr = t["pixels"].combine_chunks()
+        n = len(arr)
+        px = np.asarray(arr.values, dtype=np.int64).reshape(n, 24, 24, 3)
+        return pa.table({
+            "media_id": t["media_id"],
+            "codec": t["codec"],
+            "sum_r": pa.array(px[:, :, :, 0].sum(axis=(1, 2)), pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _media_image_dc_oracle_sql(n: int = 192) -> str:
+    """Closed-form DC round trip, entirely in SQL (q00 = 3 at both
+    quality 90 and 92 for the standard luma table; round-half-even
+    matches numpy, and (v-128)*8/3 can never tie at .5 because
+    16*(v-128) is even while odd-multiples-of-3 are odd)."""
+    def rhe(x: str) -> str:
+        return (f"(CASE WHEN ({x}) - FLOOR({x}) = 0.5 THEN "
+                f"(CASE WHEN CAST(FLOOR({x}) AS BIGINT) % 2 = 0 "
+                f"THEN FLOOR({x}) ELSE FLOOR({x}) + 1 END) "
+                f"ELSE ROUND({x}) END)")
+
+    return f"""
+WITH blocks AS (
+  SELECT ids.range AS i, ks.range AS k FROM range({n}) ids, range(9) ks
+),
+vals AS (
+  SELECT i, k, CAST((k*37 + i*101) % 256 AS DOUBLE) AS v, i % 4 AS variant
+  FROM blocks
+),
+lum AS (
+  SELECT i, k, variant, v,
+         CASE WHEN variant = 3 THEN 0.299*v + 0.587*v + 0.114*v ELSE v END AS y
+  FROM vals
+),
+q AS (
+  SELECT i, k, variant, v,
+         {rhe('(y - 128.0) * 8.0 / 3.0')} * 3.0 / 8.0 + 128.0 AS rec
+  FROM lum
+),
+recon AS (
+  SELECT i, variant,
+         CASE WHEN variant = 0 THEN v
+              ELSE LEAST(255.0, GREATEST(0.0, {rhe('rec')})) END AS px
+  FROM q
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE variant WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg90'
+            WHEN 2 THEN 'jpeg92opt' ELSE 'jpeg90sub420' END AS codec,
+       CAST(SUM(px) * 64 AS BIGINT) AS sum_r
+FROM recon GROUP BY i, variant
+"""
+
+
 _MEDIA_AUDIO_ORACLE_CACHE: dict[int, str] = {}
 
 
@@ -2453,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tiles": raster_tiles,
         "media_features": media_features,
         "media_audio_features": media_audio_features,
+        "media_image_dc": media_image_dc,
         # flagship (rows-only check)
         "flagship_tiles": flagship_tiles,
     }
@@ -3683,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
         # audio/video plumbing: features recomputed from the lossless
         # synthesis PCM, never touching the engine's RIFF parser
         "media_audio_features": _media_audio_oracle_sql(),
+        "media_image_dc": _media_image_dc_oracle_sql(),
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),
             c AS (SELECT * FROM {convex_vals} t),

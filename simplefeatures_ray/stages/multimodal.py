@@ -168,6 +168,51 @@ class SampleFrames:
         )
 
 
+_DC_CODECS = ("png", "jpeg90", "jpeg92opt", "jpeg90sub420")
+
+
+def dc_media_table(n: int, size: int = 24) -> pa.Table:
+    """Deterministic media table whose images are per-8x8-block CONSTANT
+    values (block k of id i = (k*37 + i*101) % 256) so the lossy JPEG
+    round-trip is exactly predictable in closed form: a constant block
+    has only a DC coefficient, and quantize/dequantize of the DC is pure
+    arithmetic (round-half-even((v-128)*8/q00)*q00/8 + 128). That makes
+    every pixel of the decode — across PNG, baseline JPEG, per-image
+    optimized Huffman tables, and 4:2:0 subsampling with restart
+    markers — recomputable by an independent SQL oracle with no image
+    code at all. Ref parity: exercises the same decode surface as
+    `geom`'s codec round-trip tests (reference style: encode→decode→
+    compare, e.g. /root/reference/geom/wkb_test.go) but for the media
+    plumbing."""
+    from ..imagecodec import png_encode
+    from ..jpegcodec import jpeg_encode
+
+    nb = size // 8
+    ids = np.arange(n, dtype=np.int64)
+    payloads = []
+    codecs = []
+    for i in ids:
+        bv = ((np.arange(nb * nb) * 37 + int(i) * 101) % 256).astype(
+            np.uint8).reshape(nb, nb)
+        img = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)[:, :, None]
+        v = int(i) % 4
+        codecs.append(_DC_CODECS[v])
+        if v == 0:
+            payloads.append(png_encode(img))
+        elif v == 1:
+            payloads.append(jpeg_encode(img, quality=90))
+        elif v == 2:
+            payloads.append(jpeg_encode(img, quality=92, optimize_huffman=True))
+        else:
+            payloads.append(jpeg_encode(np.repeat(img, 3, axis=2), quality=90,
+                                        subsample=True, restart_interval=2))
+    return pa.table({
+        "media_id": pa.array(ids),
+        "codec": pa.array(codecs, pa.string()),
+        "image_bytes": pa.array(payloads, pa.binary()),
+    })
+
+
 def real_media_table(n: int, size: int = 24) -> pa.Table:
     """Deterministic media table whose image payloads are REAL encoded
     bytes from the engine's own codecs — a round-robin of PNG, baseline

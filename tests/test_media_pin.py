@@ -36,3 +36,22 @@ def test_minhash_candidates_value_pin(ray_session):
 
 
 PINNED_MINHASH_CANDS = "ca46f62876020ffbff5a041b447c3205a31f155e2d6b6ebf30408fc54e42f066"
+
+
+def test_media_image_dc_matches_sql_oracle(ray_session):
+    """The DC-exact query must match its pure-SQL oracle bit-for-bit:
+    constant 8x8 blocks make the lossy JPEG round trip closed-form."""
+    import duckdb
+
+    import __ray_entry__ as em
+
+    eng = em.media_image_dc("/root/testdata/sf0.001").to_pandas()
+    ora = duckdb.sql(em._media_image_dc_oracle_sql()).fetchdf()
+    for df in (eng, ora):
+        df.sort_values(["media_id"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert len(eng) == 192
+    assert list(eng.sort_index(axis=1).columns) == list(ora.sort_index(axis=1).columns)
+    assert (eng["sum_r"].astype("int64").values
+            == ora["sum_r"].astype("int64").values).all()
+    assert (eng["codec"].values == ora["codec"].values).all()
