@@ -1813,6 +1813,99 @@ def geom_buffer_stats(sf_dir: str):
     return _corpus_ds(polygon_corpus()).map_batches(kernel, batch_format="pyarrow")
 
 
+def geom_buffer_boxes(sf_dir: str):
+    """Buffer machinery gated END-TO-END by a pure-SQL closed form:
+    mitre-join (and bevel-join) buffers of axis-aligned rectangles are
+    exact offset rectangles (resp. chamfered rectangles), so area and
+    perimeter are closed-form in (w, h, d). Dimensions are dyadic
+    (d = k/4, integer w/h), making the engine's shoelace/length sums
+    exact; results quantized to integer micro-units so the compare is
+    integer-exact. Exercises the full buffer pipeline: linework offset,
+    join synthesis, arrangement union, erosion clamping
+    (ref alg_buffer.go:44-124 join options)."""
+    import ray.data as rd
+
+    from simplefeatures_ray.geometry.core import POLYGON, Geometry
+    from simplefeatures_ray.geometry.wkb import to_wkb
+
+    n = 96
+    rows_id, rows_var, rows_d, wkbs = [], [], [], []
+    for i in range(n):
+        w = 1 + (i * 7) % 13
+        h = 1 + (i * 5) % 11
+        x0 = (i * 3) % 17
+        y0 = (i * 11) % 19
+        d = 0.25 * (1 + (i % 4))
+        ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                         [x0, y0 + h], [x0, y0]], dtype=np.float64)
+        rows_id.append(i)
+        rows_var.append(i % 3)
+        rows_d.append(d)
+        wkbs.append(to_wkb(Geometry(POLYGON, 0, rings=[ring])))
+    ds = rd.from_arrow(pa.table({
+        "box_id": pa.array(rows_id, pa.int64()),
+        "variant": pa.array(rows_var, pa.int64()),
+        "dist": pa.array(rows_d, pa.float64()),
+        "wkb": pa.array(wkbs, pa.binary()),
+    }))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.geometry.algorithms import area, length
+        from simplefeatures_ray.geometry.buffer import buffer
+        from simplefeatures_ray.geometry.wkb import from_wkb
+
+        areas, perims = [], []
+        for w, var, d in zip(t["wkb"].to_pylist(), t["variant"].to_pylist(),
+                             t["dist"].to_pylist()):
+            g = from_wkb(w)
+            if var == 0:
+                b = buffer(g, d, join_style="mitre", mitre_limit=10.0)
+            elif var == 1:
+                b = buffer(g, -d, join_style="mitre", mitre_limit=10.0)
+            else:
+                b = buffer(g, d, join_style="bevel")
+            areas.append(int(np.round(area(b) * 1e6)))
+            perims.append(int(np.round(length(b) * 1e6)))
+        return pa.table({
+            "box_id": t["box_id"],
+            "variant": t["variant"],
+            "area_u": pa.array(areas, pa.int64()),
+            "perim_u": pa.array(perims, pa.int64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _geom_buffer_boxes_oracle_sql(n: int = 96) -> str:
+    """Closed forms: mitre +d -> (w+2d)(h+2d) / 2(w+h)+8d; mitre -d ->
+    shrunk rectangle or empty; bevel +d -> expanded minus four corner
+    half-squares, perimeter swaps 2d per corner for the chamfer
+    hypotenuse sqrt(2*d*d)."""
+    return f"""
+WITH ids AS (SELECT range AS i FROM range({n})),
+p AS (
+  SELECT i, i % 3 AS variant,
+         CAST(1 + (i*7) % 13 AS DOUBLE) AS w,
+         CAST(1 + (i*5) % 11 AS DOUBLE) AS h,
+         0.25 * (1 + (i % 4)) AS d
+  FROM ids
+)
+SELECT CAST(i AS BIGINT) AS box_id,
+       CAST(variant AS BIGINT) AS variant,
+       CAST(ROUND(1e6 * CASE variant
+         WHEN 0 THEN (w+2*d)*(h+2*d)
+         WHEN 1 THEN (CASE WHEN w > 2*d AND h > 2*d
+                           THEN (w-2*d)*(h-2*d) ELSE 0.0 END)
+         ELSE (w+2*d)*(h+2*d) - 2*d*d END) AS BIGINT) AS area_u,
+       CAST(ROUND(1e6 * CASE variant
+         WHEN 0 THEN 2*(w+h) + 8*d
+         WHEN 1 THEN (CASE WHEN w > 2*d AND h > 2*d
+                           THEN 2*(w+h) - 8*d ELSE 0.0 END)
+         ELSE 2*(w+h) + 4*SQRT(2*d*d) END) AS BIGINT) AS perim_u
+FROM p
+"""
+
+
 # Disc definition shared by raster_tiles and its oracle (INPUT
 # construction, like make_polygons): a 12-gon of radius 2.5 pixels
 # (pixel = 2^-12 in mercator unit space at res 6 x 64) around each
@@ -2516,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_overlay_boxes": geom_overlay_boxes,
         "geom_relate_boxes": geom_relate_boxes,
         "geom_buffer_stats": geom_buffer_stats,
+        "geom_buffer_boxes": geom_buffer_boxes,
         "spatial_bbox_read": spatial_bbox_read,
         "geojson_roundtrip": geojson_roundtrip,
         "geom_coverage_union": geom_coverage_union,
@@ -3759,6 +3853,7 @@ def oracle_sql() -> dict[str, str]:
         # synthesis PCM, never touching the engine's RIFF parser
         "media_audio_features": _media_audio_oracle_sql(),
         "media_image_dc": _media_image_dc_oracle_sql(),
+        "geom_buffer_boxes": _geom_buffer_boxes_oracle_sql(),
         "geom_pip_convex": f"""
             WITH probes AS (SELECT * FROM (VALUES {probe_vals}) AS p(probe_id, px, py)),
             c AS (SELECT * FROM {convex_vals} t),

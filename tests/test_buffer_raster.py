@@ -215,3 +215,20 @@ def test_raster_tile_disc_coverage_nonzero():
     gx, gy = np.meshgrid(ccx, ccy)
     inside = e._oracle_pip_mask(gx.ravel(), gy.ravel(), [ring])
     assert cov == inside.sum() / 4096.0
+
+
+def test_geom_buffer_boxes_matches_sql_oracle(ray_session):
+    """Mitre/bevel rectangle buffers must equal the closed-form SQL
+    oracle in integer micro-units (end-to-end through the buffer
+    pipeline: offset linework, join synthesis, arrangement union)."""
+    import duckdb
+
+    import __ray_entry__ as em
+
+    eng = em.geom_buffer_boxes("/root/testdata/sf0.001").to_pandas()
+    ora = duckdb.sql(em._geom_buffer_boxes_oracle_sql()).fetchdf()
+    eng = eng.sort_values("box_id").reset_index(drop=True)
+    ora = ora.sort_values("box_id").reset_index(drop=True)
+    assert len(eng) == 96
+    for c in ("variant", "area_u", "perim_u"):
+        assert (eng[c].astype("int64").values == ora[c].astype("int64").values).all(), c
