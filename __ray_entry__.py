@@ -743,6 +743,171 @@ def events_distinct_users(sf_dir: str):
     return grouped_nunique(ds, "event_type", "user_id")
 
 
+def events_latest_per_user(sf_dir: str):
+    """Keep-latest snapshot dedup: the newest event per user (highest
+    ts, ties broken by highest event_id) — the Common-Crawl
+    latest-capture-per-url shape. Combiner-bounded shuffle: per-batch
+    local keep-latest, coarse-partition final (dedup_exact
+    descending=True)."""
+    from simplefeatures_ray.functions.relational import dedup_exact
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    out = dedup_exact(ds, "user_id", keep_col=["ts", "event_id"],
+                      descending=True)
+    return out.select_columns(
+        ["user_id", "event_id", "ts", "event_type", "value"])
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users cohorted by first-active day,
+    counted at each day offset they return. Three bounded exchanges:
+    distinct (user, day) via combiner dedup, per-user min-day via
+    combiner grouped_agg, then a LARGE x LARGE bucketed hash join of
+    activity back to cohorts (the per-user state is too big to
+    broadcast at 10^12 scale) and a final small groupby."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.functions.relational import bucketed_join, dedup_exact
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        # integer floor-div (all ts are post-epoch, so trunc == floor)
+        us = np.asarray(pc.cast(t["ts"], pa.int64()))
+        day = us // 86_400_000_000
+        return pa.table({"user_id": t["user_id"],
+                         "day": pa.array(day, pa.int64())})
+
+    pairs = ds.map_batches(to_day, batch_format="pyarrow")
+    pairs = dedup_exact(pairs, ["user_id", "day"])
+    cohort = grouped_agg(pairs, "user_id", {"cohort_day": ("day", "min")},
+                         combine="shuffle")
+    joined = bucketed_join(pairs, cohort, key="user_id", n_buckets=32)
+
+    def offs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": t["cohort_day"],
+            "offset_days": pc.subtract(t["day"], t["cohort_day"]),
+        })
+
+    off = joined.map_batches(offs, batch_format="pyarrow")
+    out = grouped_agg(off, ["cohort_day", "offset_days"],
+                      {"n_users": (None, "count")}, combine="shuffle")
+    return out
+
+
+def docs_decile_buckets(sf_dir: str):
+    """Decile bucketing by document length: exact distributed quantile
+    boundaries (value-histogram combine, no global sort), broadcast the
+    9 boundaries, per-batch vectorized bucket assignment, combiner
+    count/min/max per bucket. Oracle: DuckDB quantile_disc with the
+    identical strictly-greater bucket rule."""
+    from simplefeatures_ray.functions.agg import exact_quantiles, grouped_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    qs = [i / 10 for i in range(1, 10)]
+    qt = exact_quantiles(ds, "n_chars", qs)
+    bounds = np.array([qt[f"q{int(q*100)}"][0].as_py() for q in qs],
+                      dtype=np.int64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["n_chars"], dtype=np.int64)
+        b = (v[:, None] > bounds[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({"bucket": pa.array(b), "n_chars": t["n_chars"]})
+
+    bk = ds.map_batches(bucketize, batch_format="pyarrow")
+    return grouped_agg(bk, "bucket",
+                       {"n_docs": (None, "count"),
+                        "min_chars": ("n_chars", "min"),
+                        "max_chars": ("n_chars", "max")}, combine="shuffle")
+
+
+def docs_pagerank(sf_dir: str):
+    """Iterative PageRank (3 Jacobi iterations, d=0.85) over a
+    deterministic 3-regular link graph on the document ids — the
+    canonical iterative-shuffle workload. Each iteration is ONE
+    bucketed large x large hash join (rank state is O(nodes): never
+    broadcast) plus a combiner-bounded contribution sum; no driver-side
+    rank vector at any point. Oracle: the same three iterations
+    unrolled as SQL CTEs."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.functions.relational import bucketed_join
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    src = np.repeat(np.arange(n, dtype=np.int64), 3)
+    dst = (src * 7 + 1 + 13 * np.tile(np.arange(3, dtype=np.int64), n)) % n
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    ranks = rd.from_arrow(pa.table({
+        "src": pa.array(np.arange(n, dtype=np.int64)),
+        "rank": pa.array(np.full(n, 1.0 / n)),
+    }))
+
+    for _ in range(3):
+        joined = bucketed_join(edges, ranks, key="src", n_buckets=8)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "dst": t["dst"],
+                "c": pc.divide(t["rank"], 3.0),
+            })
+
+        summed = grouped_agg(joined.map_batches(contrib, batch_format="pyarrow"),
+                             "dst", {"s": ("c", "sum")}, combine="shuffle")
+
+        def renorm(t: pa.Table) -> pa.Table:
+            r = 0.15 / n + 0.85 * np.asarray(t["s"], dtype=np.float64)
+            return pa.table({"src": t["dst"], "rank": pa.array(r)})
+
+        ranks = summed.map_batches(renorm, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["src"],
+            "rank_u": pa.array(np.round(
+                np.asarray(t["rank"], dtype=np.float64) * 1e9
+            ).astype(np.int64)),
+        })
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def _docs_pagerank_oracle_sql() -> str:
+    """Three unrolled PageRank iterations in SQL over the same modular
+    edge formula; gcd(7, n) = 1 in the test corpora so every node has
+    exactly 3 in-edges and 3 out-edges (no dangling mass). Node ids are
+    derived from the documents table itself (ROW_NUMBER - 1 == 0..n-1)
+    because DuckDB's range() only accepts constant parameters."""
+    it = """
+r{k} AS (
+  SELECT e.dst AS node, 0.15 / n.n + 0.85 * SUM(r{p}.rank / 3.0) AS rank
+  FROM edges e JOIN r{p} ON e.src = r{p}.node CROSS JOIN n
+  GROUP BY e.dst, n.n
+)"""
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+ids AS (SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents),
+edges AS (
+  SELECT ids.i AS src, (ids.i * 7 + 1 + 13 * j.j) % n.n AS dst
+  FROM ids CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+                              (CAST(2 AS BIGINT))) j(j) CROSS JOIN n
+),
+r0 AS (SELECT ids.i AS node, 1.0 / n.n AS rank FROM ids CROSS JOIN n),
+{it.format(k=1, p=0)},
+{it.format(k=2, p=1)},
+{it.format(k=3, p=2)}
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(ROUND(rank * 1e9) AS BIGINT) AS rank_u
+FROM r3
+"""
+
+
 def events_interval_join(sf_dir: str):
     """Events joined to the 300 synthetic time intervals containing
     their timestamp — the 1-D bucketed shuffle join
@@ -2576,6 +2741,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
         "events_distinct_users": events_distinct_users,
+        "events_latest_per_user": events_latest_per_user,
+        "events_retention_cohorts": events_retention_cohorts,
+        "docs_decile_buckets": docs_decile_buckets,
+        "docs_pagerank": docs_pagerank,
         "events_interval_join": events_interval_join,
         "events_rolling_mean": events_rolling_mean,
         "customer_order_counts": customer_order_counts,
@@ -3102,6 +3271,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
         """,
+        "events_latest_per_user": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "events_retention_cohorts": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            cohort AS (
+              SELECT user_id, MIN(day) AS cohort_day FROM pairs GROUP BY user_id
+            )
+            SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+                   CAST(p.day - c.cohort_day AS BIGINT) AS offset_days,
+                   COUNT(*) AS n_users
+            FROM pairs p JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "docs_decile_buckets": """
+            WITH b AS (
+              SELECT UNNEST([quantile_disc(n_chars, 0.1),
+                             quantile_disc(n_chars, 0.2),
+                             quantile_disc(n_chars, 0.3),
+                             quantile_disc(n_chars, 0.4),
+                             quantile_disc(n_chars, 0.5),
+                             quantile_disc(n_chars, 0.6),
+                             quantile_disc(n_chars, 0.7),
+                             quantile_disc(n_chars, 0.8),
+                             quantile_disc(n_chars, 0.9)]) AS bound
+              FROM documents
+            ),
+            bk AS (
+              SELECT d.n_chars,
+                     (SELECT COUNT(*) FROM b WHERE d.n_chars > b.bound) AS bucket
+              FROM documents d
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM bk GROUP BY bucket
+        """,
+        "docs_pagerank": _docs_pagerank_oracle_sql(),
         "events_interval_join": f"""
             SELECT e.event_id, iv.interval_id
             FROM events e

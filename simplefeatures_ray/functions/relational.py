@@ -176,9 +176,13 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         join_bucket, batch_format="pyarrow")
 
 
-def dedup_exact(ds, key_cols, keep_col: str | None = None, n_parts: int = 64):
-    """Exact dedup: keep the first row per key (lowest keep_col; with
+def dedup_exact(ds, key_cols, keep_col: str | list | None = None,
+                n_parts: int = 64, descending: bool = False):
+    """Exact dedup: keep the first row per key (lowest keep_col — or a
+    multi-column deterministic tie-break when keep_col is a list; with
     keep_col=None, deterministic first by sorting on all columns).
+    descending=True keeps the HIGHEST keep_col instead (keep-latest
+    snapshot semantics, e.g. newest warc_ts per url).
 
     Scale path (SURVEY.md §2.6): per-batch local dedup (combiner) bounds
     the shuffle to one row per (key, block); the final selection runs
@@ -188,12 +192,15 @@ def dedup_exact(ds, key_cols, keep_col: str | None = None, n_parts: int = 64):
     import pandas as pd
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    keep_cols = ([keep_col] if isinstance(keep_col, str)
+                 else list(keep_col) if keep_col else None)
 
     def _first(df: pd.DataFrame) -> pd.DataFrame:
-        extra = ([keep_col] if keep_col else
+        extra = (keep_cols if keep_cols else
                  sorted(c for c in df.columns
                         if c not in key_cols and c != "__part"))
-        df = df.sort_values(key_cols + extra, kind="mergesort")
+        asc = [True] * len(key_cols) + [not descending] * len(extra)
+        df = df.sort_values(key_cols + extra, ascending=asc, kind="mergesort")
         return df.drop_duplicates(subset=key_cols, keep="first")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
