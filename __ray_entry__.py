@@ -1002,6 +1002,84 @@ def customer_order_counts(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q5_region_revenue(sf_dir: str):
+    """TPC-H Q5-shaped multi-way join: 1996 revenue by supplier nation
+    for ASIA-region customers served by a supplier in their own nation.
+    Composition at the 100-TB shape: the tiny dims (nation x region)
+    resolve on the driver; the orders date filter pushes down BEFORE any
+    exchange; orders x customer and lineitem x (orders+cust) run as TWO
+    bucketed large x large hash joins (both sides too big to broadcast);
+    supplier's suppkey -> nationkey map rides a single ray.put broadcast
+    (O(|supplier|) ints, 1/10th of customer in TPC-H); the final
+    aggregate is a 25-group combiner. Nothing large is ever broadcast or
+    driver-collected."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.functions.relational import (
+        broadcast_join, bucketed_join, collect_table)
+
+    nation = collect_table(_read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name", "n_regionkey"]))
+    region = collect_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    asia_key = region.filter(
+        pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    asia = nation.filter(pc.equal(nation["n_regionkey"], asia_key))
+    asia_set = pa.array(asia["n_nationkey"].to_pylist(), pa.int64())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                        value_set=asia_set)
+        return t.filter(keep)
+
+    cust = cust.map_batches(cust_in_region, batch_format="pyarrow")
+
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_1996(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"]})
+
+    orders = orders.map_batches(orders_1996, batch_format="pyarrow")
+    oc = bucketed_join(orders, cust, key="c_custkey", n_buckets=32)
+
+    def to_orderkey(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    oc = oc.map_batches(to_orderkey, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    lic = bucketed_join(li, oc, key="l_orderkey", n_buckets=32)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    lics = broadcast_join(lic, supp, keys="l_suppkey", right_keys="s_suppkey")
+
+    names = {int(k): v for k, v in zip(asia["n_nationkey"].to_pylist(),
+                                       asia["n_name"].to_pylist())}
+
+    def local_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(t["c_nationkey"], pa.int64()),
+                              pc.cast(t["s_nationkey"], pa.int64())))
+        nk = np.asarray(t["c_nationkey"], dtype=np.int64)
+        rev = (np.asarray(t["l_extendedprice"], dtype=np.float64)
+               * (1.0 - np.asarray(t["l_discount"], dtype=np.float64)))
+        nm = pa.array([names[int(k)] for k in nk], pa.string())
+        return pa.table({"n_name": nm, "rev": pa.array(rev)})
+
+    out = grouped_agg(lics.map_batches(local_rev, batch_format="pyarrow"),
+                      "n_name", {"revenue": ("rev", "sum")})
+    return _cents_cols(out, ["revenue"])
+
+
 def events_funnel(sf_dir: str):
     """First-touch funnel over the clickstream: users reaching
     view -> click -> purchase strictly in order (earliest qualifying
@@ -2748,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": events_interval_join,
         "events_rolling_mean": events_rolling_mean,
         "customer_order_counts": customer_order_counts,
+        "q5_region_revenue": q5_region_revenue,
         "events_funnel": events_funnel,
         "events_hll_users": events_hll_users,
         "events_cms_counts": events_cms_counts,
@@ -3339,6 +3418,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
             GROUP BY c.c_custkey, c.c_mktsegment
+        """,
+        "q5_region_revenue": """
+            SELECT n.n_name,
+                   CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                        AS BIGINT) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND s.s_nationkey = c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
         """,
         "events_funnel": """
             WITH s1 AS (
