@@ -1080,6 +1080,70 @@ def q5_region_revenue(sf_dir: str):
     return _cents_cols(out, ["revenue"])
 
 
+def events_value_percentiles(sf_dir: str):
+    """Per-event-type latency-style percentiles (p50/p90/p99) of the
+    value column quantized to cents. Quantizing first makes the exact
+    distributed quantile's shuffle bound honest on a continuous double:
+    the value-histogram combiner (functions/agg.exact_quantiles) carries
+    one row per (group, distinct cent value) — bounded by the metric's
+    precision, never by row count. Oracle: quantile_disc over the same
+    quantized multiset."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(t["value"], dtype=np.float64) * 100)
+        return pa.table({"event_type": t["event_type"],
+                         "value_c": pa.array(v.astype(np.int64))})
+
+    q = exact_quantiles(ds.map_batches(cents, batch_format="pyarrow"),
+                        "value_c", [0.5, 0.9, 0.99],
+                        group_keys="event_type")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"event_type": t["event_type"]}
+        for c in ("q50", "q90", "q99"):
+            cols[c] = pc.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    return finish(q)
+
+
+def docs_rollup_counts(sf_dir: str):
+    """OLAP ROLLUP in one data pass: doc count + char sum by
+    (lang, source), (lang), and grand total. The data sees ONE combiner
+    aggregate at the finest level; the coarser grouping sets derive from
+    that |groups|-sized result (driver-side — it is already tiny), so
+    rollup costs nothing extra at 100 TB. Rolled-up dimensions use the
+    'ALL' sentinel rather than NULL so the value-hash compare is
+    NULL-free on both sides."""
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.functions.relational import collect_table
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = collect_table(grouped_agg(
+        ds, ["lang", "source"],
+        {"n_docs": (None, "count"), "chars_sum": ("n_chars", "sum")},
+        combine="shuffle")).to_pandas()
+
+    import pandas as pd
+
+    by_lang = (fine.groupby("lang", as_index=False)[["n_docs", "chars_sum"]]
+               .sum().assign(source="ALL"))
+    total = pd.DataFrame([{
+        "lang": "ALL", "source": "ALL",
+        "n_docs": fine["n_docs"].sum(), "chars_sum": fine["chars_sum"].sum(),
+    }])
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["chars_sum"] = out["chars_sum"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["lang", "source", "n_docs", "chars_sum"]], preserve_index=False)
+
+
 def events_funnel(sf_dir: str):
     """First-touch funnel over the clickstream: users reaching
     view -> click -> purchase strictly in order (earliest qualifying
@@ -2827,6 +2891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_mean": events_rolling_mean,
         "customer_order_counts": customer_order_counts,
         "q5_region_revenue": q5_region_revenue,
+        "events_value_percentiles": events_value_percentiles,
+        "docs_rollup_counts": docs_rollup_counts,
         "events_funnel": events_funnel,
         "events_hll_users": events_hll_users,
         "events_cms_counts": events_cms_counts,
@@ -3434,6 +3500,26 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
+        """,
+        "events_value_percentiles": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS value_c
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(quantile_disc(value_c, 0.5)  AS BIGINT) AS q50,
+                   CAST(quantile_disc(value_c, 0.9)  AS BIGINT) AS q90,
+                   CAST(quantile_disc(value_c, 0.99) AS BIGINT) AS q99
+            FROM c GROUP BY event_type
+        """,
+        "docs_rollup_counts": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
         """,
         "events_funnel": """
             WITH s1 AS (
