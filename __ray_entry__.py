@@ -534,6 +534,36 @@ def docs_pack_sequences(sf_dir: str):
     return out.select_columns(["doc_id", "source", "seq_id"])
 
 
+def docs_bpe_first_merge(sf_dir: str):
+    """The distributed heart of BPE tokenizer induction, oracle-gated:
+    corpus-wide adjacent-character pair counts over lowercase word runs
+    (combiner partials bounded by pair types, one coarse shuffle), then
+    the deterministic argmax (count DESC, left ASC, right ASC) — the
+    first merge BPE would learn. Oracle: the identical pair explode +
+    count + tie-break in SQL."""
+    from simplefeatures_ray.functions.bpe import _top_pair, pair_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    lhs, rhs, n = _top_pair(pair_counts(ds, "text", []))
+    return pa.table({"lhs": pa.array([lhs], pa.string()),
+                     "rhs": pa.array([rhs], pa.string()),
+                     "n": pa.array([n], pa.int64())})
+
+
+def docs_bpe_merges(sf_dir: str):
+    """Full BPE merge-table induction (8 merges): per iteration one
+    streaming pass re-symbolizes each batch's DISTINCT words under the
+    merges learned so far and emits weighted pair partials; the corpus
+    is never collected. Iterative + stateful across executions, so not
+    SQL-expressible end-to-end (rows-only at the driver gate); pinned
+    instead by tests/test_bpe.py against an independently written
+    single-process reference on the same corpora."""
+    from simplefeatures_ray.functions.bpe import train_bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return train_bpe(ds, num_merges=8)
+
+
 def docs_minhash_pairs(sf_dir: str):
     """Raw LSH candidate pairs (rows-only BY DESIGN: banding admits
     rare band collisions for pairs just under the Jaccard threshold —
@@ -2863,6 +2893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nfc_normalize": docs_nfc_normalize,
         "docs_lang_source_matrix": docs_lang_source_matrix,
         "docs_bm25_topk": docs_bm25_topk,
+        "docs_bpe_first_merge": docs_bpe_first_merge,
+        "docs_bpe_merges": docs_bpe_merges,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_minhash_verified": docs_minhash_verified,
         "docs_simhash_pairs": docs_simhash_pairs,
@@ -3500,6 +3532,20 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
+        """,
+        "docs_bpe_first_merge": r"""
+            WITH w AS (
+              SELECT lower(unnest(regexp_extract_all(text, '[\w'']+'))) AS word
+              FROM documents
+            ),
+            p AS (
+              SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs
+              FROM (SELECT word, unnest(range(1, length(word))) AS i
+                    FROM w WHERE word <> '')
+            )
+            SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY lhs, rhs
+            ORDER BY n DESC, lhs, rhs LIMIT 1
         """,
         "events_value_percentiles": """
             WITH c AS (

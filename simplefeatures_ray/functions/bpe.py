@@ -1,0 +1,165 @@
+"""BPE tokenizer induction (Sennrich et al. 2016) as a Ray Data loop.
+
+The missing rung between text analysis and model training in a
+training-data pipeline: learn the byte-pair-encoding merge table from
+the corpus itself. Distributed shape per iteration:
+
+  map_batches    per-batch DISTINCT-word frequencies (pandas
+                 value_counts bounds the Python symbolization loop to
+                 the batch's vocabulary, not its token count), current
+                 merge list applied in rank order, adjacent-symbol-pair
+                 counts weighted by word frequency -> partial rows
+  grouped_agg    combiner sum of the partials through one coarse
+                 shuffle (volume = distinct pair types per block,
+                 never token count)
+  driver         argmax pair with the deterministic tie-break
+                 (count DESC, left ASC, right ASC) -> next merge
+
+The merge list is O(num_merges) and ships with the task closure; the
+corpus is never collected. num_merges executions re-read the input —
+the standard trade for iterative algorithms on an immutable Dataset
+(same pattern as functions/cluster.py k-means).
+
+Tokenization matches the corpus standard elsewhere in the engine
+(functions/scoring._bigram_tables): RE2 word runs `[\\w']+`,
+lowercased, empties dropped.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _word_freqs(t: pa.Table, text_col: str) -> pd.Series:
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern_regex(t[text_col], pattern=r"[^\w']+")
+    flat = pc.utf8_lower(pc.list_flatten(words))
+    s = pd.Series(np.asarray(flat, dtype=object))
+    s = s[s != ""]
+    return s.value_counts(sort=False)
+
+
+def _apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Symbolize one word: chars, then each learned merge in rank order,
+    each applied left-to-right everywhere it occurs (greedy BPE)."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _pair_counts_kernel(text_col: str, merges: list[tuple[str, str]]):
+    merges = list(merges)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        freqs = _word_freqs(t, text_col)
+        counts: dict[tuple[str, str], int] = {}
+        for word, n in freqs.items():
+            syms = _apply_merges(word, merges)
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + int(n)
+        if not counts:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        items = list(counts.items())
+        return pa.table({
+            "left": pa.array([k[0] for k, _ in items], pa.string()),
+            "right": pa.array([k[1] for k, _ in items], pa.string()),
+            "n": pa.array([v for _, v in items], pa.int64()),
+        })
+
+    return kernel
+
+
+def pair_counts(ds, text_col: str = "text",
+                merges: list[tuple[str, str]] | None = None):
+    """Corpus-wide adjacent-symbol-pair counts under the given merge
+    list (empty list = initial character symbolization). Returns a
+    small pyarrow Table (left, right, n) — bounded by pair types."""
+    from .agg import grouped_agg
+    from .relational import collect_table
+
+    partial = ds.map_batches(_pair_counts_kernel(text_col, merges or []),
+                             batch_format="pyarrow")
+    return collect_table(grouped_agg(partial, ["left", "right"],
+                                     {"n": ("n", "sum")}, combine="shuffle"))
+
+
+def _top_pair(tbl: pa.Table) -> tuple[str, str, int] | None:
+    df = tbl.to_pandas()
+    if not len(df):
+        return None
+    df = df.sort_values(["n", "left", "right"],
+                        ascending=[False, True, True], kind="mergesort")
+    r = df.iloc[0]
+    return str(r["left"]), str(r["right"]), int(r["n"])
+
+
+def train_bpe(ds, num_merges: int = 8, text_col: str = "text") -> pa.Table:
+    """Learn num_merges BPE merges. Returns (rank, left, right, n) with
+    rank 0-based in learning order; n is the pair's corpus count at the
+    time it was chosen. Deterministic at any parallelism: counts are
+    exact integers and the tie-break is total."""
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rank in range(num_merges):
+        top = _top_pair(pair_counts(ds, text_col, merges))
+        if top is None or top[2] < 1:
+            break
+        left, right, n = top
+        rows.append({"rank": rank, "left": left, "right": right, "n": n})
+        merges.append((left, right))
+    if not rows:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    df = pd.DataFrame(rows)
+    df["rank"] = df["rank"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df[["rank", "left", "right", "n"]],
+                                preserve_index=False)
+
+
+def reference_bpe(texts: list[str], num_merges: int = 8) -> list[dict]:
+    """Single-process reference implementation (for tests): identical
+    tokenization, symbolization, counting, and tie-break — written
+    independently of the distributed path (dict-of-words fold)."""
+    import re
+
+    freqs: dict[str, int] = {}
+    for txt in texts:
+        for w in re.split(r"[^\w']+", (txt or "").lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    merges: list[tuple[str, str]] = []
+    out = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, n in freqs.items():
+            syms = _apply_merges(w, merges)
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), n = best
+        out.append({"rank": rank, "left": a, "right": b, "n": n})
+        merges.append((a, b))
+    return out
