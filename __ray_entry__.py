@@ -1377,6 +1377,46 @@ def emb_near_dup_lsh(sf_dir: str):
     return embedding_near_dup_lsh(ds, threshold=0.4, n_bits=6, n_tables=8)
 
 
+def emb_label_centroids(sf_dir: str):
+    """Vector-valued grouped aggregation: the mean embedding (centroid)
+    per label — the mean-pooling shape behind class prototypes and
+    per-domain embedding summaries. Per-batch partial SUM MATRICES
+    (np.add.at over the unique labels, float64) emitted long-format,
+    one driver combine over |labels| x dims x blocks partial rows; the
+    embedding matrix itself never shuffles or collects. Output long
+    (label, dim, val) with the shared ROUND(.,7)+0.0 canonicalization;
+    dim is 1-based to match the SQL subscript."""
+    from simplefeatures_ray.functions.agg import grouped_agg
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t["label"], dtype=np.int64)
+        emb = t["embedding"].combine_chunks()
+        m = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(lab), -1)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["label", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
+    lab = np.asarray(agg["label"], dtype=np.int64)
+    dim = np.asarray(agg["dim"], dtype=np.int64)
+    val = np.round(np.asarray(agg["s"], dtype=np.float64)
+                   / np.asarray(agg["n"], dtype=np.float64), 7) + 0.0
+    return pa.table({"label": pa.array(lab), "dim": pa.array(dim),
+                     "val": pa.array(val)})
+
+
 def emb_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means (k=8, 3 iterations) over the embedding
     corpus — broadcast centroids + per-cluster partial-sum combiner, no
@@ -2934,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_label_centroids": emb_label_centroids,
         "emb_kmeans_clusters": emb_kmeans_clusters,
         # spatial
         "spatial_points_in_boxes": spatial_points_in_boxes,
@@ -3904,6 +3945,13 @@ def oracle_sql() -> dict[str, str]:
         # LSH path gated by the SAME exact-pair oracle: 128x6-bit seeded
         # tables give recall 1.0 on the fixed synthetic inputs, so the
         # approximate result equals the exact one here.
+        "emb_label_centroids": """
+            SELECT CAST(e.label AS BIGINT) AS label,
+                   CAST(t.i AS BIGINT) AS dim,
+                   ROUND(AVG(e.embedding[t.i]), 7) + 0.0 AS val
+            FROM embeddings e, range(1, 65) t(i)
+            GROUP BY e.label, t.i
+        """,
         "emb_kmeans_clusters": _kmeans_sql(
             "embeddings", dim=64, k=8, iters=3),
         "emb_near_dup_lsh": """
