@@ -1110,6 +1110,41 @@ def q5_region_revenue(sf_dir: str):
     return _cents_cols(out, ["revenue"])
 
 
+def events_props_extract(sf_dir: str):
+    """Schema-on-read extraction from the semi-structured props column
+    (JSON strings): the fixed-shape field rides a VECTORIZED RE2
+    extract (pc.extract_regex — no per-row Python; arbitrary nested
+    JSON would swap in a per-batch json parse behind the same kernel
+    contract), then a combiner grouped aggregate. Oracle takes the
+    INDEPENDENT parse path — DuckDB's real JSON extension — so parser
+    agreement is part of the gate."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = grouped_agg(ds.map_batches(extract, batch_format="pyarrow"),
+                      "event_type",
+                      {"n": (None, "count"), "k_sum": ("k", "sum"),
+                       "k_max": ("k", "max")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "k_sum": pc.cast(t["k_sum"], pa.int64()),
+            "k_max": pc.cast(t["k_max"], pa.int64()),
+        })
+
+    return finish(out)
+
+
 def events_value_percentiles(sf_dir: str):
     """Per-event-type latency-style percentiles (p50/p90/p99) of the
     value column quantized to cents. Quantizing first makes the exact
@@ -2963,6 +2998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_mean": events_rolling_mean,
         "customer_order_counts": customer_order_counts,
         "q5_region_revenue": q5_region_revenue,
+        "events_props_extract": events_props_extract,
         "events_value_percentiles": events_value_percentiles,
         "docs_rollup_counts": docs_rollup_counts,
         "events_funnel": events_funnel,
@@ -3587,6 +3623,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n
             FROM p GROUP BY lhs, rhs
             ORDER BY n DESC, lhs, rhs LIMIT 1
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS k_sum,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS k_max
+            FROM events GROUP BY event_type
         """,
         "events_value_percentiles": """
             WITH c AS (
