@@ -1145,6 +1145,41 @@ def events_props_extract(sf_dir: str):
     return finish(out)
 
 
+def events_value_moments(sf_dir: str):
+    """Grouped second-moment aggregation (the var/std building block —
+    functions/agg.grouped_agg kinds 'var'/'std' combine these same
+    partials; pytest gates those against pandas var(ddof=0)): n, sum,
+    and sum-of-squares of value quantized to cents, per event type.
+    int64 end-to-end, so the oracle compare is EXACT — no float
+    variance formula crosses the gate."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_sq(t: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(t["value"], dtype=np.float64) * 100
+                    ).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "c": pa.array(v), "c2": pa.array(v * v)})
+
+    out = grouped_agg(ds.map_batches(cents_sq, batch_format="pyarrow"),
+                      "event_type",
+                      {"n": (None, "count"), "sum_c": ("c", "sum"),
+                       "sumsq_c": ("c2", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_c": pc.cast(t["sum_c"], pa.int64()),
+            "sumsq_c": pc.cast(t["sumsq_c"], pa.int64()),
+        })
+
+    return finish(out)
+
+
 def events_value_percentiles(sf_dir: str):
     """Per-event-type latency-style percentiles (p50/p90/p99) of the
     value column quantized to cents. Quantizing first makes the exact
@@ -2999,6 +3034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": customer_order_counts,
         "q5_region_revenue": q5_region_revenue,
         "events_props_extract": events_props_extract,
+        "events_value_moments": events_value_moments,
         "events_value_percentiles": events_value_percentiles,
         "docs_rollup_counts": docs_rollup_counts,
         "events_funnel": events_funnel,
@@ -3623,6 +3659,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS n
             FROM p GROUP BY lhs, rhs
             ORDER BY n DESC, lhs, rhs LIMIT 1
+        """,
+        "events_value_moments": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_c,
+                   CAST(SUM(v * v) AS BIGINT) AS sumsq_c
+            FROM c GROUP BY event_type
         """,
         "events_props_extract": """
             SELECT event_type,

@@ -18,15 +18,20 @@ import pyarrow as pa
 
 from ._pdarrow import arrow_groups
 
-_KINDS = {"sum", "count", "min", "max", "mean"}
+_KINDS = {"sum", "count", "min", "max", "mean", "var", "std"}
 
 
 def _partial_kernel(keys, spec):
-    # decompose: mean -> (sum, count); count -> count of rows
+    # decompose: mean -> (sum, count); var/std -> (sum, sumsq, count);
+    # count -> count of rows
     plan = {}  # partial_col -> (src, op)
     for out, (src, kind) in spec.items():
         if kind == "mean":
             plan[f"__{out}_sum"] = (src, "sum")
+            plan[f"__{out}_cnt"] = (src, "count")
+        elif kind in ("var", "std"):
+            plan[f"__{out}_sum"] = (src, "sum")
+            plan[f"__{out}_sqs"] = (src, "sumsq")
             plan[f"__{out}_cnt"] = (src, "count")
         elif kind == "count":
             plan[f"__{out}_cnt"] = (None, "count")
@@ -34,11 +39,17 @@ def _partial_kernel(keys, spec):
             plan[f"__{out}_{kind}"] = (src, kind)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        sq = {p: df[src].to_numpy(dtype=np.float64) ** 2
+              for p, (src, op) in plan.items() if op == "sumsq"}
+        if sq:
+            df = df.assign(**sq)
         g = df.groupby(keys, sort=False, dropna=False)
         cols = {}
         for pcol, (src, op) in plan.items():
             if op == "count":
                 cols[pcol] = g.size() if src is None else g[src].count()
+            elif op == "sumsq":
+                cols[pcol] = g[pcol].sum()
             else:
                 cols[pcol] = getattr(g[src], op)()
         out = pd.DataFrame(cols).reset_index()
@@ -51,7 +62,7 @@ def _combine_frame(df: pd.DataFrame, keys, spec, plan) -> pd.DataFrame:
     g = df.groupby(keys, sort=False, dropna=False)
     partial = {}
     for pcol, (_, op) in plan.items():
-        if op in ("sum", "count"):
+        if op in ("sum", "count", "sumsq"):
             partial[pcol] = g[pcol].sum()
         else:
             partial[pcol] = getattr(g[pcol], op)()
@@ -60,6 +71,15 @@ def _combine_frame(df: pd.DataFrame, keys, spec, plan) -> pd.DataFrame:
     for name, (src, kind) in spec.items():
         if kind == "mean":
             out[name] = combined[f"__{name}_sum"] / combined[f"__{name}_cnt"]
+        elif kind in ("var", "std"):
+            # population moments: E[x^2] - E[x]^2. One pass + exact
+            # integer inputs keep this stable; callers gate at a shared
+            # rounding precision (see __ray_entry__ canonicalization).
+            n = combined[f"__{name}_cnt"].to_numpy(dtype=np.float64)
+            mu = combined[f"__{name}_sum"].to_numpy(dtype=np.float64) / n
+            v = combined[f"__{name}_sqs"].to_numpy(dtype=np.float64) / n - mu * mu
+            v = np.maximum(v, 0.0)
+            out[name] = np.sqrt(v) if kind == "std" else v
         elif kind == "count":
             out[name] = combined[f"__{name}_cnt"].astype(np.int64)
         else:
