@@ -987,6 +987,19 @@ def events_rolling_mean(sf_dir: str):
                         tie_col="event_id")
 
 
+def customer_editdist_pairs(sf_dir: str):
+    """Edit-distance-1 string similarity join over customer names
+    (functions/strsim.editdist1_pairs): deletion-neighborhood keys give
+    full recall, a per-candidate O(len) verify gives full precision,
+    one coarse key-hash shuffle + one pair dedup — never all-pairs.
+    Oracle: the brute-force DuckDB levenshtein self-join (quadratic —
+    fine at gate scale, the thing the engine exists to avoid)."""
+    from simplefeatures_ray.functions.strsim import editdist1_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return editdist1_pairs(ds, "c_custkey", "c_name")
+
+
 def customer_order_counts(sf_dir: str):
     """LEFT OUTER bucketed join: every customer joined to their
     high-value orders (o_totalprice > 150000), customers with none kept
@@ -3031,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": docs_pagerank,
         "events_interval_join": events_interval_join,
         "events_rolling_mean": events_rolling_mean,
+        "customer_editdist_pairs": customer_editdist_pairs,
         "customer_order_counts": customer_order_counts,
         "q5_region_revenue": q5_region_revenue,
         "events_props_extract": events_props_extract,
@@ -3620,6 +3634,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "customer_editdist_pairs": """
+            SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+                   CAST(b.c_custkey AS BIGINT) AS id_b
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "customer_order_counts": """
             SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,

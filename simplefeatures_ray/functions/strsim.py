@@ -1,0 +1,106 @@
+"""Edit-distance-1 string similarity join (deletion-neighborhood LSH).
+
+The SymSpell/FastSS banding trick made distributed: a pair of strings
+has Levenshtein distance <= 1 iff they share at least one key in
+keys(s) = {s} U {s with one char deleted} —
+  substitution at i:  d_i(s) == d_i(t)           (same deletion string)
+  insert/delete:      the longer one's deletion   == the shorter string
+  equality:           the identity key
+so bucketing rows by every key has FULL RECALL, and an O(len) verify
+per candidate restores precision (different-position deletions can
+collide, e.g. 'ab'/'ba'). Never an all-pairs comparison.
+
+Distributed shape:
+  map_batches   explode each row to its len+1 keys (bounded fan-out,
+                documented: the exchange carries (len+1) x rows)
+  coarse shuffle on hash(key) -> within-partition per-key pairing
+                (i < j by id; bucket sizes are the alphabet-ish
+                collision sets, small by construction)
+  verify        exact lev<=1 check per candidate
+  dedup         a true pair can share several keys that live in
+                different partitions -> one exact dedup on (id_a,id_b)
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def _explode_keys(id_col: str, str_col: str):
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        names = t[str_col].to_pylist()
+        out_id, out_name, out_key = [], [], []
+        for rid, s in zip(ids, names):
+            s = s or ""
+            ks = [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+            out_id.extend([rid] * len(ks))
+            out_name.extend([s] * len(ks))
+            out_key.extend(ks)
+        return pa.table({
+            "key": pa.array(out_key, pa.string()),
+            "rid": pa.array(np.asarray(out_id, dtype=np.int64)),
+            "name": pa.array(out_name, pa.string()),
+        })
+
+    return kernel
+
+
+def editdist1_pairs(ds, id_col: str, str_col: str, n_parts: int = 64):
+    """All unordered pairs (id_a < id_b) whose str_col values are at
+    Levenshtein distance <= 1. Exact (full recall via the deletion
+    neighborhood, full precision via the verify). Returns a Dataset
+    (id_a, id_b)."""
+    from .dedup import _hash64
+    from .relational import dedup_exact
+
+    exploded = ds.map_batches(_explode_keys(id_col, str_col),
+                              batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uniq_to_h = {}
+        keys = t["key"].to_pylist()
+        part = np.fromiter(
+            (uniq_to_h.setdefault(k, _hash64(k) % n_parts)
+             for k in keys), dtype=np.int64, count=len(keys))
+        return t.append_column("__part", pa.array(part.astype(np.int32)))
+
+    parted = exploded.map_batches(add_part, batch_format="pyarrow")
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        ia, ib = [], []
+        for _, sub in df.groupby("key", sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates("rid").sort_values("rid")
+            rids = sub["rid"].to_numpy()
+            nms = sub["name"].to_numpy(dtype=object)
+            for i in range(len(rids)):
+                for j in range(i + 1, len(rids)):
+                    if _lev_le1(nms[i], nms[j]):
+                        ia.append(rids[i])
+                        ib.append(rids[j])
+        return pd.DataFrame({"id_a": np.asarray(ia, dtype=np.int64),
+                             "id_b": np.asarray(ib, dtype=np.int64)})
+
+    from ._pdarrow import arrow_groups
+
+    pairs = parted.groupby("__part").map_groups(
+        arrow_groups(pair_partition), batch_format="pyarrow")
+    return dedup_exact(pairs, ["id_a", "id_b"])
