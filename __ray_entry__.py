@@ -645,6 +645,17 @@ def docs_term_stats(sf_dir: str):
     return term_stats(ds, n_docs=n_docs)
 
 
+def docs_inverted_index(sf_dir: str):
+    """Inverted-index build (functions/text.inverted_index): term ->
+    (document frequency, capped sorted posting list). One coarse
+    term-hash shuffle of the distinct (doc, term) pairs — the
+    irreducible exchange of index construction."""
+    from simplefeatures_ray.functions.text import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, max_postings=20)
+
+
 def docs_repetition_metrics(sf_dir: str):
     """Gopher-style repetition filters (top-2-gram fraction, duplicate
     3-gram fraction) per document (functions/text.repetition_metrics)."""
@@ -3026,6 +3037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_ngram_pairs": docs_exact_ngram_pairs,
         "docs_contamination": docs_contamination,
         "docs_term_stats": docs_term_stats,
+        "docs_inverted_index": docs_inverted_index,
         "docs_repetition_metrics": docs_repetition_metrics,
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
@@ -3456,6 +3468,26 @@ def oracle_sql() -> dict[str, str]:
         "docs_bloom_prefilter": _bloom_anti_sql(
             "(SELECT doc_id, n_chars FROM documents)", "doc_id",
             "SELECT r * 7 AS v FROM range(29) t(r)", n_bits=1024, k=3),
+        "docs_inverted_index": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[\w'']+'))) AS term
+              FROM documents
+            ),
+            w AS (SELECT DISTINCT doc_id, term FROM u WHERE term <> ''),
+            r AS (
+              SELECT term, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY term) AS dfreq
+              FROM w
+            )
+            SELECT term,
+                   CAST(MAX(dfreq) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM r WHERE rn <= 20 GROUP BY term
+        """,
         "docs_term_stats": r"""
             WITH w AS (
               SELECT doc_id,

@@ -785,3 +785,49 @@ def pivot_counts(ds, row_key: str, col_key: str, col_values,
     part = ds.map_batches(arrow_groups(partial), batch_format="pyarrow")
     return grouped_agg(part, row_key,
                        {c: (c, "sum") for c in out_cols}, combine="driver")
+
+
+def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
+                   max_postings: int = 20, n_parts: int = 64):
+    """Inverted-index construction (the IR-build op): one row per vocab
+    term with its document frequency and a CAPPED sorted posting list
+    (comma-joined decimal ids — a string column so the driver's
+    value-hash compare stays scalar).
+
+    Scale shape: each document lives in one block, so batch-local
+    DISTINCT (doc, term) rows are globally distinct; ONE coarse
+    term-hash shuffle of those pairs (the irreducible exchange of index
+    building — volume is distinct pairs, never token count) then a
+    vectorized per-partition group: df = group size, postings = first
+    max_postings ids. The cap bounds output row width; a full postings
+    sink would write list<int64> parquet per partition instead.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ._pdarrow import arrow_groups
+    from .dedup import _hash64
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        w = _word_table(batch, id_col, text_col)
+        df = w.to_pandas().drop_duplicates([id_col, "term"])
+        h = np.fromiter((_hash64(t) % n_parts for t in
+                         pd.unique(df["term"])), dtype=np.int64)
+        part = pd.Series(h, index=pd.unique(df["term"]))
+        df["__part"] = part[df["term"]].to_numpy().astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", id_col], kind="mergesort")
+        g = df.groupby("term", sort=False)
+        dfreq = g.size().rename("df")
+        capped = df[g.cumcount() < max_postings].copy()
+        capped["s"] = capped[id_col].astype(str)
+        posts = capped.groupby("term", sort=False)["s"].agg(",".join)
+        out = pd.DataFrame({"df": dfreq, "postings": posts}).reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    parted = ds.map_batches(pairs, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(
+        arrow_groups(build), batch_format="pyarrow")
