@@ -39,3 +39,29 @@ def test_funnel_counts(ray_session):
     assert df["stage"].tolist() == ["view", "click", "purchase"]
     assert df["n_users"].tolist() == [4, 2, 1]
     assert df["n_users"].dtype == np.int64
+
+
+def test_dedup_exact_null_keys_and_dtype(ray_session):
+    """Null-bearing int64 keys: (1) the key's dtype survives the pandas
+    round trip (no silent int64 -> float64 block-schema change), (2) a
+    key value present in BOTH a null-bearing and a null-free block
+    still dedups to one row (hash canonicalization across batches),
+    (3) all null keys collapse to one row (DISTINCT semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import dedup_exact
+
+    t1 = pa.table({"k": pa.array([1, None, 7], pa.int64()),
+                   "v": pa.array([5, 9, 1], pa.int64())})
+    t2 = pa.table({"k": pa.array([1, 7, None], pa.int64()),
+                   "v": pa.array([3, 2, 8], pa.int64())})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = dedup_exact(ds, "k", keep_col="v")
+    blocks = [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+    for b in blocks:
+        assert b.schema.field("k").type == pa.int64()
+    tbl = pa.concat_tables(blocks)
+    got = {(None if k is None else int(k)): int(v)
+           for k, v in zip(tbl["k"].to_pylist(), tbl["v"].to_pylist())}
+    assert got == {1: 3, 7: 1, None: 8}
