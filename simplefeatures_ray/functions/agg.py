@@ -96,7 +96,19 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     kernel, plan = _partial_kernel(keys, spec)
-    partial = ds.map_batches(arrow_groups(kernel), batch_format="pyarrow")
+
+    def typed_partial(t: pa.Table) -> pa.Table:
+        # integer keys -> pandas Int64 before grouping so null-bearing
+        # blocks emit the SAME arrow key type (int64) as null-free ones
+        df = t.to_pandas()
+        for c in keys:
+            j = t.schema.get_field_index(c)
+            if j >= 0 and pa.types.is_integer(t.schema.field(j).type):
+                df[c] = df[c].astype("Int64")
+        return pa.Table.from_pandas(kernel(df), preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    partial = ds.map_batches(typed_partial, batch_format="pyarrow")
     if combine == "driver":
         from .relational import collect_table
 
@@ -108,18 +120,42 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
     # group (Ray's map_groups pays per GROUP — ruinous at 10^5+ groups)
     n_parts = 64
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
-        df = df.copy()
-        df["__part"] = (h % n_parts).astype(np.int32)
+    def _canon_keys(t: pa.Table) -> pd.DataFrame:
+        # same null-stability contract as relational.dedup_exact: pandas
+        # widens int64-with-nulls to float64, so the partition hash
+        # would see 1.0 in a null-bearing block and 1 in a null-free one
+        # — the same group split across partitions. Canonicalize integer
+        # keys to pandas Int64 from the ARROW schema.
+        df = t.to_pandas()
+        for c in keys:
+            j = t.schema.get_field_index(c)
+            if j >= 0 and pa.types.is_integer(t.schema.field(j).type):
+                df[c] = df[c].astype("Int64")
         return df
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return _combine_frame(df.drop(columns="__part"), keys, spec, plan)
+    def _restore(df: pd.DataFrame, in_sch: pa.Schema) -> pa.Table:
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        for i, name in enumerate(out.column_names):
+            j = in_sch.get_field_index(name)
+            if j >= 0 and name in keys \
+                    and out.schema.field(i).type != in_sch.field(j).type:
+                out = out.set_column(
+                    i, name, out.column(i).cast(in_sch.field(j).type))
+        return out.replace_schema_metadata(None)
 
-    parted = partial.map_batches(arrow_groups(add_part), batch_format="pyarrow")
-    return parted.groupby("__part").map_groups(
-        arrow_groups(final), batch_format="pyarrow")
+    def add_part(t: pa.Table) -> pa.Table:
+        df = _canon_keys(t)
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["__part"] = (h % n_parts).astype(np.int32)
+        return _restore(df, t.schema)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = _combine_frame(_canon_keys(t).drop(columns="__part"),
+                            keys, spec, plan)
+        return _restore(df, t.schema)
+
+    parted = partial.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(final, batch_format="pyarrow")
 
 
 def exact_quantiles(ds, col: str, qs, group_keys=None):

@@ -52,3 +52,26 @@ def test_var_zero_for_constant_group(ray_session):
     out = grouped_agg(rd.from_pandas(df), "k", {"v": ("x", "var")})
     got = out.to_pandas().sort_values("k")
     assert got["v"].to_numpy() == pytest.approx([0.0, 0.0])
+
+
+@pytest.mark.parametrize("combine", ["driver", "shuffle"])
+def test_grouped_agg_null_int_keys_across_blocks(ray_session, combine):
+    """A key value present in both a null-bearing and a null-free block
+    must combine into ONE group (the pandas int64->float64 widening
+    would otherwise hash 1 and 1.0 to different partitions), nulls form
+    their own group, and the key column stays int64."""
+    t1 = pa.table({"k": pa.array([1, None, 7], pa.int64()),
+                   "x": pa.array([10.0, 5.0, 1.0])})
+    t2 = pa.table({"k": pa.array([1, 7, None], pa.int64()),
+                   "x": pa.array([20.0, 2.0, 7.0])})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = grouped_agg(ds, "k", {"n": (None, "count"), "s": ("x", "sum")},
+                      combine=combine)
+    tbl = out if isinstance(out, pa.Table) else pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows])
+    if combine == "shuffle":
+        assert tbl.schema.field("k").type == pa.int64()
+    got = {(None if k is None else int(k)): (int(n), float(s))
+           for k, n, s in zip(tbl["k"].to_pylist(), tbl["n"].to_pylist(),
+                              tbl["s"].to_pylist())}
+    assert got == {1: (2, 30.0), 7: (2, 3.0), None: (2, 12.0)}
