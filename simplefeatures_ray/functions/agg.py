@@ -103,7 +103,11 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
         df = t.to_pandas()
         for c in keys:
             j = t.schema.get_field_index(c)
-            if j >= 0 and pa.types.is_integer(t.schema.field(j).type):
+            if j >= 0 and pa.types.is_integer(t.schema.field(j).type) \
+                    and not pd.api.types.is_integer_dtype(df[c].dtype):
+                # only when pandas actually widened (nulls present):
+                # int64 and Int64 hash/sort identically, so null-free
+                # blocks skip the copy
                 df[c] = df[c].astype("Int64")
         return pa.Table.from_pandas(kernel(df), preserve_index=False
                                     ).replace_schema_metadata(None)
@@ -129,8 +133,9 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
         df = t.to_pandas()
         for c in keys:
             j = t.schema.get_field_index(c)
-            if j >= 0 and pa.types.is_integer(t.schema.field(j).type):
-                df[c] = df[c].astype("Int64")
+            if j >= 0 and pa.types.is_integer(t.schema.field(j).type) \
+                    and not pd.api.types.is_integer_dtype(df[c].dtype):
+                df[c] = df[c].astype("Int64")  # widened -> null-stable
         return df
 
     def _restore(df: pd.DataFrame, in_sch: pa.Schema) -> pa.Table:

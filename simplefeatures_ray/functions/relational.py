@@ -204,7 +204,10 @@ def dedup_exact(ds, key_cols, keep_col: str | list | None = None,
         df = t.to_pandas()
         for c in key_cols:
             j = t.schema.get_field_index(c)
-            if j >= 0 and pa.types.is_integer(t.schema.field(j).type):
+            if j >= 0 and pa.types.is_integer(t.schema.field(j).type) \
+                    and not pd.api.types.is_integer_dtype(df[c].dtype):
+                # int64 and Int64 hash/sort identically — convert only
+                # when pandas widened this block (nulls present)
                 df[c] = df[c].astype("Int64")
         return df
 
