@@ -544,7 +544,12 @@ def docs_bpe_first_merge(sf_dir: str):
     from simplefeatures_ray.functions.bpe import _top_pair, pair_counts
 
     ds = _read(sf_dir, "documents", ["text"])
-    lhs, rhs, n = _top_pair(pair_counts(ds, "text", []))
+    top = _top_pair(pair_counts(ds, "text", []))
+    if top is None:  # corpus with no adjacent character pairs
+        return pa.table({"lhs": pa.array([], pa.string()),
+                         "rhs": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    lhs, rhs, n = top
     return pa.table({"lhs": pa.array([lhs], pa.string()),
                      "rhs": pa.array([rhs], pa.string()),
                      "n": pa.array([n], pa.int64())})
@@ -1486,6 +1491,11 @@ def emb_label_centroids(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         lab = np.asarray(t["label"], dtype=np.int64)
+        if not len(lab):  # empty block: reshape(0, -1) cannot infer dims
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
         emb = t["embedding"].combine_chunks()
         m = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(lab), -1)
         uniq, inv = np.unique(lab, return_inverse=True)

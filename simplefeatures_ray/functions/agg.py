@@ -16,7 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._pdarrow import arrow_groups
+from ._pdarrow import (arrow_groups, canon_int_keys, from_pandas_clean,
+                       restore_types)
 
 _KINDS = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -98,66 +99,33 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
     kernel, plan = _partial_kernel(keys, spec)
 
     def typed_partial(t: pa.Table) -> pa.Table:
-        # integer keys -> pandas Int64 before grouping so null-bearing
-        # blocks emit the SAME arrow key type (int64) as null-free ones
-        df = t.to_pandas()
-        for c in keys:
-            j = t.schema.get_field_index(c)
-            if j >= 0 and pa.types.is_integer(t.schema.field(j).type) \
-                    and not pd.api.types.is_integer_dtype(df[c].dtype):
-                # only when pandas actually widened (nulls present):
-                # int64 and Int64 hash/sort identically, so null-free
-                # blocks skip the copy
-                df[c] = df[c].astype("Int64")
-        return pa.Table.from_pandas(kernel(df), preserve_index=False
-                                    ).replace_schema_metadata(None)
+        # null-stable integer keys (see _pdarrow.canon_int_keys): a
+        # null-bearing block must emit the SAME arrow key type (int64)
+        # and group the same values as a null-free one
+        return from_pandas_clean(kernel(canon_int_keys(t, keys)))
 
     partial = ds.map_batches(typed_partial, batch_format="pyarrow")
     if combine == "driver":
         from .relational import collect_table
 
         tbl = collect_table(partial)
-        df = _combine_frame(tbl.to_pandas(), keys, spec, plan)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df = _combine_frame(canon_int_keys(tbl, keys), keys, spec, plan)
+        return restore_types(df, tbl.schema, only=keys)
     # shuffle combine on a COARSE partition of the key hash: the final
     # vectorized pandas groupby runs once per partition, not once per
     # group (Ray's map_groups pays per GROUP — ruinous at 10^5+ groups)
     n_parts = 64
 
-    def _canon_keys(t: pa.Table) -> pd.DataFrame:
-        # same null-stability contract as relational.dedup_exact: pandas
-        # widens int64-with-nulls to float64, so the partition hash
-        # would see 1.0 in a null-bearing block and 1 in a null-free one
-        # — the same group split across partitions. Canonicalize integer
-        # keys to pandas Int64 from the ARROW schema.
-        df = t.to_pandas()
-        for c in keys:
-            j = t.schema.get_field_index(c)
-            if j >= 0 and pa.types.is_integer(t.schema.field(j).type) \
-                    and not pd.api.types.is_integer_dtype(df[c].dtype):
-                df[c] = df[c].astype("Int64")  # widened -> null-stable
-        return df
-
-    def _restore(df: pd.DataFrame, in_sch: pa.Schema) -> pa.Table:
-        out = pa.Table.from_pandas(df, preserve_index=False)
-        for i, name in enumerate(out.column_names):
-            j = in_sch.get_field_index(name)
-            if j >= 0 and name in keys \
-                    and out.schema.field(i).type != in_sch.field(j).type:
-                out = out.set_column(
-                    i, name, out.column(i).cast(in_sch.field(j).type))
-        return out.replace_schema_metadata(None)
-
     def add_part(t: pa.Table) -> pa.Table:
-        df = _canon_keys(t)
+        df = canon_int_keys(t, keys)
         h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
         df["__part"] = (h % n_parts).astype(np.int32)
-        return _restore(df, t.schema)
+        return restore_types(df, t.schema, only=keys)
 
     def final(t: pa.Table) -> pa.Table:
-        df = _combine_frame(_canon_keys(t).drop(columns="__part"),
+        df = _combine_frame(canon_int_keys(t, keys).drop(columns="__part"),
                             keys, spec, plan)
-        return _restore(df, t.schema)
+        return restore_types(df, t.schema, only=keys)
 
     parted = partial.map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("__part").map_groups(final, batch_format="pyarrow")

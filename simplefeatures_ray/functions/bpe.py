@@ -142,10 +142,14 @@ def reference_bpe(texts: list[str], num_merges: int = 8) -> list[dict]:
     independently of the distributed path (dict-of-words fold)."""
     import re
 
+    # tokenization parity with the distributed path (and the SQL twin):
+    # Arrow/DuckDB RE2 \w is ASCII-only, and lowercasing happens AFTER
+    # the split — re.ASCII + per-token lower() reproduces both
     freqs: dict[str, int] = {}
     for txt in texts:
-        for w in re.split(r"[^\w']+", (txt or "").lower()):
+        for w in re.split(r"[^\w']+", txt or "", flags=re.ASCII):
             if w:
+                w = w.lower()
                 freqs[w] = freqs.get(w, 0) + 1
     merges: list[tuple[str, str]] = []
     out = []

@@ -195,21 +195,10 @@ def dedup_exact(ds, key_cols, keep_col: str | list | None = None,
     keep_cols = ([keep_col] if isinstance(keep_col, str)
                  else list(keep_col) if keep_col else None)
 
-    def _canon(t: pa.Table) -> pd.DataFrame:
-        # nullable-int keys: pandas widens int64-with-nulls to float64,
-        # so a null-bearing batch would hash/sort the SAME key value
-        # differently than a null-free one (1 vs 1.0) — same key in two
-        # partitions, dedup silently broken. Canonicalize integer keys
-        # to pandas Int64 from the ARROW schema, which is null-stable.
-        df = t.to_pandas()
-        for c in key_cols:
-            j = t.schema.get_field_index(c)
-            if j >= 0 and pa.types.is_integer(t.schema.field(j).type) \
-                    and not pd.api.types.is_integer_dtype(df[c].dtype):
-                # int64 and Int64 hash/sort identically — convert only
-                # when pandas widened this block (nulls present)
-                df[c] = df[c].astype("Int64")
-        return df
+    # null-stability + dedup is a pass-through selection, so the output
+    # schema must equal the input schema even when null keys appear —
+    # see _pdarrow.canon_int_keys / restore_types
+    from ._pdarrow import canon_int_keys, restore_types
 
     def _first(df: pd.DataFrame) -> pd.DataFrame:
         extra = (keep_cols if keep_cols else
@@ -219,24 +208,15 @@ def dedup_exact(ds, key_cols, keep_col: str | list | None = None,
         df = df.sort_values(key_cols + extra, ascending=asc, kind="mergesort")
         return df.drop_duplicates(subset=key_cols, keep="first")
 
-    def _restore(df: pd.DataFrame, in_sch: pa.Schema) -> pa.Table:
-        out = pa.Table.from_pandas(df, preserve_index=False)
-        for i, name in enumerate(out.column_names):
-            j = in_sch.get_field_index(name)
-            if j >= 0 and out.schema.field(i).type != in_sch.field(j).type:
-                out = out.set_column(
-                    i, name, out.column(i).cast(in_sch.field(j).type))
-        return out.replace_schema_metadata(None)
-
     def partial(t: pa.Table) -> pa.Table:
-        out = _first(_canon(t)).copy()
+        out = _first(canon_int_keys(t, key_cols)).copy()
         h = pd.util.hash_pandas_object(out[key_cols], index=False).to_numpy()
         out["__part"] = (h % n_parts).astype(np.int32)
-        return _restore(out, t.schema)
+        return restore_types(out, t.schema)
 
     def final(t: pa.Table) -> pa.Table:
-        out = _first(_canon(t).drop(columns="__part"))
-        return _restore(out, t.schema)
+        out = _first(canon_int_keys(t, key_cols).drop(columns="__part"))
+        return restore_types(out, t.schema)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     return part.groupby("__part").map_groups(final, batch_format="pyarrow")

@@ -74,11 +74,13 @@ def editdist1_pairs(ds, id_col: str, str_col: str, n_parts: int = 64):
                               batch_format="pyarrow")
 
     def add_part(t: pa.Table) -> pa.Table:
-        uniq_to_h = {}
-        keys = t["key"].to_pylist()
-        part = np.fromiter(
-            (uniq_to_h.setdefault(k, _hash64(k) % n_parts)
-             for k in keys), dtype=np.int64, count=len(keys))
+        # hash each DISTINCT key once, then map (setdefault would
+        # evaluate the blake2b eagerly per row)
+        keys = pd.Series(t["key"].to_pylist(), dtype=object)
+        uniq = pd.unique(keys)
+        h = np.fromiter((_hash64(k) % n_parts for k in uniq),
+                        dtype=np.int64, count=len(uniq))
+        part = keys.map(pd.Series(h, index=uniq)).to_numpy(dtype=np.int64)
         return t.append_column("__part", pa.array(part.astype(np.int32)))
 
     parted = exploded.map_batches(add_part, batch_format="pyarrow")

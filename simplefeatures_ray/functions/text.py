@@ -809,13 +809,16 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
     from .dedup import _hash64
 
     def pairs(batch: pa.Table) -> pa.Table:
+        from ._pdarrow import from_pandas_clean
+
         w = _word_table(batch, id_col, text_col)
         df = w.to_pandas().drop_duplicates([id_col, "term"])
-        h = np.fromiter((_hash64(t) % n_parts for t in
-                         pd.unique(df["term"])), dtype=np.int64)
-        part = pd.Series(h, index=pd.unique(df["term"]))
+        uniq = pd.unique(df["term"])
+        h = np.fromiter((_hash64(t) % n_parts for t in uniq),
+                        dtype=np.int64, count=len(uniq))
+        part = pd.Series(h, index=uniq)
         df["__part"] = part[df["term"]].to_numpy().astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     def build(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["term", id_col], kind="mergesort")

@@ -69,8 +69,7 @@ def test_grouped_agg_null_int_keys_across_blocks(ray_session, combine):
                       combine=combine)
     tbl = out if isinstance(out, pa.Table) else pa.concat_tables(
         [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows])
-    if combine == "shuffle":
-        assert tbl.schema.field("k").type == pa.int64()
+    assert tbl.schema.field("k").type == pa.int64()  # both combine paths
     got = {(None if k is None else int(k)): (int(n), float(s))
            for k, n, s in zip(tbl["k"].to_pylist(), tbl["n"].to_pylist(),
                               tbl["s"].to_pylist())}

@@ -36,6 +36,16 @@ def test_train_bpe_matches_reference_synthetic(ray_session):
     assert got == want
 
 
+def test_train_bpe_nonascii_tokenization_parity(ray_session):
+    # Arrow RE2's \w is ASCII-only and lowercasing happens AFTER the
+    # split; the reference must reproduce both (café -> 'caf' + 've')
+    texts = ["café naïve CAFÉ straße Nation", "cafe cafe naive café"] * 4
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = train_bpe(ds, num_merges=4).to_pandas().to_dict("records")
+    want = reference_bpe(texts, num_merges=4)
+    assert got == want and len(got) == 4
+
+
 def test_train_bpe_matches_reference_corpus(ray_session):
     tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
                         columns=["text"])
