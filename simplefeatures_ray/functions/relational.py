@@ -103,8 +103,12 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     import pyarrow.compute as pc
 
     def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
+        # NULL keys never equi-match, so their bucket only needs to be
+        # deterministic (left-outer keeps the row whichever bucket it
+        # lands in) — fill_null before bucketing instead of crashing on
+        # the null->numpy conversion / garbage NaN->int casts.
         if pa.types.is_integer(col.type):
-            h = pc.cast(col, pa.int64())
+            h = pc.fill_null(pc.cast(col, pa.int64()), 0)
             b = (pc.bit_wise_and(h, n_buckets - 1)
                  if (n_buckets & (n_buckets - 1)) == 0 else pc.mod(h, n_buckets))
             return pc.cast(b, pa.int32())
@@ -117,10 +121,14 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         chunks = d.chunks if isinstance(d, pa.ChunkedArray) else [d]
         out = []
         for ch in chunks:
-            uniq = np.fromiter(
-                (_hash64(str(v)) % n_buckets for v in ch.dictionary.to_pylist()),
-                dtype=np.int32, count=len(ch.dictionary))
-            out.append(uniq[np.asarray(ch.indices)])
+            dic = ch.dictionary.to_pylist()
+            if not dic:  # all-null chunk: empty dictionary
+                out.append(np.zeros(len(ch), np.int32))
+                continue
+            uniq = np.fromiter((_hash64(str(v)) % n_buckets for v in dic),
+                               dtype=np.int32, count=len(dic))
+            idx = np.asarray(ch.indices.fill_null(0), dtype=np.int64)
+            out.append(uniq[idx])
         return pa.array(np.concatenate(out) if out else np.array([], np.int32),
                         pa.int32())
 

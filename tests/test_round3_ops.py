@@ -65,3 +65,45 @@ def test_dedup_exact_null_keys_and_dtype(ray_session):
     got = {(None if k is None else int(k)): int(v)
            for k, v in zip(tbl["k"].to_pylist(), tbl["v"].to_pylist())}
     assert got == {1: 3, 7: 1, None: 8}
+
+
+def test_bucketed_join_null_keys_all_types(ray_session):
+    """Null join keys (int AND string) must not crash the bucket stage;
+    inner join drops them, left outer keeps them unmatched — exactly
+    pyarrow's reference join semantics. Also covers the all-null block
+    (empty dictionary) and salted paths."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import bucketed_join
+
+    for typ in (pa.int64(), pa.string()):
+        def mk(vals):
+            return pa.array(
+                [None if v is None else (f"k{v}" if typ == pa.string()
+                                         else v) for v in vals], typ)
+        lt = pa.table({"k": mk([1, None, 2, None, 3]),
+                       "a": pa.array([10, 11, 12, 13, 14], pa.int64())})
+        rt = pa.table({"k": mk([1, 1, None, 3]),
+                       "b": pa.array([7, 8, 9, 6], pa.int64())})
+        for jt in ("inner", "left outer"):
+            for salts in (1, 2):
+                got = bucketed_join(
+                    rd.from_arrow(lt).repartition(3), rd.from_arrow(rt),
+                    key="k", n_buckets=4, join_type=jt,
+                    n_salts=salts).to_pandas()
+                want = lt.join(rt, keys="k", join_type=jt).to_pandas()
+                cols = list(got.columns)
+                gs = got.sort_values(cols, na_position="last"
+                                     ).reset_index(drop=True)
+                ws = want[cols].sort_values(cols, na_position="last"
+                                            ).reset_index(drop=True)
+                pd.testing.assert_frame_equal(
+                    gs.astype(object), ws.astype(object), check_dtype=False)
+        # all-null key block on one side
+        lt2 = pa.table({"k": mk([None, None]),
+                        "a": pa.array([1, 2], pa.int64())})
+        out = bucketed_join(rd.from_arrow(lt2), rd.from_arrow(rt),
+                            key="k", n_buckets=4, join_type="left outer")
+        assert out.count() == 2
