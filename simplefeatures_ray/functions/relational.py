@@ -230,20 +230,34 @@ def dedup_exact(ds, key_cols, keep_col: str | list | None = None,
     return part.groupby("__part").map_groups(final, batch_format="pyarrow")
 
 
-def topk(ds, key: str, k: int, descending: bool = True):
+def topk(ds, key: str, k: int, descending: bool = True, tie_cols=None):
     """Global top-k: per-block partial top-k inside map_batches (combiner),
-    then a small sort+limit. Avoids fully sorting the dataset."""
+    then a small sort+limit. Avoids fully sorting the dataset.
+
+    Ties at the k-boundary are broken by tie_cols (default: every other
+    column in schema order, ascending) so the result is a TOTAL order —
+    without this, which of the tied rows survive depends on block
+    boundaries and the output varies with parallelism."""
+
+    def sort_spec(t_cols):
+        ties = (list(tie_cols) if tie_cols is not None
+                else [c for c in t_cols if c != key])
+        return ([key] + ties,
+                [descending] + [False] * len(ties))
 
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        cols, desc = sort_spec(t.column_names)
         idx = pc.select_k_unstable(
-            t, k=min(k, len(t)), sort_keys=[(key, "descending" if descending else "ascending")]
-        )
+            t, k=min(k, len(t)),
+            sort_keys=[(c, "descending" if d else "ascending")
+                       for c, d in zip(cols, desc)])
         return t.take(idx)
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
-    return pruned.sort(key, descending=descending).limit(k)
+    cols, desc = sort_spec(ds.schema().names)
+    return pruned.sort(cols, descending=desc).limit(k)
 
 
 def hash_split(ds, key_col: str, splits, salt: str = "split"):

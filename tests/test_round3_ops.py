@@ -107,3 +107,23 @@ def test_bucketed_join_null_keys_all_types(ray_session):
         out = bucketed_join(rd.from_arrow(lt2), rd.from_arrow(rt),
                             key="k", n_buckets=4, join_type="left outer")
         assert out.count() == 2
+
+
+def test_topk_deterministic_under_ties(ray_session):
+    """Equal scores at the k-boundary must yield the same rows at any
+    parallelism (total order via tie columns)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import topk
+
+    t = pa.table({"id": pa.array(np.arange(100), pa.int64()),
+                  "score": pa.array(np.repeat([5.0, 3.0], 50))})
+    outs = []
+    for parts in (1, 4, 13):
+        out = topk(rd.from_arrow(t).repartition(parts), "score", 10
+                   ).to_pandas()
+        outs.append(list(zip(out["score"], out["id"])))
+    assert outs[0] == outs[1] == outs[2]
+    assert [i for _, i in outs[0]] == list(range(10))  # ids 0..9 at 5.0
