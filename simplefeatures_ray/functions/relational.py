@@ -235,20 +235,22 @@ def topk(ds, key: str, k: int, descending: bool = True, tie_cols=None):
     then a small sort+limit. Avoids fully sorting the dataset.
 
     Ties at the k-boundary are broken by tie_cols (default: every other
-    column in schema order, ascending) so the result is a TOTAL order —
-    without this, which of the tied rows survive depends on block
-    boundaries and the output varies with parallelism."""
+    ORDERABLE column in schema order, ascending — nested columns like
+    embedding lists can't sort) so the result is a TOTAL order — without
+    this, which of the tied rows survive depends on block boundaries and
+    the output varies with parallelism."""
 
-    def sort_spec(t_cols):
+    def sort_spec(sch: pa.Schema):
         ties = (list(tie_cols) if tie_cols is not None
-                else [c for c in t_cols if c != key])
+                else [f.name for f in sch
+                      if f.name != key and not pa.types.is_nested(f.type)])
         return ([key] + ties,
                 [descending] + [False] * len(ties))
 
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        cols, desc = sort_spec(t.column_names)
+        cols, desc = sort_spec(t.schema)
         idx = pc.select_k_unstable(
             t, k=min(k, len(t)),
             sort_keys=[(c, "descending" if d else "ascending")
@@ -256,7 +258,8 @@ def topk(ds, key: str, k: int, descending: bool = True, tie_cols=None):
         return t.take(idx)
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
-    cols, desc = sort_spec(ds.schema().names)
+    sch = ds.schema()
+    cols, desc = sort_spec(getattr(sch, "base_schema", sch))
     return pruned.sort(cols, descending=desc).limit(k)
 
 
