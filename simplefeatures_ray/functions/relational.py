@@ -333,26 +333,38 @@ def grouped_topk(ds, keys, order_col: str, k: int, descending: bool = True,
     (never one task per group). Deterministic ties via tie_col."""
     import pandas as pd
 
+    from ._pdarrow import canon_int_keys, restore_types
+
     keys = [keys] if isinstance(keys, str) else list(keys)
-    order = [order_col] + ([tie_col] if tie_col else [])
-    asc = [not descending] + ([True] if tie_col else [])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _order(sch: pa.Schema):
+        # explicit tie_col, else every other orderable column in schema
+        # order — without a total order, which tied rows survive depends
+        # on shuffle arrival order (parallelism-dependent output)
+        ties = ([tie_col] if tie_col else
+                [f.name for f in sch
+                 if f.name not in keys + [order_col, "__part"]
+                 and not pa.types.is_nested(f.type)])
+        return [order_col] + ties, [not descending] + [True] * len(ties)
+
+    def _head(df: pd.DataFrame, sch: pa.Schema) -> pd.DataFrame:
+        order, asc = _order(sch)
         df = df.sort_values(order, ascending=asc, kind="mergesort")
-        out = df.groupby(keys, sort=False).head(k)
+        return df.groupby(keys, sort=False, dropna=False).head(k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = _head(canon_int_keys(t, keys), t.schema).copy()
         h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
-        out = out.copy()
         out["__part"] = (h % n_parts).astype(np.int32)
-        return out
+        return restore_types(out, t.schema)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__part")
-        df = df.sort_values(order, ascending=asc, kind="mergesort")
-        return df.groupby(keys, sort=False).head(k)
+    def final(t: pa.Table) -> pa.Table:
+        df = canon_int_keys(t, keys).drop(columns="__part")
+        sch = t.schema.remove(t.schema.get_field_index("__part"))
+        return restore_types(_head(df, sch), t.schema)
 
-    part = ds.map_batches(arrow_groups(partial), batch_format="pyarrow")
-    return part.groupby("__part").map_groups(
-        arrow_groups(final), batch_format="pyarrow")
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby("__part").map_groups(final, batch_format="pyarrow")
 
 
 def grouped_nunique(ds, keys, value_col: str):

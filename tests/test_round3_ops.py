@@ -127,3 +127,21 @@ def test_topk_deterministic_under_ties(ray_session):
         outs.append(list(zip(out["score"], out["id"])))
     assert outs[0] == outs[1] == outs[2]
     assert [i for _, i in outs[0]] == list(range(10))  # ids 0..9 at 5.0
+
+
+def test_grouped_topk_deterministic_under_ties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import grouped_topk
+
+    t = pa.table({"g": pa.array(np.repeat([1, 2], 30), pa.int64()),
+                  "id": pa.array(np.arange(60), pa.int64()),
+                  "score": pa.array(np.tile([9.0, 9.0, 1.0], 20))})
+    outs = []
+    for parts in (1, 3, 11):
+        out = grouped_topk(rd.from_arrow(t).repartition(parts),
+                           "g", "score", 5).to_pandas()
+        outs.append(sorted(map(tuple, out[["g", "id", "score"]].to_numpy())))
+    assert outs[0] == outs[1] == outs[2]
