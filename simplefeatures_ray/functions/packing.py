@@ -55,9 +55,10 @@ def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
         raise ValueError("budget must be positive")
 
     def add_part(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pa.table({group_col: t[group_col]}).to_pandas()[group_col],
-            index=False).to_numpy()
+        from ._pdarrow import canon_int_keys
+
+        col = canon_int_keys(t.select([group_col]), [group_col])[group_col]
+        h = pd.util.hash_pandas_object(col, index=False).to_numpy()
         return t.append_column(
             "__part", pa.array((h % n_parts).astype(np.int32), pa.int32()))
 
