@@ -2402,13 +2402,16 @@ def raster_tiles(sf_dir: str):
     the groupby(tile).map_groups raster stage. Gated by an independent
     oracle that recomputes coverage with a DIFFERENT algorithm
     (per-pixel-center point-in-disc vs the engine's even-odd scanline
-    span fill)."""
+    span fill). The GATE runs at the fixed driver-gate scale (20k
+    synthetic pages — the static oracle inlines exactly that recompute,
+    so the gate is exact at every sf dir); entry()/bench scale the same
+    pipeline with sf."""
     from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
     from simplefeatures_ray.raster import RasterizeTiles
     from simplefeatures_ray.sources.pages import read_pages
     from simplefeatures_ray.sources.polygons import make_polygons
 
-    n = min(_pages_count(sf_dir), 20000)
+    n = 20000
     joined = geotag_join_tiles(read_pages(n), make_polygons(64), res=6, final_sort=False)
 
     def to_wkb_points(t: pa.Table) -> pa.Table:
@@ -2664,7 +2667,10 @@ def flagship_tiles(sf_dir: str):
     global sort; output flows through the checkpointed partitioned sink
     (per-partition sorted files + lineage manifest) and is read back as
     a Dataset. Content is deterministic at any parallelism (pinned by
-    tests/test_pipeline.py golden hash)."""
+    tests/test_pipeline.py golden hash). The GATE runs at the fixed
+    driver-gate scale (20k synthetic pages — the static oracle inlines
+    exactly that naive recompute, so the gate is exact at every sf
+    dir); entry()/bench scale the same pipeline with sf."""
     import atexit
     import shutil
     import tempfile
@@ -2677,7 +2683,7 @@ def flagship_tiles(sf_dir: str):
         read_checkpointed,
     )
 
-    n = _pages_count(sf_dir)
+    n = 20000
     out = geotag_join_tiles(read_pages(n), make_polygons(64))
     out_dir = tempfile.mkdtemp(prefix="sfray-flagship-tiles-", dir="/tmp")
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
