@@ -1,0 +1,47 @@
+"""Seeded differential fuzz: bucketed_join vs pyarrow's reference join
+(nulls, duplicate keys, hot keys, string keys, salts, empty sides).
+The full 30-trial sweep ran during development; this is the durable
+seeded subset."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from simplefeatures_ray.functions.relational import bucketed_join
+
+
+def _keys(rng, n, str_keys, hot):
+    if n == 0:
+        return pa.array([], pa.string() if str_keys else pa.int64())
+    base = rng.integers(0, 5 if hot else 40, n)
+    k = np.where(rng.random(n) < 0.15, -1, base)
+    if str_keys:
+        return pa.array([None if v < 0 else f"k{v}" for v in k], pa.string())
+    return pa.array([None if v < 0 else int(v) for v in k], pa.int64())
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_bucketed_join_matches_arrow_reference(ray_session, trial):
+    rng = np.random.default_rng(100 + trial)
+    n_l, n_r = int(rng.integers(0, 120)), int(rng.integers(0, 60))
+    str_keys = trial % 2 == 0
+    hot = trial % 3 == 0
+    lt = pa.table({"k": _keys(rng, n_l, str_keys, hot),
+                   "a": pa.array(rng.integers(0, 1000, n_l), pa.int64())})
+    rt = pa.table({"k": _keys(rng, n_r, str_keys, hot),
+                   "b": pa.array(rng.integers(0, 1000, n_r), pa.int64())})
+    salts = 3 if trial % 4 == 0 else 1
+    for jt in ("inner", "left outer"):
+        got = bucketed_join(rd.from_arrow(lt).repartition(4),
+                            rd.from_arrow(rt).repartition(3),
+                            key="k", n_buckets=8, join_type=jt,
+                            n_salts=salts).to_pandas()
+        want = lt.join(rt, keys="k", join_type=jt).to_pandas()
+        cols = list(got.columns)
+        gs = got.sort_values(cols, na_position="last").reset_index(drop=True)
+        ws = want[cols].sort_values(cols, na_position="last"
+                                    ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs.astype(object), ws.astype(object),
+                                      check_dtype=False)
