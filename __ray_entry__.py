@@ -1333,6 +1333,21 @@ def docs_split_assign(sf_dir: str):
     return out.select_columns(["doc_id", "split"])
 
 
+def docs_exact_split(sf_dir: str):
+    """EXACT-proportion stratified split (80/10/10 per language): docs
+    rank within their lang by the shared sha256 hash and row k of n
+    joins split i iff k*100 < n*cum_pct — realized sizes are exact per
+    stratum (hash_split's per-row threshold only hits the target in
+    expectation). One coarse group-hash shuffle for the in-group rank
+    (functions/relational.exact_stratified_split)."""
+    from simplefeatures_ray.functions.relational import exact_stratified_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = exact_stratified_split(ds, "lang", "doc_id",
+                                 {"train": 80, "val": 10, "test": 10})
+    return out.select_columns(["doc_id", "lang", "split"])
+
+
 def docs_stratified_sample(sf_dir: str):
     """Deterministic stratified downsampling by language: keep 50% of
     English pages, 25% of French, 10% of Spanish, 5% of everything else,
@@ -3058,6 +3073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_langid_pred": docs_langid_pred,
         "docs_split_assign": docs_split_assign,
+        "docs_exact_split": docs_exact_split,
         "docs_stratified_sample": docs_stratified_sample,
         "urls_normalize": urls_normalize,
         "urls_domain_cap": urls_domain_cap,
@@ -3819,6 +3835,25 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
                                          1, 16))::UBIGINT % 100 AS b
                   FROM documents)
+        """,
+        "docs_exact_split": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(sha256('exsplit:'
+                                            || CAST(doc_id AS VARCHAR)),
+                                     1, 16))::UBIGINT AS hv
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY hv, doc_id) - 1 AS rnk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM h)
+            SELECT doc_id, lang,
+                   CASE WHEN rnk * 100 < n * 80 THEN 'train'
+                        WHEN rnk * 100 < n * 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
         """,
         # Independent SQL re-implementation of every normalization rule
         # (the raw-URL derivation is the shared fixture; see

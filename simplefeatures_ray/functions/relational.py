@@ -378,3 +378,61 @@ def grouped_nunique(ds, keys, value_col: str):
                            keys + [value_col])
     return grouped_agg(distinct, keys, {"n_distinct": (None, "count")},
                        combine="shuffle")
+
+
+def exact_stratified_split(ds, group_col: str, key_col: str, splits,
+                           salt: str = "exsplit", n_parts: int = 64):
+    """EXACT-proportion stratified split: within each group, rows rank
+    by a sha256-derived 64-bit hash (key tie-break) and row k of n joins
+    split i iff k*100 < n*cum_pct_i. Unlike hash_split's per-row
+    threshold (binomial noise around the target percentage), the
+    realized proportions are exact per group up to integer rounding —
+    the shape used when a benchmark demands an exactly-sized held-out
+    set per stratum.
+
+    Scale: ranking needs each group co-located once — ONE coarse
+    group-hash shuffle (vectorized in-partition sort + cumcount), the
+    same exchange budget as any per-group window. The hash is the pure
+    per-row sha map shared with hash_split, so the assignment is stable
+    at any parallelism and expressible in SQL."""
+    import hashlib
+
+    import pandas as pd
+
+    from .dedup import _hash64
+
+    names = list(splits)
+    bounds = np.cumsum([int(splits[n]) for n in names])
+    if bounds[-1] != 100:
+        raise ValueError("split percentages must sum to 100")
+
+    def add_hash_part(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        h = np.fromiter(
+            (int(hashlib.sha256(f"{salt}:{k}".encode()).hexdigest()[:16], 16)
+             for k in keys), dtype=np.uint64, count=len(keys))
+        gvals = pd.Series(t[group_col].to_pylist(), dtype=object)
+        uniq = pd.unique(gvals)
+        gh = np.fromiter((_hash64(str(g)) % n_parts for g in uniq),
+                         dtype=np.int64, count=len(uniq))
+        part = gvals.map(pd.Series(gh, index=uniq)).to_numpy(dtype=np.int64)
+        t = t.append_column("__h", pa.array(h, pa.uint64()))
+        return t.append_column("__part", pa.array(part.astype(np.int32)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "__h", key_col], kind="mergesort")
+        g = df.groupby(group_col, sort=False, dropna=False)
+        rank = g.cumcount().to_numpy(np.int64)
+        n = g[key_col].transform("size").to_numpy(np.int64)
+        idx = np.zeros(len(df), dtype=np.int64)
+        for cum in bounds[:-1]:
+            idx += (rank * 100 >= n * int(cum)).astype(np.int64)
+        out = df.drop(columns=["__h", "__part"]).copy()
+        out["split"] = np.asarray(names, dtype=object)[idx]
+        return out
+
+    from ._pdarrow import arrow_groups
+
+    parted = ds.map_batches(add_hash_part, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(
+        arrow_groups(assign), batch_format="pyarrow")

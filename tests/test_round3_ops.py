@@ -145,3 +145,28 @@ def test_grouped_topk_deterministic_under_ties(ray_session):
                            "g", "score", 5).to_pandas()
         outs.append(sorted(map(tuple, out[["g", "id", "score"]].to_numpy())))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_exact_stratified_split_proportions(ray_session):
+    """Realized split sizes are exact per group (to integer rounding),
+    and the assignment is identical at any parallelism."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import exact_stratified_split
+
+    t = pa.table({"g": pa.array(np.repeat(["a", "b", "c"], [100, 37, 5])),
+                  "k": pa.array(np.arange(142), pa.int64())})
+    outs = []
+    for parts in (1, 7):
+        df = exact_stratified_split(
+            rd.from_arrow(t).repartition(parts), "g", "k",
+            {"train": 80, "val": 10, "test": 10}).to_pandas()
+        outs.append(df.sort_values("k").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    sizes = outs[0].groupby(["g", "split"]).size()
+    assert sizes[("a", "train")] == 80 and sizes[("a", "val")] == 10
+    # group b (37): ranks 0..29 train (30), 30..33 val (4), rest test (3)
+    assert sizes[("b", "train")] == 30 and sizes[("b", "val")] == 4
+    assert sizes[("b", "test")] == 3
