@@ -230,6 +230,47 @@ def events_asof_orders(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def events_asof_next_order(sf_dir: str):
+    """FORWARD as-of join: for each event, the EARLIEST order (shared
+    derived key) with o_orderdate >= ts — the next-touch attribution
+    shape, completing the as-of family (events_asof_orders is the
+    backward direction). Same bucketed sort-merge + deterministic
+    max-orderkey tie-break."""
+    from simplefeatures_ray.functions.windows import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def ekey(t: pa.Table) -> pa.Table:
+        k = (np.asarray(t["user_id"], dtype=np.int64) % 100).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "join_key": pa.array(k)})
+
+    events = events.map_batches(ekey, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        k = (np.asarray(t["o_custkey"], dtype=np.int64) % 100).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "join_key": pa.array(k)})
+
+    orders = orders.map_batches(okey, batch_format="pyarrow")
+    out = asof_join(events, orders, key="join_key", ts_left="ts",
+                    ts_right="o_orderdate", right_cols=["o_orderkey"],
+                    direction="forward")
+
+    def finish(df):
+        df = df[["event_id", "join_key", "o_orderkey"]].copy()
+        df["event_id"] = df["event_id"].astype(np.int64)
+        df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype(np.int64)
+        return df
+
+    import pandas as pd  # noqa: F401
+
+    return out.map_batches(lambda t: finish(t.to_pandas()),
+                           batch_format="pyarrow")
+
+
 def top_parts(sf_dir: str):
     from simplefeatures_ray.functions.relational import topk
 
@@ -3040,6 +3081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": events_tumbling_1h,
         "events_sliding_2h": events_sliding_2h,
         "events_asof_orders": events_asof_orders,
+        "events_asof_next_order": events_asof_next_order,
         "top_parts": top_parts,
         # documents / text
         "docs_token_counts": docs_token_counts,
@@ -3308,6 +3350,19 @@ def oracle_sql() -> dict[str, str]:
                             FROM orders
                             GROUP BY jk, o_orderdate) o
               ON e.user_id % 100 = o.jk AND e.ts >= o.o_orderdate
+        """,
+        "events_asof_next_order": """
+            -- forward direction: earliest o_orderdate >= ts; right side
+            -- pre-reduced per (jk, date) by max o_orderkey like the
+            -- engine's deterministic tie-break
+            SELECT e.event_id, e.user_id % 100 AS join_key,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey
+            FROM events e
+            ASOF LEFT JOIN (SELECT o_custkey % 100 AS jk, o_orderdate,
+                                   max(o_orderkey) AS o_orderkey
+                            FROM orders
+                            GROUP BY jk, o_orderdate) o
+              ON e.user_id % 100 = o.jk AND e.ts <= o.o_orderdate
         """,
         "docs_token_counts": r"""
             SELECT doc_id,

@@ -109,7 +109,8 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
               right_cols, n_buckets: int = 32, direction: str = "backward",
               tie_break: str | None = None):
     """For each left row, the latest right row with ts_right <= ts_left
-    (direction='backward') sharing `key`. Bucketed sort-merge: both sides
+    (direction='backward') or the earliest with ts_right >= ts_left
+    (direction='forward') sharing `key`. Bucketed sort-merge: both sides
     shuffle once on key%%B; merge_asof runs per bucket.
 
     right_cols: columns of the right side to carry (suffixed _right if
