@@ -1389,6 +1389,49 @@ def docs_exact_split(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "split"])
 
 
+def docs_incremental_dedup(sf_dir: str):
+    """Incremental-ingest exact dedup: 'new' docs (doc_id %% 3 == 0)
+    anti-joined by content hash against the fingerprint set of the
+    already-ingested corpus (doc_id %% 3 != 0) — the daily-crawl shape
+    where yesterday's fingerprints are too big to broadcast, so the
+    anti join runs through bucketed_join's LEFT ANTI path (one bounded
+    hash shuffle per side; the Bloom prefilter in docs_bloom_prefilter
+    is this op's approximate broadcast twin). Oracle: SQL ANTI JOIN on
+    the identical sha256-derived 63-bit hash."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.relational import bucketed_join, dedup_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        h = np.fromiter(
+            (int(hashlib.sha256((s or "").encode()).hexdigest()[:16], 16)
+             & 0x7FFFFFFFFFFFFFFF for s in texts),
+            dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(h)})
+
+    fps = ds.map_batches(fp, batch_format="pyarrow")
+
+    def _mod3(eq: bool):
+        def k(t: pa.Table) -> pa.Table:
+            m = (np.asarray(t["doc_id"], dtype=np.int64) % 3) == 0
+            return t.filter(pa.array(m if eq else ~m))
+
+        return k
+
+    new = fps.map_batches(_mod3(True), batch_format="pyarrow")
+    old = fps.map_batches(_mod3(False), batch_format="pyarrow")
+    old_fps = dedup_exact(old.select_columns(["fp"]), "fp")
+    out = bucketed_join(new, old_fps, key="fp", join_type="left anti")
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def docs_stratified_sample(sf_dir: str):
     """Deterministic stratified downsampling by language: keep 50% of
     English pages, 25% of French, 10% of Spanish, 5% of everything else,
@@ -3116,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid_pred": docs_langid_pred,
         "docs_split_assign": docs_split_assign,
         "docs_exact_split": docs_exact_split,
+        "docs_incremental_dedup": docs_incremental_dedup,
         "docs_stratified_sample": docs_stratified_sample,
         "urls_normalize": urls_normalize,
         "urls_domain_cap": urls_domain_cap,
@@ -3890,6 +3934,17 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)),
                                          1, 16))::UBIGINT % 100 AS b
                   FROM documents)
+        """,
+        "docs_incremental_dedup": """
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                          & 9223372036854775807 AS BIGINT) AS fp
+              FROM documents
+            ),
+            new AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+            old AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0)
+            SELECT n.doc_id FROM new n ANTI JOIN old o ON n.fp = o.fp
         """,
         "docs_exact_split": """
             WITH h AS (

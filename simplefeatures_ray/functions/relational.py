@@ -109,9 +109,12 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         # the null->numpy conversion / garbage NaN->int casts.
         if pa.types.is_integer(col.type):
             h = pc.fill_null(pc.cast(col, pa.int64()), 0)
-            b = (pc.bit_wise_and(h, n_buckets - 1)
-                 if (n_buckets & (n_buckets - 1)) == 0 else pc.mod(h, n_buckets))
-            return pc.cast(b, pa.int32())
+            if (n_buckets & (n_buckets - 1)) == 0:
+                b = pc.bit_wise_and(h, n_buckets - 1)
+                return pc.cast(b, pa.int32())
+            # this pyarrow has no modulo kernel — numpy for non-pow2 B
+            b = (np.asarray(h, dtype=np.int64) % n_buckets).astype(np.int32)
+            return pa.array(b, pa.int32())
         # string/binary keys (URLs, doc hashes): stable content hash, seed-
         # independent across processes. Hash unique values only (dictionary
         # encode bounds the Python loop to the batch's distinct keys).
