@@ -928,13 +928,27 @@ def docs_pagerank(sf_dir: str):
     from simplefeatures_ray.functions.relational import bucketed_join
 
     n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    src = np.repeat(np.arange(n, dtype=np.int64), 3)
-    dst = (src * 7 + 1 + 13 * np.tile(np.arange(3, dtype=np.int64), n)) % n
-    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
-    ranks = rd.from_arrow(pa.table({
-        "src": pa.array(np.arange(n, dtype=np.int64)),
-        "rank": pa.array(np.full(n, 1.0 / n)),
-    }))
+
+    # edge list and rank vector are generated DISTRIBUTED from a range
+    # dataset (per-batch formula inside map_batches) — building 3n edge
+    # rows on the driver would materialize the whole graph in one
+    # process at 10^9-node scale
+    def gen_edges(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["id"], dtype=np.int64)
+        src = np.repeat(ids, 3)
+        dst = (src * 7 + 1
+               + 13 * np.tile(np.arange(3, dtype=np.int64), len(ids))) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def gen_ranks(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["id"], dtype=np.int64)
+        return pa.table({"src": pa.array(ids),
+                         "rank": pa.array(np.full(len(ids), 1.0 / n))})
+
+    base = rd.range(n).map_batches(
+        lambda t: pa.table({"id": t["id"]}), batch_format="pyarrow")
+    edges = base.map_batches(gen_edges, batch_format="pyarrow")
+    ranks = base.map_batches(gen_ranks, batch_format="pyarrow")
 
     for _ in range(3):
         joined = bucketed_join(edges, ranks, key="src", n_buckets=8)
