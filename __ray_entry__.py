@@ -810,6 +810,27 @@ def docs_len_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9], group_keys="lang")
 
 
+def events_transition_counts(sf_dir: str):
+    """Clickstream transition matrix: counts of consecutive
+    (prev_type, next_type) pairs within each user's (ts, event_id)
+    ordered sequence (functions/windows.transition_counts — one coarse
+    key co-location shuffle, vectorized shift pairing, |types|^2
+    combiner). Oracle: LEAD window twin."""
+    from simplefeatures_ray.functions.windows import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    out = transition_counts(ds, "user_id", "ts", "event_type", "event_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"prev_type": t["prev_type"],
+                         "next_type": t["next_type"],
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def events_top3_per_type(sf_dir: str):
     """Top-3 events by value per event type (grouped top-k: per-batch
     combiner + coarse-partition final; oracle: row_number window)."""
@@ -3181,6 +3202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_len_quantiles": docs_len_quantiles,
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
+        "events_transition_counts": events_transition_counts,
         "events_distinct_users": events_distinct_users,
         "events_latest_per_user": events_latest_per_user,
         "events_retention_cohorts": events_retention_cohorts,
@@ -3938,6 +3960,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "events_transition_counts": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt
         """,
         "docs_split_assign": """
             SELECT doc_id,

@@ -408,3 +408,50 @@ def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
     if isinstance(out, pa.Table):
         return finish(out)
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def transition_counts(ds, key: str, ts_col: str, type_col: str,
+                      tie_col: str, n_parts: int = 64):
+    """Markov transition counts over per-key event sequences: for each
+    consecutive (by ts, tie_col) pair of events of the same key, count
+    (prev_type, next_type) — the clickstream transition-matrix op.
+
+    Shuffle shape: ONE coarse key-hash partition co-locates each key's
+    events (same guarantee as sessionize above); inside a partition the
+    pairing is a vectorized shift over the (key, ts, tie) sort; the
+    (|types|^2-bounded) pair counts then combine through grouped_agg's
+    combiner. The transition matrix itself never exceeds |types|^2 rows.
+    """
+    import pandas as pd
+
+    from .agg import grouped_agg
+
+    def add_part(t: pa.Table) -> pa.Table:
+        p = (np.asarray(t[key], dtype=np.int64) % n_parts).astype(np.int32)
+        return t.append_column("__part", pa.array(p, pa.int32()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col],
+                            kind="mergesort").reset_index(drop=True)
+        if len(df) < 2:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                                 "next_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        keys = df[key].to_numpy()
+        same = keys[:-1] == keys[1:]
+        types = df[type_col].to_numpy(dtype=object)
+        out = pd.DataFrame({"prev_type": types[:-1][same],
+                            "next_type": types[1:][same]})
+        g = (out.groupby(["prev_type", "next_type"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from ._pdarrow import arrow_groups
+
+    partial = parted.groupby("__part").map_groups(
+        arrow_groups(per_part), batch_format="pyarrow")
+    return grouped_agg(partial, ["prev_type", "next_type"],
+                       {"n": ("n", "sum")}, combine="shuffle")
