@@ -373,12 +373,18 @@ def grouped_topk(ds, keys, order_col: str, k: int, descending: bool = True,
 def grouped_nunique(ds, keys, value_col: str):
     """Exact distinct-count per group: one dedup shuffle on
     (keys, value) — each distinct pair survives once — then a combiner
-    count per group. Never materializes per-group value sets."""
+    count per group. Never materializes per-group value sets.
+    NULL values are ignored (SQL COUNT(DISTINCT v) / pandas nunique
+    semantics); groups whose values are all NULL are absent."""
+    import pyarrow.compute as pc
+
     from .agg import grouped_agg
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    distinct = dedup_exact(ds.select_columns(keys + [value_col]),
-                           keys + [value_col])
+    ds = ds.select_columns(keys + [value_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t[value_col])),
+        batch_format="pyarrow")
+    distinct = dedup_exact(ds, keys + [value_col])
     return grouped_agg(distinct, keys, {"n_distinct": (None, "count")},
                        combine="shuffle")
 

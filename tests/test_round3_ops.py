@@ -170,3 +170,25 @@ def test_exact_stratified_split_proportions(ray_session):
     # group b (37): ranks 0..29 train (30), 30..33 val (4), rest test (3)
     assert sizes[("b", "train")] == 30 and sizes[("b", "val")] == 4
     assert sizes[("b", "test")] == 3
+
+
+def test_grouped_nunique_null_semantics(ray_session):
+    """NULL values don't count as distinct (COUNT(DISTINCT) semantics);
+    null KEYS form their own group; cross-block duplicates collapse."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.relational import grouped_nunique
+
+    t1 = pa.table({"g": pa.array([1, None, 2], pa.int64()),
+                   "v": pa.array([5, 5, None], pa.int64())})
+    t2 = pa.table({"g": pa.array([1, None, 2], pa.int64()),
+                   "v": pa.array([5, 6, None], pa.int64())})
+    out = grouped_nunique(rd.from_arrow(t1).union(rd.from_arrow(t2)),
+                          "g", "v")
+    tb = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows])
+    got = dict(zip(tb["g"].to_pylist(), tb["n_distinct"].to_pylist()))
+    # g=2's only value is NULL -> group absent entirely
+    assert got == {1: 1, None: 2}
+    assert tb.schema.field("g").type == pa.int64()
