@@ -810,6 +810,27 @@ def docs_len_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9], group_keys="lang")
 
 
+def events_running_total(sf_dir: str):
+    """Per-user running cumulative spend (SUM OVER ROWS UNBOUNDED
+    PRECEDING in (ts, event_id) order), exact int64 cents
+    (functions/windows.running_total — one coarse key co-location
+    shuffle, vectorized grouped cumsum). Oracle: the window-function
+    twin over the identical cent quantization."""
+    from simplefeatures_ray.functions.windows import running_total
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = running_total(ds, "user_id", "ts", "value", "event_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_id": pc.cast(t["event_id"], pa.int64()),
+                         "running_c": pc.cast(t["running_c"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def events_transition_counts(sf_dir: str):
     """Clickstream transition matrix: counts of consecutive
     (prev_type, next_type) pairs within each user's (ts, event_id)
@@ -3203,6 +3224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_top3_per_type": events_top3_per_type,
         "events_transition_counts": events_transition_counts,
+        "events_running_total": events_running_total,
         "events_distinct_users": events_distinct_users,
         "events_latest_per_user": events_latest_per_user,
         "events_retention_cohorts": events_retention_cohorts,
@@ -3960,6 +3982,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_c
+            FROM events
         """,
         "events_transition_counts": """
             WITH s AS (

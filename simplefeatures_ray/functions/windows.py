@@ -455,3 +455,38 @@ def transition_counts(ds, key: str, ts_col: str, type_col: str,
         arrow_groups(per_part), batch_format="pyarrow")
     return grouped_agg(partial, ["prev_type", "next_type"],
                        {"n": ("n", "sum")}, combine="shuffle")
+
+
+def running_total(ds, key: str, ts_col: str, value_col: str, tie_col: str,
+                  out_col: str = "running_c", n_parts: int = 64):
+    """Per-key running cumulative sum (SUM OVER ROWS UNBOUNDED
+    PRECEDING) of value in (ts, tie) order — the classic window
+    function (account balances, cumulative spend), emitted as exact
+    int64 cents so the exchange and the oracle compare carry no float
+    summation order.
+
+    Scale shape: the same single coarse key co-location shuffle as
+    sessionize/rolling above, vectorized per-partition sort + grouped
+    cumsum."""
+    import pandas as pd
+
+    from ._pdarrow import arrow_groups
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.asarray(t[key], dtype=np.int64)
+        return t.append_column(
+            "__part", pa.array((h % n_parts).astype(np.int32)))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort")
+        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0) \
+            .astype(np.int64)
+        df = df.assign(__cents=cents)
+        run = df.groupby(key, sort=False)["__cents"].cumsum()
+        out = df[[key, tie_col]].copy()
+        out[out_col] = run.to_numpy(np.int64)
+        return out
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(
+        arrow_groups(per_part), batch_format="pyarrow")
