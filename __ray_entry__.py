@@ -810,6 +810,44 @@ def docs_len_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9], group_keys="lang")
 
 
+def events_hourly_profile(sf_dir: str):
+    """Calendar-time feature derivation: event counts + cents-exact
+    value sums per (hour-of-day, event_type) — the time-profile matrix
+    behind load curves and bot detection. Pure vectorized epoch
+    arithmetic per batch (hour = us // 3600e6 %% 24 — exact for
+    post-epoch timestamps) + combiner aggregate; oracle: EXTRACT(hour)
+    twin."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        hod = (us // 3_600_000_000) % 24
+        cents = np.rint(np.asarray(t["value"], dtype=np.float64) * 100
+                        ).astype(np.int64)
+        return pa.table({"hour": pa.array(hod.astype(np.int64)),
+                         "event_type": t["event_type"],
+                         "c": pa.array(cents)})
+
+    out = grouped_agg(ds.map_batches(derive, batch_format="pyarrow"),
+                      ["hour", "event_type"],
+                      {"n": (None, "count"), "value_c": ("c", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.cast(t["hour"], pa.int64()),
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "value_c": pc.cast(t["value_c"], pa.int64()),
+        })
+
+    return finish(out)
+
+
 def events_running_total(sf_dir: str):
     """Per-user running cumulative spend (SUM OVER ROWS UNBOUNDED
     PRECEDING in (ts, event_id) order), exact int64 cents
@@ -3225,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top3_per_type": events_top3_per_type,
         "events_transition_counts": events_transition_counts,
         "events_running_total": events_running_total,
+        "events_hourly_profile": events_hourly_profile,
         "events_distinct_users": events_distinct_users,
         "events_latest_per_user": events_latest_per_user,
         "events_retention_cohorts": events_retention_cohorts,
@@ -3982,6 +4021,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "events_hourly_profile": """
+            SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_c
+            FROM events GROUP BY hour, event_type
         """,
         "events_running_total": """
             SELECT user_id, event_id,
