@@ -772,6 +772,80 @@ def docs_dedup_filtered(sf_dir: str):
     return broadcast_join(ds, losers, keys="doc_id", join_type="left anti")
 
 
+def docs_cc_pipeline(sf_dir: str):
+    """END-TO-END cleaning pipeline showcase — the composition a CC
+    corpus actually ships through, as ONE gated query: three
+    corpus-wide rules intersected, then per-lang survivor stats.
+
+      1. quality keep      — the gated logistic classifier
+                             (docs_quality_classifier, same weights)
+      2. exact-dedup keeper — min doc_id per normalized-text sha
+                             (docs_fingerprint normalization)
+      3. near-dup canonical — not a non-canonical simhash cluster
+                             member (docs_dup_clusters semantics)
+
+    Every rule reuses the SAME component its standalone ★ query gates;
+    composition runs through bucketed joins on doc_id / fp_sha (no
+    O(corpus) broadcast). Oracle: assembly of the three tested SQL
+    fragments."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.agg import grouped_agg
+    from simplefeatures_ray.functions.relational import bucketed_join
+
+    def _ds(x):
+        return rd.from_arrow(x) if isinstance(x, pa.Table) else x
+
+    q = _ds(docs_quality_classifier(sf_dir)).select_columns(
+        ["doc_id", "keep"])
+    f = _ds(docs_fingerprint(sf_dir))
+    clusters = _ds(docs_dup_clusters(sf_dir))
+
+    keepers = grouped_agg(f, "fp_sha", {"keeper": ("doc_id", "min")},
+                          combine="shuffle")
+    fk = bucketed_join(f, keepers, key="fp_sha", n_buckets=16)
+
+    def exact_flag(t: pa.Table) -> pa.Table:
+        ok = pc.equal(pc.cast(t["doc_id"], pa.int64()),
+                      pc.cast(t["keeper"], pa.int64()))
+        return pa.table({"doc_id": t["doc_id"]}).filter(ok)
+
+    exact_keep = fk.map_batches(exact_flag, batch_format="pyarrow")
+
+    def losers_kernel(t: pa.Table) -> pa.Table:
+        bad = pc.not_equal(pc.cast(t["doc_id"], pa.int64()),
+                           pc.cast(t["cluster_id"], pa.int64()))
+        return pa.table({"doc_id": t["doc_id"]}).filter(bad)
+
+    losers = clusters.map_batches(losers_kernel, batch_format="pyarrow")
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def quality_only(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"]}).filter(
+            pc.cast(t["keep"], pa.bool_()))
+
+    keepq = q.map_batches(quality_only, batch_format="pyarrow")
+    surv = bucketed_join(docs, keepq, key="doc_id", n_buckets=16)
+    surv = bucketed_join(surv, exact_keep, key="doc_id", n_buckets=16)
+    surv = bucketed_join(surv, losers, key="doc_id", n_buckets=16,
+                         join_type="left anti")
+
+    out = grouped_agg(surv, "lang", {"n_docs": (None, "count"),
+                                     "chars_sum": ("n_chars", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "chars_sum": pc.cast(t["chars_sum"], pa.int64()),
+        })
+
+    return finish(out)
+
+
 def docs_fingerprint(sf_dir: str):
     """Document fingerprints over the SAME vectorized normalization the
     Fingerprint stage uses (lower, collapse ws, strip), surfaced as a
@@ -3244,6 +3318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_dup_clusters": docs_dup_clusters,
         "docs_dedup_filtered": docs_dedup_filtered,
+        "docs_cc_pipeline": docs_cc_pipeline,
         "docs_exact_ngram_pairs": docs_exact_ngram_pairs,
         "docs_contamination": docs_contamination,
         "docs_term_stats": docs_term_stats,
@@ -4174,6 +4249,88 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'fr' THEN 25
                                 WHEN 'es' THEN 10
                                 ELSE 5 END
+        """,
+        # assembly of the three independently-gated fragments:
+        # docs_quality_classifier + docs_fingerprint + docs_dup_clusters
+        "docs_cc_pipeline": r"""
+            WITH qf AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE array_length(regexp_extract_all(text, '[^\w\s]'))
+                               / CAST(greatest(1, length(text)) AS DOUBLE) END
+                         AS punct_ratio,
+                     CASE WHEN array_length(regexp_extract_all(text, '[A-Za-z'']+')) = 0
+                          THEN 0
+                          ELSE len(list_filter(regexp_extract_all(text, '[A-Za-z'']+'),
+                               w -> lower(w) IN ('the','and','of','a','to','in','is','that','for','it')))
+                               / CAST(array_length(regexp_extract_all(text, '[A-Za-z'']+')) AS DOUBLE)
+                          END AS stop_ratio
+              FROM documents),
+            qz AS (
+              SELECT doc_id,
+                     -3.2 + 0.55 * ln(1.0 + n_chars)
+                          + -40.0 * punct_ratio
+                          + 18.0 * stop_ratio AS zv
+              FROM qf),
+            keepq AS (SELECT doc_id FROM qz
+                      WHERE 1.0 / (1.0 + exp(-zv)) >= 0.5),
+            fp AS (
+              SELECT doc_id,
+                     substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                            1, 16) AS fp_sha
+              FROM documents),
+            ek AS (SELECT fp_sha, MIN(doc_id) AS keeper
+                   FROM fp GROUP BY fp_sha),
+            keepx AS (SELECT f2.doc_id FROM fp f2
+                      JOIN ek ON f2.fp_sha = ek.fp_sha
+                             AND f2.doc_id = ek.keeper),
+            clusters AS (
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                           x -> lower(x))) AS wd
+              FROM documents),
+            wh AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(wd), 1, 16))::UBIGINT AS h
+              FROM w),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM wh, range(64) b(bit)
+              GROUP BY doc_id, b.bit),
+            sims0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                              ELSE 0 END) AS UBIGINT) AS sim
+              FROM votes GROUP BY doc_id),
+            sims AS (
+              SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim
+              FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 6),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+            SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY u
+            ),
+            surv AS (
+              SELECT d.lang, d.n_chars FROM documents d
+              JOIN keepq ON keepq.doc_id = d.doc_id
+              JOIN keepx ON keepx.doc_id = d.doc_id
+              WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id))
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+            FROM surv GROUP BY lang
         """,
         "docs_fingerprint": r"""
             SELECT doc_id,
