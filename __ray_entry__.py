@@ -3273,8 +3273,17 @@ def _raster_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
 
 
 def entry() -> Any:
-    """Flagship pipeline at smoke scale; driver checks rows >= 0."""
-    return flagship_tiles("/root/testdata/sf0.001")
+    """Flagship pipeline at smoke scale (sf0.001-sized synthetic pages
+    through the same geotag -> join -> tile path the gated
+    flagship_tiles runs at its fixed 20k oracle scale); driver checks
+    rows >= 0."""
+    from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
+    from simplefeatures_ray.sources.pages import read_pages
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    n = _pages_count("/root/testdata/sf0.001")
+    return geotag_join_tiles(read_pages(n), make_polygons(64),
+                             final_sort=False)
 
 
 # --------------------------------------------------------------------------- #
