@@ -35,7 +35,11 @@ def _partial_kernel(keys, spec):
             plan[f"__{out}_sqs"] = (src, "sumsq")
             plan[f"__{out}_cnt"] = (src, "count")
         elif kind == "count":
-            plan[f"__{out}_cnt"] = (None, "count")
+            # (None, "count") = row count; (col, "count") = that
+            # column's NON-NULL/non-NaN count (pandas semantics — the
+            # src was previously discarded, silently making both the
+            # same)
+            plan[f"__{out}_cnt"] = (src, "count")
         else:
             plan[f"__{out}_{kind}"] = (src, kind)
 
@@ -94,6 +98,13 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
     combine="driver": partials stream to the driver (correct when
     |keys| x |blocks| is small); returns a pyarrow Table.
     combine="shuffle": final combine via Ray groupby; returns a Dataset.
+
+    Missing-value semantics are pandas' (skipna): NULL and float NaN
+    are both treated as missing by sum/min/max/mean/var/std and by
+    (col, "count"); (None, "count") counts rows. SQL differs on NaN
+    (a value there) — the oracle-gated queries never feed NaN, and
+    callers comparing against SQL should pre-filter NaN if it can
+    occur.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     kernel, plan = _partial_kernel(keys, spec)

@@ -74,3 +74,21 @@ def test_grouped_agg_null_int_keys_across_blocks(ray_session, combine):
            for k, n, s in zip(tbl["k"].to_pylist(), tbl["n"].to_pylist(),
                               tbl["s"].to_pylist())}
     assert got == {1: (2, 30.0), 7: (2, 3.0), None: (2, 12.0)}
+
+
+def test_count_kind_respects_source_column(ray_session):
+    """(col, 'count') counts NON-missing values of that column;
+    (None, 'count') counts rows — previously both were row counts."""
+    t = pa.table({"g": pa.array([1, 1, 2], pa.int64()),
+                  "x": pa.array([np.inf, np.nan, None], pa.float64())})
+    for combine in ("driver", "shuffle"):
+        out = grouped_agg(rd.from_arrow(t).repartition(2), "g",
+                          {"rows": (None, "count"), "vals": ("x", "count")},
+                          combine=combine)
+        tbl = out if isinstance(out, pa.Table) else pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")
+             if b.num_rows])
+        got = {g: (r, v) for g, r, v in zip(tbl["g"].to_pylist(),
+                                            tbl["rows"].to_pylist(),
+                                            tbl["vals"].to_pylist())}
+        assert got == {1: (2, 1), 2: (1, 0)}
