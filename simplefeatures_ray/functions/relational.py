@@ -179,9 +179,28 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         return lhs.join(rhs, keys=key, join_type=join_type)\
                   .replace_schema_metadata(None)
 
-    from .windows import align_union_schema
+    # pad both sides to ONE static union schema built from the INPUT
+    # schemas (not the post-map executed schemas — a zero-row side
+    # reports schema None after map_batches, and aligning to only the
+    # non-empty side would drop the empty side's columns and break
+    # join_bucket's select)
+    fields: dict = {}
+    for s in (left_ds.schema(), right_ds.schema()):
+        if s is not None:
+            for n, ty in zip(s.names, s.types):
+                fields.setdefault(n, ty)
+    fields["__bucket"] = pa.int32()
+    fields["__side"] = pa.int8()
 
-    lt, rt = align_union_schema(lt, rt)
+    def pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n, ty in fields.items():
+            cols[n] = (pc.cast(t[n], ty) if n in t.column_names
+                       else pa.nulls(len(t), ty))
+        return pa.table(cols)
+
+    lt = lt.map_batches(pad, batch_format="pyarrow")
+    rt = rt.map_batches(pad, batch_format="pyarrow")
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow")

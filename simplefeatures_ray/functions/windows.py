@@ -31,6 +31,15 @@ def align_union_schema(ds_a, ds_b):
     (same names, same order) before a union — mismatched block schemas
     trigger per-bundle warnings and pandas dtype upcasts downstream."""
     sa, sb = ds_a.schema(), ds_b.schema()
+    # a pipeline over zero input rows reports schema None — there is
+    # nothing to pad on that side, so align to whichever side has one
+    # (both None: the union of two empties needs no alignment)
+    if sa is None and sb is None:
+        return ds_a, ds_b
+    if sa is None:
+        sa = sb
+    if sb is None:
+        sb = sa
     names = list(sa.names) + [n for n in sb.names if n not in sa.names]
     types = {}
     for s in (sa, sb):

@@ -45,3 +45,21 @@ def test_bucketed_join_matches_arrow_reference(ray_session, trial):
                                     ).reset_index(drop=True)
         pd.testing.assert_frame_equal(gs.astype(object), ws.astype(object),
                                       check_dtype=False)
+
+
+def test_bucketed_join_empty_sides(ray_session):
+    """Zero-row sides (post-map schema None) must not crash or drop
+    columns: inner with any empty side is empty; left outer with an
+    empty right keeps every left row with null right columns."""
+    empty_v = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                      "v": pa.array([], pa.float64())}))
+    empty_c = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                      "c": pa.array([], pa.int64())}))
+    full = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "b": pa.array([5, 6], pa.int64())}))
+    assert bucketed_join(empty_v, empty_c, key="k").count() == 0
+    assert bucketed_join(empty_v, full, key="k").count() == 0
+    assert bucketed_join(full, empty_c, key="k").count() == 0
+    j = bucketed_join(full, empty_c, key="k",
+                      join_type="left outer").to_pandas()
+    assert len(j) == 2 and j["c"].isna().all()
