@@ -102,6 +102,21 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     salted aggregation."""
     import pyarrow.compute as pc
 
+    # a zero-row LAZY side can report schema None (Ray cannot infer a
+    # schema with no blocks to run the maps on): the join result is then
+    # fully determined without any shuffle. inner/semi with an unknowable
+    # side are empty; anti/left-outer with an unknowable RIGHT return the
+    # left rows as-is (for left outer the right columns are unknowable —
+    # callers needing them must supply a side with a known schema).
+    sl, sr = left_ds.schema(), right_ds.schema()
+    if sl is None:
+        return left_ds
+    if sr is None:
+        if join_type in ("left anti", "left outer"):
+            return left_ds
+        return left_ds.map_batches(lambda t: t.slice(0, 0),
+                                   batch_format="pyarrow")
+
     def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
         # NULL keys never equi-match, so their bucket only needs to be
         # deterministic (left-outer keeps the row whichever bucket it

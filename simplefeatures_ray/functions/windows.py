@@ -181,7 +181,45 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
             direction=direction, suffixes=("", "_right"),
         )
 
-    lt, rt = align_union_schema(lt, rt)
+    # static union pad from the INPUT schemas: a zero-row side reports
+    # schema None after the bucket-tag maps, and aligning to only the
+    # non-empty side would drop its columns (KeyError in merge_bucket's
+    # explicit column selects)
+    sl, sr = left_ds.schema(), right_ds.schema()
+    if sl is None:
+        return left_ds  # no left rows -> no output rows
+    if sr is None:
+        # no right rows: every left row stands alone with null right
+        # columns (same shape merge_bucket's empty-rhs branch emits)
+        extra = [ts_right] + [c for c in right_cols
+                              if c not in (key, ts_right)]
+
+        def left_only(t: pa.Table) -> pa.Table:
+            for c in extra:
+                name = c if c not in t.column_names else c + "_right"
+                t = t.append_column(name, pa.nulls(len(t)))
+            return t
+
+        return left_ds.map_batches(left_only, batch_format="pyarrow")
+    fields: dict = {}
+    for s in (sl, sr):
+        if s is not None:
+            for n, ty in zip(s.names, s.types):
+                fields.setdefault(n, ty)
+    fields["__bucket"] = pa.int32()
+    fields["__side"] = pa.int8()
+
+    def pad(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {}
+        for n, ty in fields.items():
+            cols[n] = (pc.cast(t[n], ty) if n in t.column_names
+                       else pa.nulls(len(t), ty))
+        return pa.table(cols)
+
+    lt = lt.map_batches(pad, batch_format="pyarrow")
+    rt = rt.map_batches(pad, batch_format="pyarrow")
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(
         arrow_groups(merge_bucket), batch_format="pyarrow")

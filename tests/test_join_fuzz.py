@@ -63,3 +63,45 @@ def test_bucketed_join_empty_sides(ray_session):
     j = bucketed_join(full, empty_c, key="k",
                       join_type="left outer").to_pandas()
     assert len(j) == 2 and j["c"].isna().all()
+
+
+def test_asof_interval_cell_joins_empty_sides(ray_session):
+    """Zero-row (schema-less lazy) sides through the asof, interval and
+    cell joins: no crash, correct emptiness; asof with an empty right
+    keeps left rows with null right columns."""
+    from simplefeatures_ray.functions.windows import asof_join, interval_join
+    from simplefeatures_ray.stages.join import cell_spatial_join
+
+    eL = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "tl": pa.array([], pa.int64()),
+                                 "lid": pa.array([], pa.int64())}))
+    fR = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                 "tr": pa.array([5], pa.int64()),
+                                 "rid": pa.array([9], pa.int64())}))
+    fL = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                 "tl": pa.array([7], pa.int64()),
+                                 "lid": pa.array([3], pa.int64())}))
+    eR = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "tr": pa.array([], pa.int64()),
+                                 "rid": pa.array([], pa.int64())}))
+    kw = dict(key="k", ts_left="tl", ts_right="tr", right_cols=["rid"])
+    assert asof_join(eL, fR, **kw).count() == 0
+    j = asof_join(fL, eR, **kw).to_pandas()
+    assert len(j) == 1 and j["rid"].isna().all()
+
+    fp = rd.from_arrow(pa.table({"pid": pa.array([1], pa.int64()),
+                                 "t": pa.array([5], pa.int64())}))
+    ei = rd.from_arrow(pa.table({"iid": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64()),
+                                 "e": pa.array([], pa.int64())}))
+    assert interval_join(fp, ei, t_col="t", start_col="s", end_col="e",
+                         bucket=10).count() == 0
+
+    fpts = rd.from_arrow(pa.table({"pid": pa.array([1], pa.int64()),
+                                   "x": pa.array([0.5]),
+                                   "y": pa.array([0.5])}))
+    ebx = rd.from_arrow(pa.table({
+        "bid": pa.array([], pa.int64()), "minx": pa.array([], pa.float64()),
+        "miny": pa.array([], pa.float64()), "maxx": pa.array([], pa.float64()),
+        "maxy": pa.array([], pa.float64())}))
+    assert cell_spatial_join(fpts, ebx, cell_size=1.0).count() == 0
