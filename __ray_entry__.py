@@ -118,22 +118,34 @@ def q3_revenue_topk(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from simplefeatures_ray.functions.relational import broadcast_join, collect_table
+    from simplefeatures_ray.functions.relational import (
+        broadcast_join, bucketed_join, collect_table)
 
+    # Only the filtered BUILDING key COLUMN is collected/broadcast (the one
+    # genuinely small side); the orders fact table streams through a
+    # broadcast semi-join and attaches to lineitem via a bucketed hash
+    # join — no O(sf) table ever materializes on the driver.
     cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
     cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"])
-    orders = collect_table(_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]))
-    orders_b = orders.join(cust, keys=["o_custkey"], right_keys=["c_custkey"], join_type="left semi")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_b = broadcast_join(orders, cust, keys="o_custkey",
+                              right_keys="c_custkey", join_type="left semi")
+
+    def orders_key(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    orders_b = orders_b.map_batches(orders_key, batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def derive(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("rev", rev)
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
     li = li.map_batches(derive, batch_format="pyarrow")
-    joined = broadcast_join(li, orders_b.select(["o_orderkey", "o_orderdate"]),
-                            keys="l_orderkey", right_keys="o_orderkey", join_type="inner")
+    joined = bucketed_join(li, orders_b, key="l_orderkey", n_buckets=32)
     agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("rev", alias_name="revenue"))
     agg = _cents_cols(agg, ["revenue"])
     top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
@@ -760,16 +772,28 @@ def docs_dup_clusters(sf_dir: str):
 def docs_dedup_filtered(sf_dir: str):
     """Near-dup REMOVAL applied end-to-end: SimHash pairs -> connected
     components -> drop every non-canonical cluster member (doc_id !=
-    cluster_id) via a broadcast anti-join. The corpus that ships after
-    dedup."""
-    from simplefeatures_ray.functions.relational import broadcast_join, collect_table
+    cluster_id) via a bucketed LEFT ANTI join. At web scale the loser
+    set is corpus-proportional (30-50% dup rates) so it is NEVER
+    collected or broadcast — same shape as docs_cc_pipeline."""
+    import ray.data as rd
+
     import pyarrow.compute as pc
 
-    t = collect_table(docs_dup_clusters(sf_dir))
-    losers = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])) \
-              .select(["doc_id"])
+    from simplefeatures_ray.functions.relational import bucketed_join
+
+    clusters = docs_dup_clusters(sf_dir)
+    if isinstance(clusters, pa.Table):
+        clusters = rd.from_arrow(clusters)
+
+    def losers_kernel(t: pa.Table) -> pa.Table:
+        bad = pc.not_equal(pc.cast(t["doc_id"], pa.int64()),
+                           pc.cast(t["cluster_id"], pa.int64()))
+        return pa.table({"doc_id": t["doc_id"]}).filter(bad)
+
+    losers = clusters.map_batches(losers_kernel, batch_format="pyarrow")
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return broadcast_join(ds, losers, keys="doc_id", join_type="left anti")
+    return bucketed_join(ds, losers, key="doc_id", n_buckets=16,
+                         join_type="left anti")
 
 
 def docs_cc_pipeline(sf_dir: str):

@@ -363,10 +363,10 @@ def term_stats(ds, n_docs: int, id_col: str = "doc_id",
     DISTINCT (doc, term) rows — shuffle volume is bounded by distinct
     pairs, never total token count — finished on coarse hash partitions
     (combine="shuffle": vocabulary cardinality is unbounded). The DF
-    table (one row per vocab term) then joins back as the engine's usual
-    broadcast small side; for a vocabulary too large to broadcast,
-    swap the final join for functions/relational.bucketed_join on
-    `term` — the shape is otherwise identical.
+    table (one row per vocab term) joins back via a BUCKETED hash join
+    on `term` — web-corpus vocabularies run to 1e8+ distinct terms, so
+    the df side is never collected or broadcast; the tf side is already
+    term-keyed so the extra cost is one bounded groupby shuffle.
 
     tfidf = round(tf * ln(n_docs / df), round_digits) + 0.0 (signed-zero
     canonicalized like the proj oracles).
@@ -374,7 +374,7 @@ def term_stats(ds, n_docs: int, id_col: str = "doc_id",
     import pandas as pd
     import pyarrow.compute as pc
 
-    from .relational import broadcast_join
+    from .relational import bucketed_join
 
     def tf_kernel(batch: pa.Table) -> pa.Table:
         w = _word_table(batch, id_col, text_col)
@@ -389,7 +389,7 @@ def term_stats(ds, n_docs: int, id_col: str = "doc_id",
 
     df_ds = grouped_agg(tf, "term", {"df": (id_col, "count")},
                         combine="shuffle")
-    joined = broadcast_join(tf, df_ds, keys="term")
+    joined = bucketed_join(tf, df_ds, key="term", n_buckets=32)
 
     n_f = float(n_docs)
 
