@@ -64,10 +64,14 @@ def _cents_cols(ds, cols, scale: int = 100):
     integer scaling is. Accepts a Dataset or a pyarrow Table."""
 
     def kernel(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.functions._pdarrow import cents_half_away
+
         for col in cols:
             if col in t.column_names:
                 i = t.column_names.index(col)
-                v = np.rint(np.asarray(t[col], dtype=np.float64) * scale).astype(np.int64)
+                # half-AWAY-from-zero = DuckDB ROUND; np.rint (half-to-
+                # even) flips exactly-representable .5 products
+                v = cents_half_away(t[col], scale)
                 t = t.set_column(i, col, pa.array(v, pa.int64()))
         return t
 
@@ -925,8 +929,8 @@ def events_hourly_profile(sf_dir: str):
         us = np.asarray(pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
                                 pa.int64()))
         hod = (us // 3_600_000_000) % 24
-        cents = np.rint(np.asarray(t["value"], dtype=np.float64) * 100
-                        ).astype(np.int64)
+        from simplefeatures_ray.functions._pdarrow import cents_half_away
+        cents = cents_half_away(t["value"])
         return pa.table({"hour": pa.array(hod.astype(np.int64)),
                          "event_type": t["event_type"],
                          "c": pa.array(cents)})
@@ -1421,8 +1425,8 @@ def events_value_moments(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def cents_sq(t: pa.Table) -> pa.Table:
-        v = np.rint(np.asarray(t["value"], dtype=np.float64) * 100
-                    ).astype(np.int64)
+        from simplefeatures_ray.functions._pdarrow import cents_half_away
+        v = cents_half_away(t["value"])
         return pa.table({"event_type": t["event_type"],
                          "c": pa.array(v), "c2": pa.array(v * v)})
 
@@ -1457,9 +1461,10 @@ def events_value_percentiles(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
-        v = np.rint(np.asarray(t["value"], dtype=np.float64) * 100)
+        from simplefeatures_ray.functions._pdarrow import cents_half_away
+        v = cents_half_away(t["value"])
         return pa.table({"event_type": t["event_type"],
-                         "value_c": pa.array(v.astype(np.int64))})
+                         "value_c": pa.array(v)})
 
     q = exact_quantiles(ds.map_batches(cents, batch_format="pyarrow"),
                         "value_c", [0.5, 0.9, 0.99],

@@ -66,3 +66,16 @@ def restore_types(df: pd.DataFrame, in_sch: pa.Schema, only=None) -> pa.Table:
             out = out.set_column(
                 i, name, out.column(i).cast(in_sch.field(j).type))
     return out.replace_schema_metadata(None)
+
+
+def cents_half_away(v, scale: float = 100.0):
+    """Quantize value*scale to integer 'cents' with round-HALF-AWAY-
+    from-zero — the rounding rule of SQL ROUND (DuckDB/ANSI). np.rint /
+    np.round are half-to-even, which flips any product that is exactly
+    representable at .5 (e.g. 0.125*100 = 12.5 -> 12 vs SQL's 13), so
+    every engine-side cents gate must share THIS rule with its oracle.
+    """
+    import numpy as np
+
+    a = np.asarray(v, dtype=np.float64) * scale
+    return np.copysign(np.floor(np.abs(a) + 0.5), a).astype(np.int64)

@@ -23,7 +23,9 @@ _KINDS = {"sum", "count", "min", "max", "mean", "var", "std"}
 
 
 def _partial_kernel(keys, spec):
-    # decompose: mean -> (sum, count); var/std -> (sum, sumsq, count);
+    # decompose: mean -> (sum, count); var/std -> (sum, M2, count) with
+    # M2 = per-batch centered sum of squares (Chan/Welford partial —
+    # E[x^2]-E[x]^2 catastrophically cancels when |mean| >> spread);
     # count -> count of rows
     plan = {}  # partial_col -> (src, op)
     for out, (src, kind) in spec.items():
@@ -32,7 +34,7 @@ def _partial_kernel(keys, spec):
             plan[f"__{out}_cnt"] = (src, "count")
         elif kind in ("var", "std"):
             plan[f"__{out}_sum"] = (src, "sum")
-            plan[f"__{out}_sqs"] = (src, "sumsq")
+            plan[f"__{out}_m2"] = (src, "m2")
             plan[f"__{out}_cnt"] = (src, "count")
         elif kind == "count":
             # (None, "count") = row count; (col, "count") = that
@@ -44,17 +46,15 @@ def _partial_kernel(keys, spec):
             plan[f"__{out}_{kind}"] = (src, kind)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        sq = {p: df[src].to_numpy(dtype=np.float64) ** 2
-              for p, (src, op) in plan.items() if op == "sumsq"}
-        if sq:
-            df = df.assign(**sq)
         g = df.groupby(keys, sort=False, dropna=False)
         cols = {}
         for pcol, (src, op) in plan.items():
             if op == "count":
                 cols[pcol] = g.size() if src is None else g[src].count()
-            elif op == "sumsq":
-                cols[pcol] = g[pcol].sum()
+            elif op == "m2":
+                # centered per-batch: n * var_pop, 0 for empty/1-element
+                # groups (NaN would poison the combine sums)
+                cols[pcol] = (g[src].var(ddof=0) * g[src].count()).fillna(0.0)
             else:
                 cols[pcol] = getattr(g[src], op)()
         out = pd.DataFrame(cols).reset_index()
@@ -64,10 +64,28 @@ def _partial_kernel(keys, spec):
 
 
 def _combine_frame(df: pd.DataFrame, keys, spec, plan) -> pd.DataFrame:
+    m2_cols = [p for p, (_, op) in plan.items() if op == "m2"]
+    if m2_cols:
+        # Chan parallel merge: M2_total = sum(M2_i) + sum(n_i*(mu_i-mu)^2).
+        # Fold the between-partial term into the M2 column BEFORE the
+        # final sum — mu_i - mu is an actual elementwise subtraction,
+        # so no large-square cancellation at any mean magnitude.
+        df = df.copy()
+        gt = df.groupby(keys, sort=False, dropna=False)
+        for pcol in m2_cols:
+            base = pcol[: -len("_m2")]
+            ni = df[f"{base}_cnt"].to_numpy(dtype=np.float64)
+            si = df[f"{base}_sum"].to_numpy(dtype=np.float64)
+            N = gt[f"{base}_cnt"].transform("sum").to_numpy(dtype=np.float64)
+            S = gt[f"{base}_sum"].transform("sum").to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d = np.where(ni > 0, si / np.where(ni > 0, ni, 1.0)
+                             - S / np.where(N > 0, N, 1.0), 0.0)
+            df[pcol] = df[pcol].to_numpy(dtype=np.float64) + ni * d * d
     g = df.groupby(keys, sort=False, dropna=False)
     partial = {}
     for pcol, (_, op) in plan.items():
-        if op in ("sum", "count", "sumsq"):
+        if op in ("sum", "count", "m2"):
             partial[pcol] = g[pcol].sum()
         else:
             partial[pcol] = getattr(g[pcol], op)()
@@ -77,13 +95,11 @@ def _combine_frame(df: pd.DataFrame, keys, spec, plan) -> pd.DataFrame:
         if kind == "mean":
             out[name] = combined[f"__{name}_sum"] / combined[f"__{name}_cnt"]
         elif kind in ("var", "std"):
-            # population moments: E[x^2] - E[x]^2. One pass + exact
-            # integer inputs keep this stable; callers gate at a shared
-            # rounding precision (see __ray_entry__ canonicalization).
+            # population variance = merged M2 / n (Chan/Welford — stable
+            # for float data whose mean dwarfs its spread)
             n = combined[f"__{name}_cnt"].to_numpy(dtype=np.float64)
-            mu = combined[f"__{name}_sum"].to_numpy(dtype=np.float64) / n
-            v = combined[f"__{name}_sqs"].to_numpy(dtype=np.float64) / n - mu * mu
-            v = np.maximum(v, 0.0)
+            v = np.maximum(
+                combined[f"__{name}_m2"].to_numpy(dtype=np.float64), 0.0) / n
             out[name] = np.sqrt(v) if kind == "std" else v
         elif kind == "count":
             out[name] = combined[f"__{name}_cnt"].astype(np.int64)

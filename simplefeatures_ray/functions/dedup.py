@@ -327,9 +327,16 @@ def _sha_word_hash(w: str) -> int:
 
 
 class SimHash:
-    """64-bit SimHash over word-unigram hashes, vectorized per doc.
-    Word hash is sha256-derived (see _sha_word_hash) with a per-actor
-    cache of word -> hash."""
+    """64-bit SimHash over word-unigram hashes, vectorized per BATCH.
+
+    Word hash is sha256-derived (see _sha_word_hash) so a SQL oracle can
+    recompute it. The batch path tokenizes with one Arrow split kernel,
+    dictionary-encodes the flattened words, sha256-hashes only the
+    batch's DISTINCT words (per-actor cache across batches), and
+    accumulates the per-row bit votes with np.add.at — no Python work
+    proportional to token count. Non-ASCII rows fall back to the
+    per-row reference path (`simhash`), whose Python `\\w` tokenization
+    the Arrow RE2 split only matches for ASCII text."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -342,6 +349,7 @@ class SimHash:
         return h
 
     def simhash(self, text: str) -> int:
+        """Per-row reference path (non-ASCII rows and tests)."""
         words = [w.lower() for w in _WORD.findall(text or "")]
         if not words:
             return 0
@@ -357,12 +365,43 @@ class SimHash:
         return int(out)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.fromiter(
-            (self.simhash(t) for t in batch[self.text_col].to_pylist()),
-            dtype=np.uint64,
-            count=len(batch),
-        )
-        return batch.append_column("simhash", pa.array(vals, pa.uint64()))
+        import pyarrow.compute as pc
+
+        from . import _bytetext as bt
+
+        col = batch[self.text_col]
+        n = len(batch)
+        words = pc.split_pattern_regex(
+            pc.fill_null(pc.cast(col, pa.large_string()), ""),
+            pattern=r"[^\w']+")
+        flat = pc.utf8_lower(pc.list_flatten(words))
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(flat).combine_chunks()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.chunk(0) if d.num_chunks else pa.array([], pa.string()).dictionary_encode()
+        vocab = d.dictionary.to_pylist()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hv_vocab = np.fromiter((self._wh(w) for w in vocab),
+                               dtype=np.uint64, count=len(vocab))
+        keep_vocab = np.fromiter((w != "" for w in vocab),
+                                 dtype=bool, count=len(vocab))
+        votes = np.zeros((n, 64), dtype=np.int64)
+        if len(codes):
+            keep = keep_vocab[codes]
+            hv = hv_vocab[codes[keep]]
+            rows = parents[keep]
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            np.add.at(votes, rows, 2 * bits - 1)
+        sig = np.zeros(n, dtype=np.uint64)
+        pos = votes > 0
+        for i in range(64):
+            sig |= pos[:, i].astype(np.uint64) << np.uint64(i)
+        # rows the RE2/ASCII tokenization can't reproduce: per-row twin
+        b = bt.BatchText(col)
+        for i in b.nonascii_rows:
+            sig[i] = self.simhash(b.row_text(int(i)))
+        return batch.append_column("simhash", pa.array(sig, pa.uint64()))
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -87,7 +87,8 @@ def broadcast_join(big_ds, small, keys, right_keys=None, join_type="inner",
 
 
 def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
-                  join_type: str = "inner", n_salts: int = 1):
+                  join_type: str = "inner", n_salts: int = 1,
+                  right_schema: pa.Schema | None = None):
     """Large×large partitioned hash join: add bucket = hash(key) % B to both
     sides, then join per bucket inside map_groups. The all-to-all cost is
     one groupby shuffle per side; B bounds per-task memory.
@@ -99,23 +100,53 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     key (one grid cell holding a city's worth of points) spreads across
     n_salts tasks at the cost of n_salts x |right| exchange volume —
     the classic skew-join trade, same rationale as stages/shuffle.py's
-    salted aggregation."""
+    salted aggregation.
+
+    right_schema: optional hint for when the right side is a zero-row
+    LAZY dataset whose schema Ray cannot infer (schema() None). WITHOUT
+    it, a 'left outer' join against such a side returns the left rows
+    with NO right columns — the output schema then depends on whether
+    the empty side's schema was inferable, and a downstream select of a
+    right column KeyErrors only in the empty-lazy case. WITH it, the
+    right columns are appended as typed nulls (same contract as
+    asof_join's non-lazy empty path)."""
     import pyarrow.compute as pc
 
     # a zero-row LAZY side can report schema None (Ray cannot infer a
     # schema with no blocks to run the maps on): the join result is then
     # fully determined without any shuffle. inner/semi with an unknowable
     # side are empty; anti/left-outer with an unknowable RIGHT return the
-    # left rows as-is (for left outer the right columns are unknowable —
-    # callers needing them must supply a side with a known schema).
+    # left rows as-is (left outer pads the right columns as typed nulls
+    # when the right_schema hint supplies their types).
     sl, sr = left_ds.schema(), right_ds.schema()
     if sl is None:
         return left_ds
+    if sr is None and right_schema is not None:
+        sr = right_schema
     if sr is None:
-        if join_type in ("left anti", "left outer"):
+        if join_type == "left anti":
+            return left_ds
+        if join_type == "left outer":
             return left_ds
         return left_ds.map_batches(lambda t: t.slice(0, 0),
                                    batch_format="pyarrow")
+    if right_ds.schema() is None:
+        # known-empty right with a schema hint: no shuffle needed
+        if join_type in ("inner", "left semi"):
+            return left_ds.map_batches(lambda t: t.slice(0, 0),
+                                       batch_format="pyarrow")
+        if join_type == "left anti":
+            return left_ds
+        # left outer: left rows + typed null right columns
+        extra = [(f.name, f.type) for f in sr if f.name != key
+                 and f.name not in sl.names]
+
+        def pad(t: pa.Table) -> pa.Table:
+            for name, typ in extra:
+                t = t.append_column(name, pa.nulls(len(t), typ))
+            return t
+
+        return left_ds.map_batches(pad, batch_format="pyarrow")
 
     def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
         # NULL keys never equi-match, so their bucket only needs to be
@@ -296,6 +327,10 @@ def topk(ds, key: str, k: int, descending: bool = True, tie_cols=None):
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
     sch = ds.schema()
+    if sch is None:
+        # zero-row lazy input with no inferable schema: top-k of empty
+        # is empty (mirrors bucketed_join's schema-None shortcuts)
+        return ds.limit(k)
     cols, desc = sort_spec(getattr(sch, "base_schema", sch))
     return pruned.sort(cols, descending=desc).limit(k)
 

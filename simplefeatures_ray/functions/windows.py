@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ._pdarrow import arrow_groups
+from ._pdarrow import arrow_groups, cents_half_away
 import pyarrow.compute as pc
 
 
@@ -343,7 +343,7 @@ def rolling_mean(ds, key: str, ts_col: str, value_col: str,
     """
     import pandas as pd
 
-    from ._pdarrow import arrow_groups
+    from ._pdarrow import arrow_groups, cents_half_away
 
     def add_part(t: pa.Table) -> pa.Table:
         h = np.asarray(t[key], dtype=np.int64)
@@ -352,8 +352,7 @@ def rolling_mean(ds, key: str, ts_col: str, value_col: str,
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, ts_col, tie_col], kind="mergesort")
-        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0) \
-            .astype(np.int64)
+        cents = cents_half_away(df[value_col].to_numpy(dtype=np.float64))
         df = df.assign(__cents=cents)
         g = df.groupby(key, sort=False)["__cents"]
         s = g.rolling(window_rows, min_periods=1).sum() \
@@ -393,7 +392,7 @@ def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
     """
     import pandas as pd
 
-    from ._pdarrow import arrow_groups
+    from ._pdarrow import arrow_groups, cents_half_away
 
     stages = list(stages)
 
@@ -470,11 +469,16 @@ def transition_counts(ds, key: str, ts_col: str, type_col: str,
     combiner. The transition matrix itself never exceeds |types|^2 rows.
     """
     import pandas as pd
+    import pyarrow.compute as pc
 
     from .agg import grouped_agg
 
     def add_part(t: pa.Table) -> pa.Table:
-        p = (np.asarray(t[key], dtype=np.int64) % n_parts).astype(np.int32)
+        # NULL keys hash to one deterministic partition (SQL PARTITION BY
+        # groups all NULLs together — they must co-locate like any key)
+        h = pc.fill_null(pc.cast(t[key], pa.int64()), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p = (h % n_parts).astype(np.int32)
         return t.append_column("__part", pa.array(p, pa.int32()))
 
     parted = ds.map_batches(add_part, batch_format="pyarrow")
@@ -486,17 +490,22 @@ def transition_counts(ds, key: str, ts_col: str, type_col: str,
             return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
                                  "next_type": pd.Series([], dtype=object),
                                  "n": pd.Series([], dtype=np.int64)})
-        keys = df[key].to_numpy()
-        same = keys[:-1] == keys[1:]
+        # factorize keys so NULL forms ONE group (NaN != NaN would
+        # silently break every null-key sequence apart)
+        codes, _ = pd.factorize(df[key], use_na_sentinel=False)
+        same = codes[:-1] == codes[1:]
         types = df[type_col].to_numpy(dtype=object)
         out = pd.DataFrame({"prev_type": types[:-1][same],
                             "next_type": types[1:][same]})
-        g = (out.groupby(["prev_type", "next_type"], sort=False)
+        # dropna=False: transitions to/from a NULL event type are rows,
+        # exactly as the LEAD-based SQL GROUP BY keeps them
+        g = (out.groupby(["prev_type", "next_type"], sort=False,
+                         dropna=False)
              .size().rename("n").reset_index())
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    from ._pdarrow import arrow_groups
+    from ._pdarrow import arrow_groups, cents_half_away
 
     partial = parted.groupby("__part").map_groups(
         arrow_groups(per_part), batch_format="pyarrow")
@@ -517,7 +526,7 @@ def running_total(ds, key: str, ts_col: str, value_col: str, tie_col: str,
     cumsum."""
     import pandas as pd
 
-    from ._pdarrow import arrow_groups
+    from ._pdarrow import arrow_groups, cents_half_away
 
     def add_part(t: pa.Table) -> pa.Table:
         h = np.asarray(t[key], dtype=np.int64)
@@ -526,8 +535,7 @@ def running_total(ds, key: str, ts_col: str, value_col: str, tie_col: str,
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, ts_col, tie_col], kind="mergesort")
-        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0) \
-            .astype(np.int64)
+        cents = cents_half_away(df[value_col].to_numpy(dtype=np.float64))
         df = df.assign(__cents=cents)
         run = df.groupby(key, sort=False)["__cents"].cumsum()
         out = df[[key, tie_col]].copy()

@@ -92,3 +92,27 @@ def test_count_kind_respects_source_column(ray_session):
                                             tbl["rows"].to_pylist(),
                                             tbl["vals"].to_pylist())}
         assert got == {1: (2, 1), 2: (1, 0)}
+
+
+@pytest.mark.parametrize("combine", ["driver", "shuffle"])
+def test_var_std_large_mean_small_spread(ray_session, combine):
+    """Chan/Welford merge regression: float data with |mean| >> spread
+    (values ~1e8, true var ~1). The old single-pass E[x^2]-E[x]^2
+    combine catastrophically cancelled here and returned 0/garbage."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({"k": rng.integers(0, 4, n),
+                       "x": 1e8 + rng.normal(0.0, 1.0, n)})
+    out = grouped_agg(rd.from_pandas(df).repartition(8), "k",
+                      {"v": ("x", "var"), "s": ("x", "std")},
+                      combine=combine)
+    tbl = out if isinstance(out, pa.Table) else pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows])
+    ref = df.groupby("k")["x"].agg(
+        v=lambda s: s.var(ddof=0), s=lambda s: s.std(ddof=0)).reset_index()
+    got = {int(k): (v, s) for k, v, s in zip(
+        tbl["k"].to_pylist(), tbl["v"].to_pylist(), tbl["s"].to_pylist())}
+    for _, row in ref.iterrows():
+        gv, gs = got[int(row["k"])]
+        assert abs(gv - row["v"]) < 1e-6 * row["v"]
+        assert abs(gs - row["s"]) < 1e-6 * row["s"]

@@ -105,3 +105,52 @@ def test_asof_interval_cell_joins_empty_sides(ray_session):
         "miny": pa.array([], pa.float64()), "maxx": pa.array([], pa.float64()),
         "maxy": pa.array([], pa.float64())}))
     assert cell_spatial_join(fpts, ebx, cell_size=1.0).count() == 0
+
+
+def _lazy_empty(tbl: pa.Table):
+    """A zero-row dataset whose schema Ray CANNOT infer (schema() None):
+    a map over zero blocks never runs, so the post-map schema is
+    unknowable."""
+    ds = rd.from_arrow(tbl).map_batches(lambda t: t, batch_format="pyarrow")
+    return ds
+
+
+def test_bucketed_join_right_schema_hint(ray_session):
+    """left outer against a schema-less lazy right WITHOUT the hint
+    returns bare left rows (documented); WITH right_schema the right
+    columns appear as typed nulls, so the output schema no longer
+    depends on whether Ray could infer the empty side."""
+    full = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "b": pa.array([5, 6], pa.int64())}))
+    lazy = _lazy_empty(pa.table({"k": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.float64())}))
+    if lazy.schema() is not None:
+        import pytest
+
+        pytest.skip("Ray inferred the empty-map schema on this version")
+    bare = bucketed_join(full, lazy, key="k",
+                         join_type="left outer").to_pandas()
+    assert list(bare.columns) == ["k", "b"]
+    hint = pa.schema([("k", pa.int64()), ("c", pa.float64())])
+    j = bucketed_join(full, lazy, key="k", join_type="left outer",
+                      right_schema=hint)
+    t = pa.concat_tables(
+        [b for b in j.iter_batches(batch_format="pyarrow") if b.num_rows])
+    assert t.column_names == ["k", "b", "c"]
+    assert t.schema.field("c").type == pa.float64()
+    assert t["c"].null_count == 2
+    # inner/semi/anti with the hint: no shuffle, right-empty semantics
+    assert bucketed_join(full, lazy, key="k", join_type="inner",
+                         right_schema=hint).count() == 0
+    assert bucketed_join(full, lazy, key="k", join_type="left anti",
+                         right_schema=hint).count() == 2
+
+
+def test_topk_empty_lazy(ray_session):
+    """topk on a schema-less zero-row lazy dataset must return empty,
+    not TypeError on iterating a None schema."""
+    from simplefeatures_ray.functions.relational import topk
+
+    lazy = _lazy_empty(pa.table({"v": pa.array([], pa.float64()),
+                                 "id": pa.array([], pa.int64())}))
+    assert topk(lazy, "v", k=5).count() == 0
