@@ -2385,6 +2385,116 @@ def proj_epsg_chain(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def proj_national_grids(sf_dir: str):
+    """National-grid projection with TRUE EPSG parameter sets: event
+    lon/lat -> RGF93 / Lambert-93 (EPSG:2154, ellipsoidal LCC 2SP,
+    GRS80) and NAD83 / Conus Albers (EPSG:5070, ellipsoidal equal-area
+    conic) — the EPSG codes a reference user reaches through C-PROJ
+    (reference proj/proj.go:56-108), served from the engine's own
+    Snyder closed forms (simplefeatures_ray/ellipsoid.py). Coordinates
+    gate at mm; the oracle recomputes BOTH projections in SQL from
+    independently derived constants."""
+    from simplefeatures_ray.crs import TransformCRS
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    l93 = TransformCRS("EPSG:4326", "EPSG:2154", out_x="fx", out_y="fy")
+    alb = TransformCRS("EPSG:4326", "EPSG:5070", out_x="ax", out_y="ay")
+    out = pts.map_batches(l93, batch_format="pyarrow")
+    out = out.map_batches(alb, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # decimeter gate: numpy vs DuckDB POW/t**n differ by up to
+        # ~1e-7 m at continental rho; 1 decimal has ZERO boundary
+        # straddles over the full 252k-point x/y lattice (exhaustively
+        # enumerated — the lattice covers every scale factor)
+        return pa.table({
+            "event_id": t["event_id"],
+            "fx": pa.array(np.round(np.asarray(t["fx"]), 1) + 0.0),
+            "fy": pa.array(np.round(np.asarray(t["fy"]), 1) + 0.0),
+            "ax": pa.array(np.round(np.asarray(t["ax"]), 1) + 0.0),
+            "ay": pa.array(np.round(np.asarray(t["ay"]), 1) + 0.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _proj_national_oracle_sql() -> str:
+    """SQL twin of proj_national_grids: LCC-2SP + Albers per-point math
+    in DuckDB. The projection CONSTANTS (n, F, rho0 / n, C, rho0) are
+    derived here with the math module — an independent recomputation of
+    the Snyder setup, not an import of ellipsoid.py's values."""
+    import math
+
+    from simplefeatures_ray.pipelines.corpus import event_points_sql
+
+    a = 6378137.0
+    f = 1.0 / 298.257222101            # GRS80
+    e = math.sqrt(f * (2.0 - f))
+
+    def m_of(phi):
+        return math.cos(phi) / math.sqrt(1.0 - (e * math.sin(phi)) ** 2)
+
+    def t_of(phi):
+        es = e * math.sin(phi)
+        return (math.tan(math.pi / 4.0 - phi / 2.0)
+                / ((1.0 - es) / (1.0 + es)) ** (e / 2.0))
+
+    def q_of(phi):
+        s = math.sin(phi)
+        es = e * s
+        return (1.0 - e * e) * (s / (1.0 - es * es)
+                                - 1.0 / (2.0 * e)
+                                * math.log((1.0 - es) / (1.0 + es)))
+
+    # Lambert-93: lat0 46.5, lon0 3, sp 49/44, FE 700000, FN 6600000
+    p0, p1, p2 = (math.radians(v) for v in (46.5, 49.0, 44.0))
+    n_l = ((math.log(m_of(p1)) - math.log(m_of(p2)))
+           / (math.log(t_of(p1)) - math.log(t_of(p2))))
+    F_l = m_of(p1) / (n_l * t_of(p1) ** n_l)
+    rho0_l = a * F_l * t_of(p0) ** n_l
+    # Conus Albers: lat0 23, lon0 -96, sp 29.5/45.5, FE/FN 0
+    q0, q1, q2 = (math.radians(v) for v in (23.0, 29.5, 45.5))
+    n_a = (m_of(q1) ** 2 - m_of(q2) ** 2) / (q_of(q2) - q_of(q1))
+    C_a = m_of(q1) ** 2 + n_a * q_of(q1)
+    rho0_a = a * math.sqrt(C_a - n_a * q_of(q0)) / n_a
+
+    return f"""
+        WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}),
+        s1 AS (SELECT event_id, radians(x) AS lam, radians(y) AS phi,
+                      {e!r} * sin(radians(y)) AS es
+               FROM p),
+        lcc AS (SELECT event_id, lam, phi, es,
+                       {a * F_l!r} * POW(
+                         tan(pi()/4.0 - phi/2.0)
+                         / POW((1.0-es)/(1.0+es), {e / 2.0!r}),
+                         {n_l!r}) AS rho,
+                       {n_l!r} * (lam - radians(3.0)) AS th
+                FROM s1),
+        alb AS (SELECT event_id,
+                       {a / n_a!r} * sqrt({C_a!r} - {n_a!r} *
+                         ({1.0 - e * e!r} * (sin(phi)/(1.0-es*es)
+                          - {1.0 / (2.0 * e)!r}
+                            * ln((1.0-es)/(1.0+es))))) AS rho2,
+                       {n_a!r} * (lam - radians(-96.0)) AS th2
+                FROM s1)
+        SELECT l.event_id,
+               ROUND(700000.0 + l.rho * sin(l.th), 1) + 0.0 AS fx,
+               ROUND(6600000.0 + {rho0_l!r} - l.rho * cos(l.th), 1)
+                 + 0.0 AS fy,
+               ROUND(b.rho2 * sin(b.th2), 1) + 0.0 AS ax,
+               ROUND({rho0_a!r} - b.rho2 * cos(b.th2), 1) + 0.0 AS ay
+        FROM lcc l JOIN alb b USING (event_id)
+    """
+
+
 def proj_wgs84_chain(sf_dir: str):
     """TRUE-ellipsoid (WGS84) projection chain: event lon/lat ->
     EPSG:3395 World Mercator (isometric-latitude closed form) -> back to
@@ -3429,6 +3539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proj_epsg_chain": proj_epsg_chain,
         "proj_geodesic_dist": proj_geodesic_dist,
         "proj_wgs84_chain": proj_wgs84_chain,
+        "proj_national_grids": proj_national_grids,
         # projections / raster / multimodal
         "proj_web_mercator": proj_web_mercator,
         "raster_tiles": raster_tiles,
@@ -4887,6 +4998,7 @@ def oracle_sql() -> dict[str, str]:
         # atanh), Gauss-Schreiber coords, 6-term Krueger series with
         # hyperbolics expanded via exp — an independent SQL twin of
         # simplefeatures_ray/ellipsoid.py
+        "proj_national_grids": _proj_national_oracle_sql(),
         "proj_wgs84_chain": f"""
             WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}),
             s1 AS (SELECT event_id, x, y,

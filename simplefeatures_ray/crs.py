@@ -16,6 +16,13 @@ Registered codes:
   EPSG:326zz  UTM zone zz north (zz = 01..60) — ELLIPSOIDAL (WGS84)
               Krueger series, true EPSG semantics (ellipsoid.py)
   EPSG:327zz  UTM zone zz south — ellipsoidal
+  EPSG:258zz  ETRS89 / UTM zone zz north (zz = 28..38)
+  EPSG:2154   RGF93 / Lambert-93 (ellipsoidal LCC 2SP, GRS80)
+  EPSG:5070   NAD83 / Conus Albers (ellipsoidal equal-area, GRS80)
+  EPSG:27700  OSGB36 / British National Grid (TM, Airy 1830 — grid
+              math exact; no OSGB36<->WGS84 Helmert shift)
+  EPSG:2180   ETRS89 / Poland CS92 (TM, GRS80)
+  EPSG:2193   NZGD2000 / NZTM2000 (TM, GRS80)
   SPHERE:UTM:zz[S]  the engine's spherical UTM (carto.UTM), kept for
               parity with the reference's carto/ package
 
@@ -71,7 +78,64 @@ class _EquirectangularMeters:
 
 
 _UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
+_ETRS_UTM_RE = re.compile(r"^EPSG:258(\d\d)$")
 _SPHERE_UTM_RE = re.compile(r"^SPHERE:UTM:(\d\d?)(S?)$")
+
+
+def _tm_with_lat0(lon0, lat0, k0, fe, fn, a, f):
+    """Krueger TM grids with a non-equator natural-origin latitude
+    (EPSG 9807): northings are measured from lat0's meridian arc, so the
+    effective false northing is FN - k0*A*xi(lat0), obtained by probing
+    the forward at the natural origin."""
+    from .ellipsoid import TransverseMercatorEllipsoidal
+
+    tm = TransverseMercatorEllipsoidal(lon0_deg=lon0, k0=k0,
+                                       false_easting=fe, false_northing=0.0,
+                                       a=a, f=f)
+    if lat0:
+        _, y0 = tm.forward(np.array([lon0]), np.array([lat0]))
+        tm.fn = fn - float(y0[0])
+    else:
+        tm.fn = fn
+    return tm
+
+
+def _national_grids():
+    """EPSG codes for national/continental grids built from the engine's
+    own ellipsoidal projection classes with TRUE EPSG parameter sets
+    (the reference reaches these through C-PROJ, proj/proj.go:56-108).
+    Datum note: RGF93/NAD83/ETRS89 are treated as WGS84-coincident
+    (decimeter-level, the standard broad-scale approximation); OSGB36
+    uses the Airy 1830 ellipsoid but NO Helmert shift — grid coords are
+    exact for coordinates already referenced to OSGB36."""
+    from .ellipsoid import (AIRY1830_A, AIRY1830_F, GRS80_A, GRS80_F,
+                            AlbersEqualAreaEllipsoidal,
+                            LambertConformalConicEllipsoidal)
+
+    return {
+        # France: RGF93 / Lambert-93 (EPSG method 9802)
+        "EPSG:2154": lambda: LambertConformalConicEllipsoidal(
+            lon0=3.0, lat0=46.5, sp1=49.0, sp2=44.0,
+            false_easting=700000.0, false_northing=6600000.0,
+            a=GRS80_A, f=GRS80_F),
+        # USA: NAD83 / Conus Albers (EPSG method 9822)
+        "EPSG:5070": lambda: AlbersEqualAreaEllipsoidal(
+            lon0=-96.0, lat0=23.0, sp1=29.5, sp2=45.5,
+            false_easting=0.0, false_northing=0.0,
+            a=GRS80_A, f=GRS80_F),
+        # Great Britain: OSGB36 / British National Grid (EPSG 9807)
+        "EPSG:27700": lambda: _tm_with_lat0(
+            lon0=-2.0, lat0=49.0, k0=0.9996012717,
+            fe=400000.0, fn=-100000.0, a=AIRY1830_A, f=AIRY1830_F),
+        # Poland: ETRS89 / CS92
+        "EPSG:2180": lambda: _tm_with_lat0(
+            lon0=19.0, lat0=0.0, k0=0.9993,
+            fe=500000.0, fn=-5300000.0, a=GRS80_A, f=GRS80_F),
+        # New Zealand: NZGD2000 / NZTM2000
+        "EPSG:2193": lambda: _tm_with_lat0(
+            lon0=173.0, lat0=0.0, k0=0.9996,
+            fe=1600000.0, fn=10000000.0, a=GRS80_A, f=GRS80_F),
+    }
 
 
 def crs_for(code: str):
@@ -87,6 +151,9 @@ def crs_for(code: str):
         return MercatorEllipsoidal()
     if code == "EPSG:4087":
         return _EquirectangularMeters()
+    grids = _national_grids()
+    if code in grids:
+        return grids[code]()
     m = _UTM_RE.match(code)
     if m:
         zone = int(m.group(2))
@@ -95,6 +162,15 @@ def crs_for(code: str):
         from .ellipsoid import UTMEllipsoidal
 
         return UTMEllipsoidal(zone, south=m.group(1) == "7")
+    m = _ETRS_UTM_RE.match(code)
+    if m:
+        # ETRS89 / UTM zone (258zz) — ETRS89 treated WGS84-coincident
+        zone = int(m.group(1))
+        if not 28 <= zone <= 38:
+            raise KeyError(f"bad ETRS89 UTM zone in {code}")
+        from .ellipsoid import UTMEllipsoidal
+
+        return UTMEllipsoidal(zone, south=False)
     m = _SPHERE_UTM_RE.match(code)
     if m:
         zone = int(m.group(1))

@@ -272,3 +272,138 @@ def geodesic_inverse_wgs84(lon1, lat1, lon2, lat2,
     dist = np.where(converged, dist, fallback)
     # coincident points: sigma == 0 exactly
     return np.where(sin_sigma == 0.0, 0.0, dist)
+
+
+# Other reference ellipsoids (for non-WGS84 national grids; the datum
+# shift itself is identity-approximated — RGF93/NAD83/ETRS89 agree with
+# WGS84 at the decimeter level, OSGB36 is wired with its own ellipsoid
+# but no Helmert shift, documented per-code in crs.py)
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+AIRY1830_A = 6377563.396
+AIRY1830_F = 1.0 / 299.3249646
+CLARKE1866_A = 6378206.4
+CLARKE1866_B = 6356583.8
+CLARKE1866_F = 1.0 - CLARKE1866_B / CLARKE1866_A
+
+
+def _conf_t(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder's t(phi) = tan(pi/4 - phi/2) / ((1-e sin)/(1+e sin))^(e/2)."""
+    es = e * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - es) / (1.0 + es)) ** (e / 2.0)
+
+
+def _snyder_m(phi: np.ndarray, e: float) -> np.ndarray:
+    """m(phi) = cos phi / sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _authalic_q(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder's q(phi) for the equal-area conics."""
+    s = np.sin(phi)
+    es = e * s
+    return (1.0 - e * e) * (s / (1.0 - es * es)
+                            - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es)))
+
+
+class LambertConformalConicEllipsoidal:
+    """Ellipsoidal Lambert Conformal Conic, 2 standard parallels
+    (EPSG method 9802; Snyder, "Map Projections — A Working Manual",
+    USGS PP 1395, pp. 107-109, public formulas). The reference reaches
+    this projection through C-PROJ (proj/proj.go:56-108)."""
+
+    def __init__(self, lon0: float, lat0: float, sp1: float, sp2: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a = a
+        self.e = math.sqrt(f * (2.0 - f))
+        self.lam0 = math.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0, phi1, phi2 = (math.radians(v) for v in (lat0, sp1, sp2))
+        m1 = float(_snyder_m(np.float64(phi1), self.e))
+        m2 = float(_snyder_m(np.float64(phi2), self.e))
+        t0 = float(_conf_t(np.float64(phi0), self.e))
+        t1 = float(_conf_t(np.float64(phi1), self.e))
+        t2 = float(_conf_t(np.float64(phi2), self.e))
+        if abs(phi1 - phi2) < 1e-12:
+            self.n = math.sin(phi1)
+        else:
+            self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = self.a * self.F * t0 ** self.n
+
+    def forward(self, lon, lat):
+        lam = _rad(lon)
+        phi = _rad(lat)
+        t = _conf_t(phi, self.e)
+        rho = self.a * self.F * t ** self.n
+        th = self.n * (lam - self.lam0)
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def reverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.sign(self.n) * np.sqrt(dx * dx + dy * dy)
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        # phi from t by fixed-point iteration (Snyder 7-9), ~1e-12 in 5
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            es = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (self.e / 2.0))
+        return _deg(self.lam0 + th / self.n), _deg(phi)
+
+
+class AlbersEqualAreaEllipsoidal:
+    """Ellipsoidal Albers Equal-Area Conic (EPSG method 9822; Snyder
+    pp. 101-102). Exactly area-preserving on the ellipsoid."""
+
+    def __init__(self, lon0: float, lat0: float, sp1: float, sp2: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a = a
+        self.e = math.sqrt(f * (2.0 - f))
+        self.lam0 = math.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0, phi1, phi2 = (math.radians(v) for v in (lat0, sp1, sp2))
+        m1 = float(_snyder_m(np.float64(phi1), self.e))
+        m2 = float(_snyder_m(np.float64(phi2), self.e))
+        q0 = float(_authalic_q(np.float64(phi0), self.e))
+        q1 = float(_authalic_q(np.float64(phi1), self.e))
+        q2 = float(_authalic_q(np.float64(phi2), self.e))
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def forward(self, lon, lat):
+        lam = _rad(lon)
+        phi = _rad(lat)
+        q = _authalic_q(phi, self.e)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lam - self.lam0)
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def reverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.sqrt(dx * dx + dy * dy)
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        e, e2 = self.e, self.e * self.e
+        # Snyder 3-16 iteration from the authalic latitude seed
+        qp = float(_authalic_q(np.float64(np.pi / 2.0), e))
+        phi = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            es = e * s
+            one = 1.0 - es * es
+            phi = phi + one * one / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2) - s / one
+                + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es)))
+        return _deg(self.lam0 + th / self.n), _deg(phi)

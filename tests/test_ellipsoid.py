@@ -197,3 +197,94 @@ def test_vincenty_inverse_wgs84():
     z = geodesic_inverse_wgs84(np.array([7.0]), np.array([-3.0]),
                                np.array([7.0]), np.array([-3.0]))
     assert z[0] == 0.0
+
+
+class TestNationalGrids:
+    """Ellipsoidal LCC/Albers + national TM grids vs PUBLISHED
+    conformance points (Snyder USGS PP 1395 numerical examples; EPSG
+    Guidance Note 7-2 OSGB example)."""
+
+    def test_lcc_snyder_example(self):
+        from simplefeatures_ray.ellipsoid import (
+            CLARKE1866_A, CLARKE1866_F, LambertConformalConicEllipsoidal)
+
+        p = LambertConformalConicEllipsoidal(lon0=-96, lat0=23, sp1=33,
+                                             sp2=45, a=CLARKE1866_A,
+                                             f=CLARKE1866_F)
+        x, y = p.forward(np.array([-75.0]), np.array([35.0]))
+        assert abs(float(x[0]) - 1894410.9) < 0.05
+        assert abs(float(y[0]) - 1564649.5) < 0.05
+        lon, lat = p.reverse(x, y)
+        assert abs(float(lon[0]) + 75.0) < 1e-9
+        assert abs(float(lat[0]) - 35.0) < 1e-9
+
+    def test_albers_snyder_example(self):
+        from simplefeatures_ray.ellipsoid import (
+            CLARKE1866_A, CLARKE1866_F, AlbersEqualAreaEllipsoidal)
+
+        p = AlbersEqualAreaEllipsoidal(lon0=-96, lat0=23, sp1=29.5,
+                                       sp2=45.5, a=CLARKE1866_A,
+                                       f=CLARKE1866_F)
+        x, y = p.forward(np.array([-75.0]), np.array([35.0]))
+        assert abs(float(x[0]) - 1885472.7) < 0.05
+        assert abs(float(y[0]) - 1535925.0) < 0.05
+        lon, lat = p.reverse(x, y)
+        assert abs(float(lon[0]) + 75.0) < 1e-9
+        assert abs(float(lat[0]) - 35.0) < 1e-9
+
+    def test_osgb_epsg_example(self):
+        """EPSG GN7-2 worked example: 50d30'N 0d30'E ->
+        E 577274.99, N 69740.50 (British National Grid)."""
+        from simplefeatures_ray.crs import crs_for
+
+        p = crs_for("EPSG:27700")
+        x, y = p.forward(np.array([0.5]), np.array([50.5]))
+        assert abs(float(x[0]) - 577274.99) < 0.02
+        assert abs(float(y[0]) - 69740.50) < 0.02
+
+    def test_lambert93_origin_and_paris(self):
+        from simplefeatures_ray.crs import crs_for
+
+        p = crs_for("EPSG:2154")
+        x, y = p.forward(np.array([3.0]), np.array([46.5]))
+        assert abs(float(x[0]) - 700000.0) < 1e-6
+        assert abs(float(y[0]) - 6600000.0) < 1e-6
+        # Paris Notre-Dame, known Lambert-93 coordinate (~decimeter)
+        x, y = p.forward(np.array([2.3522]), np.array([48.8566]))
+        assert abs(float(x[0]) - 652469.02) < 0.5
+        assert abs(float(y[0]) - 6862035.26) < 0.5
+
+    def test_conus_albers_preserves_area(self):
+        """The equal-area property, checked against the ellipsoid's
+        authalic area of a 0.2-degree quad over Kansas."""
+        from simplefeatures_ray.crs import crs_for
+        from simplefeatures_ray.ellipsoid import (GRS80_A, GRS80_F,
+                                                  _authalic_q)
+
+        p = crs_for("EPSG:5070")
+        lo0, la0, d = -98.0, 38.0, 0.2
+        lons = np.array([lo0, lo0 + d, lo0 + d, lo0])
+        lats = np.array([la0, la0, la0 + d, la0 + d])
+        x, y = p.forward(lons, lats)
+        planar = 0.5 * abs(float(
+            np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+        e = np.sqrt(GRS80_F * (2 - GRS80_F))
+        q1 = float(_authalic_q(np.radians(la0), e))
+        q2 = float(_authalic_q(np.radians(la0 + d), e))
+        truth = GRS80_A ** 2 / 2.0 * (q2 - q1) * np.radians(d)
+        assert abs(planar / truth - 1.0) < 1e-6
+
+    def test_roundtrips_all_new_codes(self):
+        from simplefeatures_ray.crs import crs_for
+
+        pts = {
+            "EPSG:2154": (2.35, 48.85), "EPSG:5070": (-98.0, 39.0),
+            "EPSG:27700": (-1.5, 52.5), "EPSG:2180": (21.0, 52.2),
+            "EPSG:2193": (174.8, -36.9), "EPSG:25832": (9.0, 51.0),
+        }
+        for code, (lon, lat) in pts.items():
+            p = crs_for(code)
+            x, y = p.forward(np.array([lon]), np.array([lat]))
+            lo, la = p.reverse(x, y)
+            assert abs(float(lo[0]) - lon) < 1e-9, code
+            assert abs(float(la[0]) - lat) < 1e-9, code
