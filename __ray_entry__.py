@@ -94,6 +94,20 @@ def _pages_count(sf_dir: str) -> int:
 # --------------------------------------------------------------------------- #
 
 
+
+def _int64_filled(col, fill: int = -1):
+    """Pure-Arrow int64 canonicalization of a join output column: the
+    union/merge path can float an int column (NaN on the no-match
+    rows); fill null AND NaN with `fill`, cast back to int64."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_floating(col.type):
+        col = pc.fill_null(col, float(fill))
+        col = pc.if_else(pc.is_nan(col), pa.scalar(float(fill)), col)
+        return pc.cast(col, pa.int64())
+    return pc.cast(pc.fill_null(col, pa.scalar(fill)), pa.int64())
+
+
 def q1_pricing_summary(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -235,15 +249,16 @@ def events_asof_orders(sf_dir: str):
     out = asof_join(events, orders, key="join_key", ts_left="ts",
                     ts_right="o_orderdate", right_cols=["o_orderkey"])
 
-    def finish(df):
-        df = df[["event_id", "join_key", "o_orderkey"]].copy()
-        # the union of the two sides floats event_id (NaN on right-side
-        # rows) — restore int64 so the oracle compare hashes identically
-        df["event_id"] = df["event_id"].astype(np.int64)
-        df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype(np.int64)
-        return df
+    def finish(t: pa.Table) -> pa.Table:
+        # pure-Arrow canonicalization (the union of the two sides floats
+        # event_id with NaN on right-side rows) — no pandas round-trip
+        return pa.table({
+            "event_id": _int64_filled(t["event_id"]),
+            "join_key": _int64_filled(t["join_key"]),
+            "o_orderkey": _int64_filled(t["o_orderkey"]),
+        })
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def events_asof_next_order(sf_dir: str):
@@ -275,16 +290,14 @@ def events_asof_next_order(sf_dir: str):
                     ts_right="o_orderdate", right_cols=["o_orderkey"],
                     direction="forward")
 
-    def finish(df):
-        df = df[["event_id", "join_key", "o_orderkey"]].copy()
-        df["event_id"] = df["event_id"].astype(np.int64)
-        df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype(np.int64)
-        return df
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": _int64_filled(t["event_id"]),
+            "join_key": _int64_filled(t["join_key"]),
+            "o_orderkey": _int64_filled(t["o_orderkey"]),
+        })
 
-    import pandas as pd  # noqa: F401
-
-    return out.map_batches(lambda t: finish(t.to_pandas()),
-                           batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def top_parts(sf_dir: str):
@@ -2003,6 +2016,50 @@ def spatial_knn_boxes(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def spatial_knn_dense(sf_dir: str):
+    """kNN against a DENSE 800-polygon broadcast corpus — above
+    KNNJoin.VECTOR_BOUND (512), so this gates the MBR-lower-bound
+    pruned vectorized sweep (stages/join.py _knn_large; the old
+    per-point tree-heap Python loop is gone). Oracle: SQL brute-force
+    box distance + ROW_NUMBER ranking over the same synthetic boxes."""
+    import ray
+
+    from simplefeatures_ray.pipelines.corpus import (
+        events_xy_int, synth_boxes_int_polygon_table)
+    from simplefeatures_ray.stages.join import (build_polygon_index,
+                                                knn_join_batch)
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy_int(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    index_ref = ray.put(
+        build_polygon_index(synth_boxes_int_polygon_table(800)))
+    out = pts.map_batches(
+        knn_join_batch,
+        fn_kwargs={"index_ref": index_ref, "k": 2,
+                   "x_col": "x", "y_col": "y"},
+        batch_format="pyarrow",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = np.round(np.asarray(t["knn_dist"], dtype=np.float64), 6)
+        return pa.table({
+            "event_id": t["event_id"],
+            "box_id": t["poly_id"],
+            "knn_dist": pa.array(d + 0.0),
+            "knn_rank": pc.cast(t["knn_rank"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def spatial_cell_join(sf_dir: str):
     """Large x large point-in-box join via the cell-bucketed SHUFFLE path
     (stages/join.py cell_spatial_join): boxes exploded to covering grid
@@ -3523,6 +3580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_radius": spatial_knn_radius,
         "s2_cell_counts": s2_cell_counts,
         "spatial_knn_boxes": spatial_knn_boxes,
+        "spatial_knn_dense": spatial_knn_dense,
         # geometry kernels
         "geom_area": geom_area,
         "geom_length": geom_length,
@@ -3559,6 +3617,8 @@ def oracle_sql() -> dict[str, str]:
         linestring_corpus,
         polygon_corpus,
         synth_boxes_sql,
+        synth_boxes_int_sql,
+        event_points_int_sql,
         synth_intervals_sql,
     )
 
@@ -4842,6 +4902,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_points
             FROM h5
             GROUP BY 1, 2
+        """,
+        "spatial_knn_dense": f"""
+            WITH d AS (
+              SELECT pts.event_id, boxes.box_id,
+                     sqrt(pow(greatest(boxes.minx - pts.x, 0, pts.x - boxes.maxx), 2)
+                        + pow(greatest(boxes.miny - pts.y, 0, pts.y - boxes.maxy), 2)) AS dist
+              FROM {event_points_int_sql('pts')}
+                   CROSS JOIN {synth_boxes_int_sql(800, 'boxes')}),
+            ranked AS (
+              SELECT event_id, box_id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY event_id
+                                        ORDER BY dist ASC, box_id ASC) - 1 AS knn_rank
+              FROM d)
+            SELECT event_id, box_id, ROUND(dist, 6) + 0.0 AS knn_dist, knn_rank
+            FROM ranked WHERE knn_rank < 2
         """,
         "spatial_knn_boxes": f"""
             WITH d AS (

@@ -287,3 +287,83 @@ def synth_convex_polys_values(n: int = 60) -> str:
         for j in range(len(_OCT_OX)):
             rows.append(f"({int(b[i])},{j},{vx[j]!r},{vy[j]!r})")
     return ", ".join(rows)
+
+
+def events_xy_int(event_id: np.ndarray):
+    """INTEGER-degree point grid (exact doubles): the kNN-vs-SQL gate
+    needs distances whose ties are exact in BOTH engines — the 0.01
+    lattice's unrepresentable decimals make sub-ulp knife-edges."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 360).astype(np.float64) - 180.0
+    y = (e * 104729 % 140).astype(np.float64) - 70.0
+    return x, y
+
+
+def event_points_int_sql(alias: str = "pts") -> str:
+    """SQL twin of events_xy_int."""
+    return (
+        f"(SELECT event_id, "
+        f"CAST(event_id * 7919 % 360 AS DOUBLE) - 180.0 AS x, "
+        f"CAST(event_id * 104729 % 140 AS DOUBLE) - 70.0 AS y "
+        f"FROM events) {alias}"
+    )
+
+
+def synth_boxes_int(n: int = 800):
+    """n deterministic INTEGER-cornered boxes (exact doubles; see
+    events_xy_int for why)."""
+    import pyarrow as pa
+
+    b = np.arange(n, dtype=np.int64)
+    cx = (b * 7907 % 360).astype(np.float64) - 180.0
+    cy = (b * 104717 % 140).astype(np.float64) - 70.0
+    w = (b * 31 % 8).astype(np.float64) + 2.0
+    h = (b * 17 % 6).astype(np.float64) + 2.0
+    return pa.table(
+        {
+            "box_id": pa.array(b),
+            "minx": pa.array(cx - w),
+            "miny": pa.array(cy - h),
+            "maxx": pa.array(cx + w),
+            "maxy": pa.array(cy + h),
+        }
+    )
+
+
+def synth_boxes_int_sql(n: int = 800, alias: str = "boxes") -> str:
+    """SQL twin of synth_boxes_int."""
+    return (
+        f"(SELECT b AS box_id, cx - w AS minx, cy - h AS miny, "
+        f"cx + w AS maxx, cy + h AS maxy FROM ("
+        f"SELECT r AS b, "
+        f"CAST(r * 7907 % 360 AS DOUBLE) - 180.0 AS cx, "
+        f"CAST(r * 104717 % 140 AS DOUBLE) - 70.0 AS cy, "
+        f"CAST(r * 31 % 8 AS DOUBLE) + 2.0 AS w, "
+        f"CAST(r * 17 % 6 AS DOUBLE) + 2.0 AS h "
+        f"FROM range({n}) t(r))) {alias}"
+    )
+
+
+def synth_boxes_int_polygon_table(n: int = 800):
+    """synth_boxes_int(n) in the polygon-table schema (wkb + envelope)."""
+    import pyarrow as pa
+
+    from ..geometry.wkb import to_wkb
+
+    b = synth_boxes_int(n)
+    minx = np.asarray(b["minx"]); miny = np.asarray(b["miny"])
+    maxx = np.asarray(b["maxx"]); maxy = np.asarray(b["maxy"])
+    wkbs = []
+    for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        wkbs.append(to_wkb(Geometry(3, 0, rings=[ring])))
+    return pa.table(
+        {
+            "poly_id": b["box_id"],
+            "wkb": pa.array(wkbs, pa.binary()),
+            "minx": b["minx"],
+            "miny": b["miny"],
+            "maxx": b["maxx"],
+            "maxy": b["maxy"],
+        }
+    )

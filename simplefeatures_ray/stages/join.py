@@ -130,13 +130,14 @@ class BroadcastSpatialJoin:
 
 
 class KNNJoin:
-    """k nearest polygons per point via best-first R-tree traversal
-    (reference rtree/nearest.go:12-55), exact refinement by
-    point-to-polygon distance; 0 inside. flat_map-style: k rows per point.
-    Ties broken by lowest poly_id (engine-defined total order)."""
+    """k nearest polygons per point (the reference's nearest-neighbour
+    query, rtree/nearest.go:12-55, recast as batch kernels), exact
+    point-to-polygon distance; 0 inside. flat_map-style: k rows per
+    point. Ties broken by lowest poly_id (engine-defined total order)."""
 
     # polygon counts up to this bound use the fully vectorized
-    # all-pairs distance matrix; larger sets use per-point tree traversal
+    # all-pairs distance matrix; larger sets use the MBR-lower-bound
+    # pruned sweep (_knn_large) — both loop-free over points
     VECTOR_BOUND = 512
 
     def __init__(self, index_ref=None, k: int = 1, x_col: str = "lon", y_col: str = "lat",
@@ -155,45 +156,81 @@ class KNNJoin:
             segs = [np.concatenate([r[:-1, :2], r[1:, :2]], axis=1) for r in rings if len(r) > 1]
             self.seg_arrays.append(np.concatenate(segs, axis=0) if segs else np.zeros((0, 4)))
 
-    def _exact_dist(self, x: float, y: float, poly_pos: int) -> float:
-        loc = points_in_polygon(np.array([x]), np.array([y]), self.ring_sets[poly_pos])[0]
-        if loc >= 0:
-            return 0.0
-        segs = self.seg_arrays[poly_pos]
+    def _poly_dist_vec(self, px: np.ndarray, py: np.ndarray, j: int) -> np.ndarray:
+        """Exact point-to-polygon-j distances for a point VECTOR (0 when
+        inside); one vectorized segment sweep, no per-point Python."""
+        from ..geometry.predicates import points_in_polygon
+
+        segs = self.seg_arrays[j]
+        if len(segs) == 0:
+            return np.full(len(px), np.inf)
         a = segs[:, :2]
         d = segs[:, 2:] - a
         dd = (d * d).sum(axis=1)
         dd[dd == 0] = 1.0
-        ap = np.array([x, y])[None, :] - a
-        t = np.clip((ap * d).sum(axis=1) / dd, 0.0, 1.0)
-        proj = a + t[:, None] * d
-        return float(np.hypot(x - proj[:, 0], y - proj[:, 1]).min())
+        pts = np.stack([px, py], axis=1)
+        ap = pts[:, None, :] - a[None, :, :]
+        t = np.clip((ap * d[None, :, :]).sum(axis=2) / dd[None, :], 0.0, 1.0)
+        proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
+        diff = pts[:, None, :] - proj
+        dist = np.sqrt(diff[:, :, 0] ** 2 + diff[:, :, 1] ** 2).min(axis=1)
+        inside = points_in_polygon(px, py, self.ring_sets[j]) >= 0
+        dist[inside] = 0.0
+        return dist
 
     def _dist_matrix(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """(n_points, n_polys) exact distances, vectorized per polygon."""
-        from ..geometry.predicates import points_in_polygon
-
         n = len(px)
         out = np.empty((n, len(self.poly_ids)), dtype=np.float64)
         for j in range(len(self.poly_ids)):
-            segs = self.seg_arrays[j]
-            if len(segs) == 0:
-                out[:, j] = np.inf
-                continue
-            a = segs[:, :2]
-            d = segs[:, 2:] - a
-            dd = (d * d).sum(axis=1)
-            dd[dd == 0] = 1.0
-            pts = np.stack([px, py], axis=1)
-            ap = pts[:, None, :] - a[None, :, :]
-            t = np.clip((ap * d[None, :, :]).sum(axis=2) / dd[None, :], 0.0, 1.0)
-            proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
-            diff = pts[:, None, :] - proj
-            dist = np.sqrt(diff[:, :, 0] ** 2 + diff[:, :, 1] ** 2).min(axis=1)
-            inside = points_in_polygon(px, py, self.ring_sets[j]) >= 0
-            dist[inside] = 0.0
-            out[:, j] = dist
+            out[:, j] = self._poly_dist_vec(px, py, j)
         return out
+
+    def _knn_large(self, x: np.ndarray, y: np.ndarray, kk: int):
+        """Large-corpus path: MBR-lower-bound pruned polygon sweep,
+        nearest-box-first from the batch median, maintaining each
+        point's running top-k by a vectorized insertion (kk is small).
+        Replaces the old per-point tree-heap Python loop — all work is
+        numpy over point vectors; the only Python loop is over POLYGONS
+        that survive the box-bound prune against the current kth-best."""
+        n = len(x)
+        boxes = self.tree.boxes
+        best_d = np.full((n, kk), np.inf)
+        best_p = np.full((n, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        best_pos = np.full((n, kk), -1, dtype=np.int64)
+        if n == 0:
+            return best_d, best_p, best_pos
+        cx, cy = float(np.median(x)), float(np.median(y))
+        ox = np.maximum(0.0, np.maximum(boxes[:, 0] - cx, cx - boxes[:, 2]))
+        oy = np.maximum(0.0, np.maximum(boxes[:, 1] - cy, cy - boxes[:, 3]))
+        order = np.argsort(np.hypot(ox, oy), kind="stable")
+        for j in order:
+            lbx = np.maximum(0.0, np.maximum(boxes[j, 0] - x, x - boxes[j, 2]))
+            lby = np.maximum(0.0, np.maximum(boxes[j, 1] - y, y - boxes[j, 3]))
+            lb = np.hypot(lbx, lby)
+            # <= : a candidate tying the kth distance can still win on
+            # poly_id (the engine's (dist, poly_id) total order)
+            live = np.flatnonzero(lb <= best_d[:, kk - 1])
+            if len(live) == 0:
+                continue
+            d = self._poly_dist_vec(x[live], y[live], j)
+            pid = int(self.poly_ids[j])
+            bd, bp = best_d[live], best_p[live]
+            pos = ((bd < d[:, None])
+                   | ((bd == d[:, None]) & (bp < pid))).sum(axis=1)
+            ins = pos < kk
+            if not ins.any():
+                continue
+            ii, pp, dd2 = live[ins], pos[ins], d[ins]
+            for col in range(kk - 1, 0, -1):
+                mv = ii[pp <= col - 1]
+                best_d[mv, col] = best_d[mv, col - 1]
+                best_p[mv, col] = best_p[mv, col - 1]
+                best_pos[mv, col] = best_pos[mv, col - 1]
+            best_d[ii, pp] = dd2
+            best_p[ii, pp] = pid
+            best_pos[ii, pp] = j
+        return best_d, best_p, best_pos
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = np.asarray(batch[self.x_col], dtype=np.float64)
@@ -213,20 +250,12 @@ class KNNJoin:
             dists = np.take_along_axis(dm, top, axis=1).reshape(-1)
             ranks = np.tile(np.arange(kk, dtype=np.int32), len(vidx))
         else:
-            rows_l, pids_l, dists_l, ranks_l = [], [], [], []
-            for i in vidx:
-                res = self.tree.nearest(px[i], py[i], k=k,
-                                        refine=lambda pos: self._exact_dist(px[i], py[i], pos))
-                res.sort(key=lambda t: (t[0], self.poly_ids[t[1]]))
-                for rank, (dist, pos) in enumerate(res):
-                    rows_l.append(i)
-                    pids_l.append(int(self.poly_ids[pos]))
-                    dists_l.append(dist)
-                    ranks_l.append(rank)
-            rows = np.asarray(rows_l, dtype=np.int64)
-            pids = np.asarray(pids_l, dtype=np.int64)
-            dists = np.asarray(dists_l, dtype=np.float64)
-            ranks = np.asarray(ranks_l, dtype=np.int32)
+            kk = min(k, len(self.poly_ids))
+            best_d, best_p, _ = self._knn_large(px[vidx], py[vidx], kk)
+            rows = np.repeat(vidx, kk)
+            pids = best_p.reshape(-1)
+            dists = best_d.reshape(-1)
+            ranks = np.tile(np.arange(kk, dtype=np.int32), len(vidx))
         out = batch.take(pa.array(rows))
         out = out.append_column("poly_id", pa.array(pids, pa.int64()))
         out = out.append_column("knn_dist", pa.array(dists, pa.float64()))

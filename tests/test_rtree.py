@@ -98,3 +98,45 @@ def test_pickle_broadcast_friendly(random_boxes):
     t2 = pickle.loads(pickle.dumps(t))
     q = (10, 10, 30, 30)
     assert set(t2.query_box(*q).tolist()) == set(t.query_box(*q).tolist())
+
+
+def test_knn_large_path_matches_all_pairs():
+    """KNNJoin's >VECTOR_BOUND path (MBR-pruned vectorized sweep) must
+    be bit-identical to the all-pairs small path, including (dist,
+    poly_id) tie order."""
+    import pyarrow as pa
+
+    from simplefeatures_ray.geometry.wkb import to_wkb
+    from simplefeatures_ray.geometry.wkt import from_wkt
+    from simplefeatures_ray.stages.join import KNNJoin, build_polygon_index
+
+    rng = np.random.default_rng(5)
+    polys, ids = [], []
+    for i in range(700):
+        cx, cy = rng.uniform(-50, 50, 2)
+        r = rng.uniform(0.5, 3.0)
+        nv = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        xs = cx + r * np.cos(ang)
+        ys = cy + r * np.sin(ang)
+        coords = ",".join(
+            f"{x} {y}" for x, y in zip(np.append(xs, xs[0]),
+                                       np.append(ys, ys[0])))
+        polys.append(to_wkb(from_wkt(f"POLYGON(({coords}))")))
+        ids.append(i * 3 + 1)
+    tbl = pa.table({"poly_id": pa.array(ids, pa.int64()),
+                    "wkb": pa.array(polys, pa.binary())})
+    index = build_polygon_index(tbl)
+    pts = rng.uniform(-60, 60, (800, 2))
+    batch = pa.table({"lon": pts[:, 0], "lat": pts[:, 1],
+                      "pid": np.arange(800)})
+    for k in (1, 3):
+        small = KNNJoin(index=index, k=k)
+        small.VECTOR_BOUND = 10 ** 9
+        large = KNNJoin(index=index, k=k)
+        large.VECTOR_BOUND = 0
+        a, b = small(batch), large(batch)
+        assert a["poly_id"].to_pylist() == b["poly_id"].to_pylist()
+        assert a["knn_rank"].to_pylist() == b["knn_rank"].to_pylist()
+        assert np.array_equal(a["knn_dist"].to_numpy(),
+                              b["knn_dist"].to_numpy())
