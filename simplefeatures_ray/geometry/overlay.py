@@ -18,19 +18,23 @@ a different, sampling-based design):
 
 Robustness model: vertices snap to 9 decimal places; side sampling uses
 a relative epsilon (~1e-7). Inputs with features BELOW that scale
-(hairline tongues, sub-epsilon slivers) cannot classify reliably, so a
-three-layer net catches them instead of returning a wrong region set:
+(hairline tongues, sub-epsilon slivers) defeat the sampled probes, so a
+layered net keeps the result correct instead of returning a wrong
+region set:
   * inputs whose distinct vertices collide at the 1e-6 grid are
     preconditioned upfront (snap + make_valid);
-  * a probe self-check (every noded edge of purely-areal inputs must
-    separate SOME input locally) detects edge-level hairlines and
-    reruns once on preconditioned inputs;
+  * edges the probes cannot decide even at escalated scales classify
+    EXACTLY via rational arithmetic (_exact_side_inside) — full
+    precision is preserved, no input degradation;
   * exact per-op area bounds (union within [max, sum] etc.) backstop
-    the result, and invalid traced outputs are repaired via make_valid.
-Residual floor: results on such adversarial inputs are accurate to the
-1e-6 preconditioning grid, and nested ops mixing full- and degraded-
-precision operands can still emit technically-invalid (sub-epsilon
-crossing) rings — the same class of artifact GEOS snap-rounding admits.
+    the result, and invalid traced outputs are repaired by
+    _repair_result: make_valid, then an ESCALATING RESULT-side snap
+    (1e-8 -> 1e-6) for crossing shared-edge artifacts, then a needle
+    collapse (width < 1e-6) as last resort.
+Residual floor: adversarial sub-epsilon inputs cost at most a 1e-8
+output snap / 1e-6 feature-width floor — the nested mixed-precision
+fuzz class that previously emitted invalid rings now reports zero
+(tests/test_overlay.py TestNestedMixedPrecision).
 """
 from __future__ import annotations
 
@@ -544,6 +548,53 @@ def _ill_conditioned(geoms) -> bool:
     return False
 
 
+def _exact_side_inside(g: Geometry, p, q):
+    """EXACT side classification of edge (p, q) against g's areal part:
+    is the limit point mid + t*n (t -> 0+) inside g, for n the left and
+    right normals? Pure rational arithmetic (Fraction) — no epsilon, so
+    sub-epsilon hairlines/slivers that defeat the sampled probes
+    classify correctly. Even-odd crossing parity per POLYGON leaf
+    (matching _inside_many), counted along the limit ray v = 0+/-,
+    u > 0 in edge-aligned coordinates; ties at u = 0 resolved by the
+    crossing's first-order drift in t. Cost is O(vertices of g) rational
+    ops per edge — paid only for edges the float probes cannot decide."""
+    from fractions import Fraction as Fr
+
+    px_, py_ = Fr(p[0]), Fr(p[1])
+    qx_, qy_ = Fr(q[0]), Fr(q[1])
+    mx, my = (px_ + qx_) / 2, (py_ + qy_) / 2
+    dx, dy = qx_ - px_, qy_ - py_
+
+    left = False
+    right = False
+    for leaf in g.flatten():
+        if leaf.tag != POLYGON or not leaf.rings:
+            continue
+        cl = 0
+        cr = 0
+        for ring in leaf.rings:
+            pts = []
+            for x, y in ring[:, :2]:
+                rx, ry = Fr(float(x)) - mx, Fr(float(y)) - my
+                pts.append((rx * dx + ry * dy, -rx * dy + ry * dx))
+            for (ua, va), (ub, vb) in zip(pts[:-1], pts[1:]):
+                if va == vb:
+                    continue  # no v=0 crossing (incl. collinear overlap)
+                crosses_l = (va > 0) != (vb > 0)
+                crosses_r = (va < 0) != (vb < 0)
+                if not (crosses_l or crosses_r):
+                    continue
+                uc = ua + (ub - ua) * (0 - va) / (vb - va)
+                drift = (ub - ua) * (vb - va)  # sign of d(uc)/dt
+                if crosses_l and (uc > 0 or (uc == 0 and drift > 0)):
+                    cl ^= 1
+                if crosses_r and (uc > 0 or (uc == 0 and drift < 0)):
+                    cr ^= 1
+        left |= bool(cl)
+        right |= bool(cr)
+    return left, right
+
+
 def _precondition(g: Geometry) -> Geometry:
     """Collapse sub-epsilon features: snap to the 1e-6 robustness grid
     and repair the resulting topology."""
@@ -553,6 +604,60 @@ def _precondition(g: Geometry) -> Geometry:
 
 
 
+def _repair_result(result: Geometry) -> Geometry:
+    """Validity backstop for areal overlay outputs: make_valid, then —
+    for the crossing-shared-edge artifacts the parity repair cannot see
+    (adjacent parts traced from sub-epsilon linework carry
+    near-coincident edges crossing at ~1e-8) — an ESCALATING
+    RESULT-side snap. The snap floor applies to the output only and
+    starts at 1e-8, far tighter than the 1e-6 input preconditioning."""
+    if result.tag not in (POLYGON, MULTIPOLYGON):
+        return result
+    from .algorithms import snap_to_grid as _rsnap
+    from .validate import validate as _validate
+
+    ok, _ = _validate(result)
+    if ok:
+        return result
+    result = make_valid(result)
+    for nd in (8, 7, 6):
+        if result.tag not in (POLYGON, MULTIPOLYGON):
+            return result
+        ok, _ = _validate(result)
+        if ok:
+            return result
+        result = make_valid(_rsnap(result, nd))
+    if result.tag not in (POLYGON, MULTIPOLYGON):
+        return result
+    ok, _ = _validate(result)
+    if ok:
+        return result
+    # last resort: collapse NEEDLE elements (width ~ 2*area/perimeter
+    # below the documented 1e-6 robustness floor) that even the 1e-6
+    # snap preserves when their vertices land exactly one grid step
+    # apart — the preconditioning contract collapses such features
+    from .algorithms import area as _area
+    from .algorithms import length as _length
+
+    parts = [leaf for leaf in result.flatten()
+             if leaf.tag == POLYGON and leaf.rings]
+    kept = []
+    for leaf in parts:
+        a_ = _area(leaf)
+        p_ = _length(Geometry(MULTILINESTRING, 0,
+                              geoms=[Geometry(LINESTRING, 0, coords=r)
+                                     for r in leaf.rings]))
+        if p_ <= 0 or 2.0 * a_ / p_ >= 1e-6:
+            kept.append(leaf)
+    if len(kept) != len(parts):
+        if not kept:
+            return Geometry(POLYGON, 0, rings=[])
+        result = kept[0] if len(kept) == 1 else Geometry(
+            MULTIPOLYGON, 0, geoms=kept)
+        result = make_valid(result)
+    return result
+
+
 def _overlay_preconditioned(a: Geometry, b: Geometry, op: str) -> Geometry:
     """Degraded-precision fallback: collapse sub-epsilon features, rerun
     once, and repair the (snapped) result if the snap produced touching/
@@ -560,9 +665,7 @@ def _overlay_preconditioned(a: Geometry, b: Geometry, op: str) -> Geometry:
     for inputs below the documented robustness model."""
     res = overlay(_precondition(a), _precondition(b), op,
                   _precision_retry=False)
-    if res.tag in (POLYGON, MULTIPOLYGON):
-        res = make_valid(res)
-    return res
+    return _repair_result(res)
 
 
 def overlay(a: Geometry, b: Geometry, op: str,
@@ -668,12 +771,17 @@ def overlay(a: Geometry, b: Geometry, op: str,
                 a_r[upd] = a_r2[resolved]
                 b_r[upd] = b_r2[resolved]
                 sus[upd] = False
-        if _precision_retry and dim_a == 2 and dim_b == 2 and sus.any():
-            only_areal = all(
-                leaf.tag == POLYGON
-                for g_ in (a, b) for leaf in g_.flatten())
-            if only_areal:
-                return _overlay_preconditioned(a, b, op)
+        if sus.any():
+            # exact-rational fallback: edges the sampled probes cannot
+            # decide even at escalated scales (sub-epsilon hairlines,
+            # nested mixed-precision slivers) classify EXACTLY — full
+            # precision is preserved instead of degrading the whole
+            # input to the 1e-6 precondition grid
+            for i in np.nonzero(sus)[0]:
+                p_, q_ = edge_list[i]
+                a_l[i], a_r[i] = _exact_side_inside(a, p_, q_)
+                b_l[i], b_r[i] = _exact_side_inside(b, p_, q_)
+            sus[:] = False
         vop = _VOPS[op]
         s_l = vop(a_l, b_l)
         s_r = vop(a_r, b_r)
@@ -772,14 +880,10 @@ def overlay(a: Geometry, b: Geometry, op: str,
             # 1e-6 grid: comfortably above the ~1e-7 sampling epsilon, so
             # every surviving feature classifies reliably
             return _overlay_preconditioned(a, b, op)
-    if _precision_retry and result.tag in (POLYGON, MULTIPOLYGON):
+    if _precision_retry:
         # sliver-adjacent inputs occasionally trace touching/crossing
         # rings; repair costs one validate on the common (valid) case
-        ok_res, _reason = __import__(
-            "simplefeatures_ray.geometry.validate", fromlist=["validate"]
-        ).validate(result)
-        if not ok_res:
-            result = make_valid(result)
+        result = _repair_result(result)
     return result
 
 
@@ -962,6 +1066,13 @@ def make_valid(g: Geometry) -> Geometry:
             in_l[upd] = l2[resolved]
             in_r[upd] = r2[resolved]
             sus[upd] = False
+    if sus.any():
+        # exact-rational fallback (same as overlay's): probe-blind edges
+        # previously dropped silently — region loss on hairline input
+        for i in np.nonzero(sus)[0]:
+            p_, q_ = edge_list[i]
+            in_l[i], in_r[i] = _exact_side_inside(g, p_, q_)
+        sus[:] = False
     boundary_directed = set()
     for i, (p, q) in enumerate(edge_list):
         if in_l[i] and not in_r[i]:

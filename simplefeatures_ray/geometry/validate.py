@@ -77,6 +77,46 @@ def _curve_self_intersects(coords: np.ndarray, closed: bool):
     return None
 
 
+def _orient_fr(ax, ay, bx, by, px, py):
+    """EXACT orientation sign of p vs directed line a->b (Fraction)."""
+    from fractions import Fraction as Fr
+
+    v = ((Fr(bx) - Fr(ax)) * (Fr(py) - Fr(ay))
+         - (Fr(by) - Fr(ay)) * (Fr(px) - Fr(ax)))
+    return (v > 0) - (v < 0)
+
+
+def _cross_exact(s1, s2) -> bool:
+    """EXACT segment-crossing verdict: proper transversal crossing, or a
+    collinear overlap of positive length. Float parametric solves round
+    a vertex touch's parameter a few ulp inside (0,1) and misreport
+    'elements cross' — every candidate 'cross' is confirmed here with
+    rational arithmetic (only runs on intersecting pairs, so the
+    Fraction cost is bounded by actual contacts)."""
+    from fractions import Fraction as Fr
+
+    ax, ay, bx, by = (float(v) for v in s1)
+    cx, cy, dx, dy = (float(v) for v in s2)
+    d1 = _orient_fr(cx, cy, dx, dy, ax, ay)
+    d2 = _orient_fr(cx, cy, dx, dy, bx, by)
+    d3 = _orient_fr(ax, ay, bx, by, cx, cy)
+    d4 = _orient_fr(ax, ay, bx, by, dx, dy)
+    if d1 * d2 < 0 and d3 * d4 < 0:
+        return True  # proper transversal crossing
+    if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
+        # collinear: positive-length 1D overlap = shared boundary edge
+        rr = (Fr(bx) - Fr(ax)) ** 2 + (Fr(by) - Fr(ay)) ** 2
+        if rr == 0:
+            return False
+        t0 = ((Fr(cx) - Fr(ax)) * (Fr(bx) - Fr(ax))
+              + (Fr(cy) - Fr(ay)) * (Fr(by) - Fr(ay))) / rr
+        t1 = ((Fr(dx) - Fr(ax)) * (Fr(bx) - Fr(ax))
+              + (Fr(dy) - Fr(ay)) * (Fr(by) - Fr(ay))) / rr
+        lo, hi = min(t0, t1), max(t0, t1)
+        return min(hi, Fr(1)) > max(lo, Fr(0))
+    return False
+
+
 def _ring_pair_touches(ra: np.ndarray, rb: np.ndarray):
     """Classify contact between two rings.
 
@@ -92,15 +132,19 @@ def _ring_pair_touches(ra: np.ndarray, rb: np.ndarray):
         if kind == "none":
             continue
         if kind == "overlap":
-            return "cross", touches
+            if _cross_exact(sa[i], sb[j]):
+                return "cross", touches
+            touches.add(_key(data[0]))
+            continue
         p = _key(data)
         # a shared point is a crossing unless it is a vertex-touch that
-        # does not transversally cross — detect by sampling: if the point
-        # is interior to BOTH segments it is a proper crossing
+        # does not transversally cross; the float params pre-screen, the
+        # exact predicate decides
         ti = _param(data, sa[i])
         tj = _param(data, sb[j])
         if 0.0 < ti < 1.0 and 0.0 < tj < 1.0:
-            return "cross", touches
+            if _cross_exact(sa[i], sb[j]):
+                return "cross", touches
         touches.add(p)
     if not touches:
         return "disjoint", touches

@@ -281,3 +281,58 @@ def test_needle_polygon_buffer_regression():
     assert a > 0.15
     # buffers grow monotonically
     assert area(buffer(tri, 0.3)) > a
+
+
+class TestNestedMixedPrecision:
+    """Round-4 regression: nested ops mixing full- and degraded-
+    precision operands previously emitted sub-epsilon-crossing rings
+    (the documented residual). Closed by (1) exact-rational side
+    classification of probe-indeterminate edges, (2) the escalating
+    result-side snap repair in _repair_result, and (3) exact-rational
+    confirmation of the validator's 'elements cross' verdict."""
+
+    @staticmethod
+    def _box(x0, y0, x1, y1):
+        from simplefeatures_ray.geometry.core import Geometry
+
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return Geometry(3, 0, rings=[ring])
+
+    @staticmethod
+    def _sliver(rng):
+        from simplefeatures_ray.geometry.core import Geometry
+
+        x0 = rng.uniform(-5, 5)
+        y0 = rng.uniform(-5, 5)
+        L = rng.uniform(1, 6)
+        w = 10 ** rng.uniform(-9, -6.5)
+        ang = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        pts = np.array([[0, 0], [L, 0], [L, w], [0, w], [0, 0]], dtype=float)
+        pts[:, :2] = pts @ np.array([[c, s], [-s, c]]) + [x0, y0]
+        jit = rng.uniform(-1e-7, 1e-7, pts.shape)
+        jit[-1] = jit[0]
+        return Geometry(3, 0, rings=[pts + jit])
+
+    @pytest.mark.parametrize("seed", [2024, 7, 99])
+    def test_nested_sliver_ops_stay_valid(self, seed):
+        from simplefeatures_ray.geometry.validate import validate
+
+        rng = np.random.default_rng(seed)
+        ops = ["union", "intersection", "difference",
+               "symmetric_difference"]
+        for t in range(40):
+            xs = np.sort(rng.uniform(-6, 6, 2))
+            ys = np.sort(rng.uniform(-6, 6, 2))
+            A = self._box(xs[0], ys[0], xs[1] + 0.5, ys[1] + 0.5)
+            S = self._sliver(rng)
+            op1, op2 = rng.choice(ops, 2)
+            D = overlay(A, S, op1)
+            xs2 = np.sort(rng.uniform(-6, 6, 2))
+            ys2 = np.sort(rng.uniform(-6, 6, 2))
+            B = self._box(xs2[0], ys2[0], xs2[1] + 0.5, ys2[1] + 0.5)
+            R = overlay(D, B, op2)
+            for name, g in (("D", D), ("R", R)):
+                if g.tag in (3, 6):
+                    ok, reason = validate(g)
+                    assert ok, (seed, t, name, op1, op2, reason)
