@@ -65,6 +65,17 @@ class BatchText:
         self._arr = arr
         self._nonascii = None
         self._empty = None  # rows with offsets[i] == offsets[i+1]
+        self._buf1 = None
+
+    @property
+    def buf1(self) -> np.ndarray:
+        """buf + one always-False sentinel byte: masks built over buf1
+        (length len(buf)+1) make count() a straight reduceat — no
+        per-call sentinel concatenation (a full mask copy per count)."""
+        if self._buf1 is None:
+            self._buf1 = np.concatenate(
+                [self.buf, np.zeros(1, dtype=np.uint8)])
+        return self._buf1
 
     def row_text(self, i: int) -> str:
         b = self._arr[i].as_py()
@@ -85,9 +96,17 @@ class BatchText:
             self._empty = self.offsets[:-1] == self.offsets[1:]
         # sentinel False byte so offsets equal to len(buf) (trailing empty
         # rows) are valid reduceat indices; no clamping — a clamp silently
-        # dropped the final byte of the last non-empty row
-        ext = np.concatenate([mask, np.zeros(1, dtype=mask.dtype)])
+        # dropped the final byte of the last non-empty row. Masks built
+        # over buf1 arrive pre-padded (no per-call copy); a NEGATED
+        # padded mask can flip the sentinel True — subtract it from the
+        # last row instead of copying.
+        if len(mask) > len(self.buf):
+            ext = mask
+        else:
+            ext = np.concatenate([mask, np.zeros(1, dtype=mask.dtype)])
         out = np.add.reduceat(ext, self.offsets[:-1]).astype(np.int64)
+        if ext is mask and mask[-1] and not self._empty[-1]:
+            out[-1] -= 1
         out[self._empty] = 0
         return out
 
@@ -121,6 +140,11 @@ class BatchText:
             ends_m[prev] = mask[prev]
         starts = np.nonzero(starts_m)[0]
         ends = np.nonzero(ends_m)[0]
+        if len(mask) > len(self.buf):
+            # padded mask with a flipped sentinel: its run is exactly
+            # [len(buf), len(buf)] — drop it from both ends
+            starts = starts[starts < len(self.buf)]
+            ends = ends[ends < len(self.buf)]
         lengths = ends - starts + 1
         row_ids = np.searchsorted(self.offsets, starts, side="right") - 1
         return starts, lengths, row_ids
@@ -184,6 +208,8 @@ def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None,
     if not len(buf):
         return buf, np.zeros(bt.n + 1, dtype=np.int64)
     w = ws_mask(buf) if ws is None else ws
+    if len(w) > len(buf):
+        w = w[: len(buf)]  # zero-copy trim of a buf1-padded mask
     nonws = ~w
     idx_nonws = np.nonzero(nonws)[0]
     # per row: first and last non-ws positions (sentinel when none)

@@ -43,7 +43,9 @@ class SharedMasks:
     def mask(self, name: str):
         m = self._m.get(name)
         if m is None:
-            buf = self.b.buf
+            # masks build over buf1 (buf + False sentinel) so count()
+            # reduceats them directly without a per-call sentinel copy
+            buf = self.b.buf1
             if name == "letter":
                 m = bt.letter_mask(buf)
             elif name == "digit":
@@ -238,11 +240,16 @@ class Fingerprint:
         full = np.zeros(n_rows, dtype=np.uint64)
         kmin = np.zeros(n_rows, dtype=np.uint64)
         nbuf = len(buf)
+        maxu = np.iinfo(np.uint64).max
+        row_min = np.full(n_rows, maxu, dtype=np.uint64)
         if nbuf >= k:
-            # chunked so the k passes stay L2-resident (3x on this box)
+            # chunked so the k passes stay L2-resident (3x on this box);
+            # the per-row minima fold INTO each chunk via interleaved
+            # minimum.reduceat — the whole-buffer hash array (8 B/char
+            # written + re-read, the stage's dominant DRAM traffic) is
+            # never materialized
             base = np.uint64(257)
             chunk = 1 << 16
-            h = np.empty(nbuf - k + 1, dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for s in range(0, nbuf - k + 1, chunk):
                     e = min(s + chunk, nbuf - k + 1)
@@ -251,7 +258,26 @@ class Fingerprint:
                     for j in range(1, k):
                         hh *= base
                         hh += seg[j:e - s + j]
-                    h[s:e] = hh
+                    # rows whose valid h-range [o0, o1-k] meets [s, e)
+                    r0 = max(int(np.searchsorted(offsets, s, "right")) - 1, 0)
+                    r1 = int(np.searchsorted(offsets[:-1], e, "left"))
+                    rr = np.arange(r0, r1)
+                    lo = np.clip(offsets[rr], s, e) - s
+                    hi = np.clip(offsets[rr + 1] - (k - 1), s, e) - s
+                    good = hi > lo
+                    rr, lo, hi = rr[good], lo[good], hi[good]
+                    if not len(rr):
+                        continue
+                    idx = np.empty(2 * len(rr), dtype=np.int64)
+                    idx[0::2] = lo
+                    idx[1::2] = hi
+                    # reduceat forbids an index == len: hi of the final
+                    # row can be e-s — truncate; its segment still ends
+                    # at the array end so the [lo, hi) value is intact
+                    idx2 = idx[:-1] if idx[-1] >= len(hh) else idx
+                    red = np.minimum.reduceat(hh, idx2)
+                    vals = red[0::2]
+                    row_min[rr] = np.minimum(row_min[rr], vals)
         mem = memoryview(buf)
         blake = hashlib.blake2b
         for i in range(n_rows):
@@ -261,7 +287,7 @@ class Fingerprint:
             if o1 - o0 < k:
                 kmin[i] = full[i] if o1 == o0 else self.fnv1a(bytes(data))
             else:
-                kmin[i] = h[o0:o1 - k + 1].min()
+                kmin[i] = row_min[i]
         # blake(b"") == fnv1a(b"") so the o1 == o0 shortcut above is exact
         for i in b.nonascii_rows:
             data = " ".join(b.row_text(int(i)).lower().split()).encode()
