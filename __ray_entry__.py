@@ -2442,6 +2442,121 @@ def proj_epsg_chain(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def proj_polar_laea(sf_dir: str):
+    """Polar + equal-area continental grids: northern event points
+    (lat > 30) -> ETRS89-extended LAEA Europe (EPSG:3035, method 9820)
+    and WGS84 UPS North (EPSG:5041, polar stereographic variant A) —
+    completing the projection-method coverage of the reference's PROJ
+    wrapper (proj/proj.go:56-108) with the engine's Snyder closed
+    forms, both pinned against EPSG GN7-2 worked examples in
+    tests/test_ellipsoid.py. Oracle recomputes both in SQL."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.crs import TransformCRS
+    from simplefeatures_ray.pipelines.corpus import events_xy
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy(np.asarray(t["event_id"]))
+        keep = y > 30.0
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "x": pa.array(x), "y": pa.array(y)}).filter(
+            pa.array(keep))
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    laea = TransformCRS("EPSG:4326", "EPSG:3035", out_x="lx", out_y="ly")
+    ups = TransformCRS("EPSG:4326", "EPSG:5041", out_x="ux", out_y="uy")
+    out = pts.map_batches(laea, batch_format="pyarrow")
+    out = out.map_batches(ups, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "lx": pa.array(np.round(np.asarray(t["lx"]), 1) + 0.0),
+            "ly": pa.array(np.round(np.asarray(t["ly"]), 1) + 0.0),
+            "ux": pa.array(np.round(np.asarray(t["ux"]), 1) + 0.0),
+            "uy": pa.array(np.round(np.asarray(t["uy"]), 1) + 0.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _proj_polar_laea_oracle_sql() -> str:
+    """SQL twin of proj_polar_laea — LAEA (9820) + polar stereographic
+    variant A per-point math in DuckDB; constants derived here with the
+    math module, independently of ellipsoid.py."""
+    import math
+
+    from simplefeatures_ray.pipelines.corpus import event_points_sql
+
+    # GRS80 for 3035
+    a_g = 6378137.0
+    f_g = 1.0 / 298.257222101
+    e_g = math.sqrt(f_g * (2.0 - f_g))
+
+    def q_of(phi, e):
+        s = math.sin(phi)
+        es = e * s
+        return (1.0 - e * e) * (s / (1.0 - es * es)
+                                - 1.0 / (2.0 * e)
+                                * math.log((1.0 - es) / (1.0 + es)))
+
+    qp = q_of(math.pi / 2.0, e_g)
+    phi0 = math.radians(52.0)
+    q0 = q_of(phi0, e_g)
+    beta0 = math.asin(q0 / qp)
+    Rq = a_g * math.sqrt(qp / 2.0)
+    m0 = (math.cos(phi0)
+          / math.sqrt(1.0 - (e_g * math.sin(phi0)) ** 2))
+    D = a_g * m0 / (Rq * math.cos(beta0))
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    # WGS84 for UPS variant A
+    a_w = 6378137.0
+    f_w = 1.0 / 298.257223563
+    e_w = math.sqrt(f_w * (2.0 - f_w))
+    root = math.sqrt((1.0 + e_w) ** (1.0 + e_w)
+                     * (1.0 - e_w) ** (1.0 - e_w))
+    rs = 2.0 * a_w * 0.994 / root
+
+    return f"""
+        WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}
+                   WHERE y > 30.0),
+        s1 AS (SELECT event_id, radians(x) AS lam, radians(y) AS phi
+               FROM p),
+        la AS (SELECT event_id, lam, phi,
+                      asin(({1.0 - e_g * e_g!r} * (sin(phi)/
+                            (1.0-{e_g!r}*{e_g!r}*sin(phi)*sin(phi))
+                          - {1.0 / (2.0 * e_g)!r}
+                            * ln((1.0-{e_g!r}*sin(phi))
+                                 /(1.0+{e_g!r}*sin(phi))))) / {qp!r})
+                        AS beta,
+                      lam - radians(10.0) AS dl
+               FROM s1),
+        lb AS (SELECT event_id, beta, dl,
+                      {Rq!r} * sqrt(2.0 / (1.0 + {sb0!r}*sin(beta)
+                        + {cb0!r}*cos(beta)*cos(dl))) AS B
+               FROM la),
+        ups AS (SELECT event_id,
+                       {rs!r} * tan(pi()/4.0 - phi/2.0)
+                         / POW((1.0-{e_w!r}*sin(phi))
+                               /(1.0+{e_w!r}*sin(phi)), {e_w / 2.0!r})
+                         AS rho,
+                       lam
+                FROM s1)
+        SELECT l.event_id,
+               ROUND(4321000.0 + l.B * {D!r} * cos(l.beta) * sin(l.dl), 1)
+                 + 0.0 AS lx,
+               ROUND(3210000.0 + (l.B / {D!r})
+                     * ({cb0!r}*sin(l.beta)
+                        - {sb0!r}*cos(l.beta)*cos(l.dl)), 1)
+                 + 0.0 AS ly,
+               ROUND(2000000.0 + u.rho * sin(u.lam), 1) + 0.0 AS ux,
+               ROUND(2000000.0 - u.rho * cos(u.lam), 1) + 0.0 AS uy
+        FROM lb l JOIN ups u USING (event_id)
+    """
+
+
 def proj_national_grids(sf_dir: str):
     """National-grid projection with TRUE EPSG parameter sets: event
     lon/lat -> RGF93 / Lambert-93 (EPSG:2154, ellipsoidal LCC 2SP,
@@ -3598,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proj_geodesic_dist": proj_geodesic_dist,
         "proj_wgs84_chain": proj_wgs84_chain,
         "proj_national_grids": proj_national_grids,
+        "proj_polar_laea": proj_polar_laea,
         # projections / raster / multimodal
         "proj_web_mercator": proj_web_mercator,
         "raster_tiles": raster_tiles,
@@ -5074,6 +5190,7 @@ def oracle_sql() -> dict[str, str]:
         # hyperbolics expanded via exp — an independent SQL twin of
         # simplefeatures_ray/ellipsoid.py
         "proj_national_grids": _proj_national_oracle_sql(),
+        "proj_polar_laea": _proj_polar_laea_oracle_sql(),
         "proj_wgs84_chain": f"""
             WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}),
             s1 AS (SELECT event_id, x, y,

@@ -23,6 +23,10 @@ Registered codes:
               math exact; no OSGB36<->WGS84 Helmert shift)
   EPSG:2180   ETRS89 / Poland CS92 (TM, GRS80)
   EPSG:2193   NZGD2000 / NZTM2000 (TM, GRS80)
+  EPSG:3035   ETRS89-extended / LAEA Europe (ellipsoidal equal-area)
+  EPSG:5041/5042  WGS84 / UPS North & South (polar stereographic A)
+  EPSG:3413   NSIDC Sea Ice Polar Stereographic North (variant B)
+  EPSG:3031/3032  Antarctic / Australian Antarctic Polar Stereographic
   SPHERE:UTM:zz[S]  the engine's spherical UTM (carto.UTM), kept for
               parity with the reference's carto/ package
 
@@ -110,9 +114,33 @@ def _national_grids():
     exact for coordinates already referenced to OSGB36."""
     from .ellipsoid import (AIRY1830_A, AIRY1830_F, GRS80_A, GRS80_F,
                             AlbersEqualAreaEllipsoidal,
-                            LambertConformalConicEllipsoidal)
+                            LambertAzimuthalEqualAreaEllipsoidal,
+                            LambertConformalConicEllipsoidal,
+                            PolarStereographicEllipsoidal)
 
     return {
+        # Europe: ETRS89-extended / LAEA Europe (EPSG method 9820)
+        "EPSG:3035": lambda: LambertAzimuthalEqualAreaEllipsoidal(
+            lon0=10.0, lat0=52.0,
+            false_easting=4321000.0, false_northing=3210000.0,
+            a=GRS80_A, f=GRS80_F),
+        # WGS84 / UPS North & South (Polar Stereographic variant A)
+        "EPSG:5041": lambda: PolarStereographicEllipsoidal(
+            lon0=0.0, north=True, k0=0.994,
+            false_easting=2000000.0, false_northing=2000000.0),
+        "EPSG:5042": lambda: PolarStereographicEllipsoidal(
+            lon0=0.0, north=False, k0=0.994,
+            false_easting=2000000.0, false_northing=2000000.0),
+        # WGS84 / NSIDC Sea Ice Polar Stereographic North (variant B)
+        "EPSG:3413": lambda: PolarStereographicEllipsoidal(
+            lon0=-45.0, north=True, std_parallel=70.0),
+        # WGS84 / Antarctic Polar Stereographic (variant B)
+        "EPSG:3031": lambda: PolarStereographicEllipsoidal(
+            lon0=0.0, north=False, std_parallel=-71.0),
+        # WGS84 / Australian Antarctic Polar Stereographic
+        "EPSG:3032": lambda: PolarStereographicEllipsoidal(
+            lon0=70.0, north=False, std_parallel=-71.0,
+            false_easting=6000000.0, false_northing=6000000.0),
         # France: RGF93 / Lambert-93 (EPSG method 9802)
         "EPSG:2154": lambda: LambertConformalConicEllipsoidal(
             lon0=3.0, lat0=46.5, sp1=49.0, sp2=44.0,

@@ -407,3 +407,134 @@ class AlbersEqualAreaEllipsoidal:
                 q / (1.0 - e2) - s / one
                 + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es)))
         return _deg(self.lam0 + th / self.n), _deg(phi)
+
+
+class PolarStereographicEllipsoidal:
+    """Ellipsoidal Polar Stereographic (EPSG methods 9810 variant A /
+    9829 variant B; Snyder USGS PP 1395 pp. 160-161). north=True for
+    the north-pole aspect. Exactly one of k0 (variant A) or
+    std_parallel (variant B) is given; variant B derives its scale from
+    true scale at the standard parallel."""
+
+    def __init__(self, lon0: float, north: bool = True,
+                 k0: float | None = None, std_parallel: float | None = None,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        if (k0 is None) == (std_parallel is None):
+            raise ValueError("give exactly one of k0 / std_parallel")
+        self.a = a
+        e = self.e = math.sqrt(f * (2.0 - f))
+        self.lam0 = math.radians(lon0)
+        self.north = north
+        self.fe = false_easting
+        self.fn = false_northing
+        root = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        if k0 is not None:
+            # rho = 2 a k0 t / root
+            self.rho_scale = 2.0 * a * k0 / root
+        else:
+            phi_f = math.radians(abs(std_parallel))
+            m_f = float(_snyder_m(np.float64(phi_f), e))
+            t_f = float(_conf_t(np.float64(phi_f), e))
+            self.rho_scale = a * m_f / t_f
+
+    def forward(self, lon, lat):
+        lam = _rad(lon)
+        phi = _rad(lat)
+        if not self.north:
+            phi = -phi
+            lam = -lam
+            lam0 = -self.lam0
+        else:
+            lam0 = self.lam0
+        t = _conf_t(phi, self.e)
+        rho = self.rho_scale * t
+        dl = lam - lam0
+        x = rho * np.sin(dl)
+        y = -rho * np.cos(dl)
+        if not self.north:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def reverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = np.asarray(y, dtype=np.float64) - self.fn
+        if not self.north:
+            dx, dy = -dx, -dy
+        rho = np.hypot(dx, dy)
+        t = rho / self.rho_scale
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            es = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (self.e / 2.0))
+        lam0 = self.lam0 if self.north else -self.lam0
+        lam = lam0 + np.arctan2(dx, -dy)
+        if not self.north:
+            phi = -phi
+            lam = -lam
+        return _deg(lam), _deg(phi)
+
+
+class LambertAzimuthalEqualAreaEllipsoidal:
+    """Ellipsoidal Lambert Azimuthal Equal-Area (EPSG method 9820;
+    Snyder pp. 187-190), oblique aspect — EPSG:3035's method."""
+
+    def __init__(self, lon0: float, lat0: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+        self.a = a
+        e = self.e = math.sqrt(f * (2.0 - f))
+        self.lam0 = math.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0 = math.radians(lat0)
+        self.qp = float(_authalic_q(np.float64(np.pi / 2.0), e))
+        q0 = float(_authalic_q(np.float64(phi0), e))
+        self.beta0 = math.asin(q0 / self.qp)
+        self.Rq = a * math.sqrt(self.qp / 2.0)
+        m0 = float(_snyder_m(np.float64(phi0), e))
+        self.D = a * m0 / (self.Rq * math.cos(self.beta0))
+        self.sb0 = math.sin(self.beta0)
+        self.cb0 = math.cos(self.beta0)
+
+    def forward(self, lon, lat):
+        lam = _rad(lon)
+        phi = _rad(lat)
+        q = _authalic_q(phi, self.e)
+        beta = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        sb, cb = np.sin(beta), np.cos(beta)
+        dl = lam - self.lam0
+        denom = 1.0 + self.sb0 * sb + self.cb0 * cb * np.cos(dl)
+        B = self.Rq * np.sqrt(2.0 / denom)
+        x = B * self.D * cb * np.sin(dl)
+        y = (B / self.D) * (self.cb0 * sb - self.sb0 * cb * np.cos(dl))
+        return self.fe + x, self.fn + y
+
+    def reverse(self, x, y):
+        dx = (np.asarray(x, dtype=np.float64) - self.fe) / self.D
+        dy = (np.asarray(y, dtype=np.float64) - self.fn) * self.D
+        rho = np.hypot(dx, dy)
+        with np.errstate(invalid="ignore"):
+            ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sc, cc = np.sin(ce), np.cos(ce)
+        safe_rho = np.where(rho == 0.0, 1.0, rho)
+        beta = np.arcsin(np.clip(
+            cc * self.sb0 + dy * sc * self.cb0 / safe_rho, -1.0, 1.0))
+        beta = np.where(rho == 0.0, self.beta0, beta)
+        lam = self.lam0 + np.arctan2(
+            dx * sc, safe_rho * self.cb0 * cc - dy * self.sb0 * sc)
+        lam = np.where(rho == 0.0, self.lam0, lam)
+        # authalic -> geodetic latitude (Snyder 3-18 series would do;
+        # the fixed-point on q is exact to fp precision)
+        q = self.qp * np.sin(beta)
+        e, e2 = self.e, self.e * self.e
+        phi = beta.copy()
+        for _ in range(8):
+            s = np.sin(phi)
+            es = e * s
+            one = 1.0 - es * es
+            phi = phi + one * one / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2) - s / one
+                + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es)))
+        return _deg(lam), _deg(phi)

@@ -288,3 +288,97 @@ class TestNationalGrids:
             lo, la = p.reverse(x, y)
             assert abs(float(lo[0]) - lon) < 1e-9, code
             assert abs(float(la[0]) - lat) < 1e-9, code
+
+
+class TestPolarAndLAEA:
+    """Polar Stereographic (variants A and B) + ellipsoidal LAEA vs the
+    EPSG Guidance Note 7-2 worked examples."""
+
+    def test_ups_north_epsg_example(self):
+        """GN7-2 variant A example: 73N 44E -> 3320416.75 E, 632668.43 N
+        (WGS84/UPS North, k0=0.994, FE=FN=2000000)."""
+        from simplefeatures_ray.crs import crs_for
+
+        p = crs_for("EPSG:5041")
+        x, y = p.forward(np.array([44.0]), np.array([73.0]))
+        assert abs(float(x[0]) - 3320416.75) < 0.02
+        assert abs(float(y[0]) - 632668.43) < 0.02
+        lon, lat = p.reverse(x, y)
+        assert abs(float(lon[0]) - 44.0) < 1e-9
+        assert abs(float(lat[0]) - 73.0) < 1e-9
+
+    def test_variant_b_epsg_example(self):
+        """GN7-2 variant B example (Australian Antarctic, sp 71S,
+        lon0 70E, FE=FN=6000000): 75S 120E -> 7255380.79, 7053389.56."""
+        from simplefeatures_ray.crs import crs_for
+
+        p = crs_for("EPSG:3032")
+        x, y = p.forward(np.array([120.0]), np.array([-75.0]))
+        assert abs(float(x[0]) - 7255380.79) < 0.02
+        assert abs(float(y[0]) - 7053389.56) < 0.02
+        lon, lat = p.reverse(x, y)
+        assert abs(float(lon[0]) - 120.0) < 1e-9
+        assert abs(float(lat[0]) + 75.0) < 1e-9
+
+    def test_laea_epsg_example(self):
+        """GN7-2 LAEA example (ETRS89-LAEA Europe): 50N 5E ->
+        3962799.45 E, 2999718.85 N."""
+        from simplefeatures_ray.crs import crs_for
+
+        p = crs_for("EPSG:3035")
+        x, y = p.forward(np.array([5.0]), np.array([50.0]))
+        assert abs(float(x[0]) - 3962799.45) < 0.02
+        assert abs(float(y[0]) - 2999718.85) < 0.02
+        x0, y0 = p.forward(np.array([10.0]), np.array([52.0]))
+        assert abs(float(x0[0]) - 4321000.0) < 1e-6
+        assert abs(float(y0[0]) - 3210000.0) < 1e-6
+
+    def test_laea_preserves_area(self):
+        from simplefeatures_ray.crs import crs_for
+        from simplefeatures_ray.ellipsoid import (GRS80_A, GRS80_F,
+                                                  _authalic_q)
+
+        p = crs_for("EPSG:3035")
+        lo0, la0, d = 14.0, 48.0, 0.2
+        lons = np.array([lo0, lo0 + d, lo0 + d, lo0])
+        lats = np.array([la0, la0, la0 + d, la0 + d])
+        x, y = p.forward(lons, lats)
+        planar = 0.5 * abs(float(
+            np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+        e = np.sqrt(GRS80_F * (2 - GRS80_F))
+        q1 = float(_authalic_q(np.radians(la0), e))
+        q2 = float(_authalic_q(np.radians(la0 + d), e))
+        truth = GRS80_A ** 2 / 2.0 * (q2 - q1) * np.radians(d)
+        # 1e-5: the straight-edged projected quad only approximates the
+        # curved image of the lat/lon quad (error ~ d^2 of the 0.2 deg
+        # cell under LAEA's oblique-aspect distortion)
+        assert abs(planar / truth - 1.0) < 1e-5
+
+    def test_polar_roundtrips(self):
+        from simplefeatures_ray.crs import crs_for
+
+        pts = {"EPSG:5041": (30.0, 80.0), "EPSG:5042": (-130.0, -80.0),
+               "EPSG:3413": (-60.0, 75.0), "EPSG:3031": (45.0, -77.0),
+               "EPSG:3035": (24.0, 61.0)}
+        for code, (lon, lat) in pts.items():
+            p = crs_for(code)
+            x, y = p.forward(np.array([lon]), np.array([lat]))
+            lo, la = p.reverse(x, y)
+            assert abs(float(lo[0]) - lon) < 1e-9, code
+            assert abs(float(la[0]) - lat) < 1e-9, code
+
+    def test_variant_b_true_scale_at_standard_parallel(self):
+        """Variant B: scale along the standard parallel is exactly 1 —
+        projected arc length along 70N equals the ellipsoidal parallel
+        arc (r = a*m(phi))."""
+        from simplefeatures_ray.crs import crs_for
+        from simplefeatures_ray.ellipsoid import WGS84_A, WGS84_E, _snyder_m
+
+        p = crs_for("EPSG:3413")
+        dlon = 0.01
+        x, y = p.forward(np.array([10.0, 10.0 + dlon]),
+                         np.array([70.0, 70.0]))
+        planar = float(np.hypot(x[1] - x[0], y[1] - y[0]))
+        truth = WGS84_A * float(_snyder_m(np.radians(70.0), WGS84_E)) \
+            * np.radians(dlon)
+        assert abs(planar / truth - 1.0) < 1e-6
