@@ -2353,6 +2353,167 @@ def geom_relate_boxes(sf_dir: str):
     return _box_pairs_ds().map_batches(kernel, batch_format="pyarrow")
 
 
+def geom_relate_classes(sf_dir: str):
+    """GENERAL (non-rectangle) relate gate: DE-9IM over 175 convex
+    integer-polygon pairs (boxes, triangles, hexagons, diamonds at
+    varied scales/offsets — equals/disjoint/touches/contains/within/
+    overlaps all represented), classified through the engine's full
+    relate machinery (geometry/relate.py) and its named-predicate
+    masks. The SQL oracle derives the same class from first principles
+    on the convex integer pairs: exact orientation signs for vertex
+    containment, proper edge crossings, collinear endpoint contacts,
+    and an n-scaled centroid test (all products < 2^53, no epsilon)."""
+    import ray.data as rd
+
+    from simplefeatures_ray.pipelines.corpus import relate_pair_corpus
+
+    rows = relate_pair_corpus()
+    tbl = pa.table({
+        "pair_id": pa.array([r[0] for r in rows], pa.int64()),
+        "side": pa.array([r[1] for r in rows], pa.int64()),
+        "idx": pa.array([r[2] for r in rows], pa.int64()),
+        "x": pa.array([float(r[3]) for r in rows]),
+        "y": pa.array([float(r[4]) for r in rows]),
+    })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        from simplefeatures_ray.geometry.core import Geometry
+        from simplefeatures_ray.geometry.relate import (relate,
+                                                        relate_matches)
+
+        pairs = defaultdict(lambda: ([], []))
+        for p, s, x, y in zip(t["pair_id"].to_pylist(),
+                              t["side"].to_pylist(),
+                              t["x"].to_pylist(), t["y"].to_pylist()):
+            pairs[p][s].append((x, y))
+
+        def geom(vs):
+            ring = np.array(vs + [vs[0]], dtype=float)
+            return Geometry(3, 0, rings=[ring])
+
+        def classify(m):
+            if relate_matches(m, "T*F**FFF*"):
+                return "equals"
+            if relate_matches(m, "FF*FF****"):
+                return "disjoint"
+            if relate_matches(m, "T*****FF*"):
+                return "contains"
+            if relate_matches(m, "T*F**F***"):
+                return "within"
+            return "overlaps" if m[0] == "2" else "touches"
+
+        ids, rels = [], []
+        for p, (va, vb) in sorted(pairs.items()):
+            ids.append(p)
+            rels.append(classify(relate(geom(va), geom(vb))))
+        return pa.table({"pair_id": pa.array(ids, pa.int64()),
+                         "relation": pa.array(rels, pa.string())})
+
+    # one small fixed corpus: a single-block dataset through the same
+    # map_batches surface the driver smoke-checks
+    return rd.from_arrow(tbl).repartition(1).map_batches(
+        kernel, batch_format="pyarrow")
+
+
+def _geom_relate_classes_oracle_sql() -> str:
+    from simplefeatures_ray.pipelines.corpus import (
+        relate_pair_corpus, relate_pairs_values_sql)
+
+    vals = relate_pairs_values_sql(relate_pair_corpus())
+    return f"""
+        WITH v AS (SELECT * FROM {vals}),
+        nv AS (SELECT pair_id, side, COUNT(*) AS n FROM v GROUP BY 1, 2),
+        e AS (SELECT pair_id, side, idx, x AS x1, y AS y1,
+                     LEAD(x) OVER w AS x2n, LEAD(y) OVER w AS y2n,
+                     FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy
+              FROM v WINDOW w AS (PARTITION BY pair_id, side ORDER BY idx)),
+        ed AS (SELECT pair_id, side, idx, x1, y1,
+                      COALESCE(x2n, fx) AS x2, COALESCE(y2n, fy) AS y2
+               FROM e),
+        vc AS (SELECT vv.pair_id, vv.side, vv.idx,
+                      MIN((ee.x2-ee.x1)*(vv.y-ee.y1)
+                          - (ee.y2-ee.y1)*(vv.x-ee.x1)) AS mc
+               FROM v vv JOIN ed ee ON ee.pair_id = vv.pair_id
+                                   AND ee.side = 1 - vv.side
+               GROUP BY 1, 2, 3),
+        vagg AS (SELECT pair_id, side,
+                        BOOL_AND(mc >= 0) AS all_cl,
+                        BOOL_OR(mc > 0) AS any_strict,
+                        BOOL_OR(mc >= 0) AS any_cl
+                 FROM vc GROUP BY 1, 2),
+        cs AS (SELECT pair_id, side, SUM(x) AS sx, SUM(y) AS sy,
+                      COUNT(*) AS n
+               FROM v GROUP BY 1, 2),
+        cent AS (SELECT c.pair_id, c.side,
+                        MIN((ee.x2-ee.x1)*(c.sy - c.n*ee.y1)
+                            - (ee.y2-ee.y1)*(c.sx - c.n*ee.x1)) AS mc
+                 FROM cs c JOIN ed ee ON ee.pair_id = c.pair_id
+                                     AND ee.side = 1 - c.side
+                 GROUP BY 1, 2),
+        ep AS (SELECT a.pair_id,
+                      (b.x2-b.x1)*(a.y1-b.y1)-(b.y2-b.y1)*(a.x1-b.x1) AS d1,
+                      (b.x2-b.x1)*(a.y2-b.y1)-(b.y2-b.y1)*(a.x2-b.x1) AS d2,
+                      (a.x2-a.x1)*(b.y1-a.y1)-(a.y2-a.y1)*(b.x1-a.x1) AS d3,
+                      (a.x2-a.x1)*(b.y2-a.y1)-(a.y2-a.y1)*(b.x2-a.x1) AS d4,
+                      a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+                      b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+               FROM ed a JOIN ed b ON a.pair_id = b.pair_id
+                                  AND a.side = 0 AND b.side = 1),
+        epagg AS (SELECT pair_id,
+                 BOOL_OR(d1*d2 < 0 AND d3*d4 < 0) AS proper,
+                 BOOL_OR((d1*d2 < 0 AND d3*d4 < 0)
+                   OR (d3 = 0 AND bx1 BETWEEN LEAST(ax1, ax2)
+                         AND GREATEST(ax1, ax2)
+                       AND by1 BETWEEN LEAST(ay1, ay2)
+                         AND GREATEST(ay1, ay2))
+                   OR (d4 = 0 AND bx2 BETWEEN LEAST(ax1, ax2)
+                         AND GREATEST(ax1, ax2)
+                       AND by2 BETWEEN LEAST(ay1, ay2)
+                         AND GREATEST(ay1, ay2))
+                   OR (d1 = 0 AND ax1 BETWEEN LEAST(bx1, bx2)
+                         AND GREATEST(bx1, bx2)
+                       AND ay1 BETWEEN LEAST(by1, by2)
+                         AND GREATEST(by1, by2))
+                   OR (d2 = 0 AND ax2 BETWEEN LEAST(bx1, bx2)
+                         AND GREATEST(bx1, bx2)
+                       AND ay2 BETWEEN LEAST(by1, by2)
+                         AND GREATEST(by1, by2))) AS contact_seg
+               FROM ep GROUP BY 1),
+        eqv AS (SELECT va.pair_id,
+                       COUNT(*) FILTER (WHERE vb.idx IS NOT NULL)
+                         AS matched,
+                       COUNT(*) AS na
+                FROM v va LEFT JOIN v vb
+                  ON vb.pair_id = va.pair_id AND vb.side = 1
+                 AND vb.x = va.x AND vb.y = va.y
+                WHERE va.side = 0 GROUP BY 1),
+        eq AS (SELECT e1.pair_id,
+                      (e1.matched = e1.na AND e1.na = n1.n) AS is_eq
+               FROM eqv e1 JOIN nv n1
+                 ON n1.pair_id = e1.pair_id AND n1.side = 1)
+        SELECT p.pair_id,
+               CASE
+                 WHEN eq.is_eq THEN 'equals'
+                 WHEN NOT (ep2.contact_seg OR v0.any_cl OR v1.any_cl)
+                   THEN 'disjoint'
+                 WHEN v1.all_cl THEN 'contains'
+                 WHEN v0.all_cl THEN 'within'
+                 WHEN ep2.proper OR v0.any_strict OR v1.any_strict
+                      OR c0.mc > 0 OR c1.mc > 0 THEN 'overlaps'
+                 ELSE 'touches'
+               END AS relation
+        FROM (SELECT DISTINCT pair_id FROM v) p
+        JOIN eq ON eq.pair_id = p.pair_id
+        JOIN epagg ep2 ON ep2.pair_id = p.pair_id
+        JOIN vagg v0 ON v0.pair_id = p.pair_id AND v0.side = 0
+        JOIN vagg v1 ON v1.pair_id = p.pair_id AND v1.side = 1
+        JOIN cent c0 ON c0.pair_id = p.pair_id AND c0.side = 0
+        JOIN cent c1 ON c1.pair_id = p.pair_id AND c1.side = 1
+    """
+
+
 def proj_web_mercator(sf_dir: str):
     """Web-Mercator projection of the event points (SQL oracle: same
     trig formula in DuckDB)."""
@@ -3696,6 +3857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cell_counts": s2_cell_counts,
         "spatial_knn_boxes": spatial_knn_boxes,
         "spatial_knn_dense": spatial_knn_dense,
+        "geom_relate_classes": geom_relate_classes,
         # geometry kernels
         "geom_area": geom_area,
         "geom_length": geom_length,
@@ -5191,6 +5353,7 @@ def oracle_sql() -> dict[str, str]:
         # simplefeatures_ray/ellipsoid.py
         "proj_national_grids": _proj_national_oracle_sql(),
         "proj_polar_laea": _proj_polar_laea_oracle_sql(),
+        "geom_relate_classes": _geom_relate_classes_oracle_sql(),
         "proj_wgs84_chain": f"""
             WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}),
             s1 AS (SELECT event_id, x, y,

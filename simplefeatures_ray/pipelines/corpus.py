@@ -367,3 +367,62 @@ def synth_boxes_int_polygon_table(n: int = 800):
             "maxy": b["maxy"],
         }
     )
+
+
+# ------------------------------------------------------------------ #
+# general (non-rectangle) relate gate: convex INTEGER polygon pairs.
+# Integer coordinates make every SQL orientation / cross-product sign
+# exact in doubles (products < 2^53), so the oracle can derive the
+# topological class from first principles with no epsilon anywhere.
+# ------------------------------------------------------------------ #
+
+_RELATE_TEMPLATES = [
+    # CCW, integer, convex
+    [(0, 0), (8, 0), (8, 6), (0, 6)],                    # box
+    [(0, 0), (10, 0), (4, 7)],                           # triangle
+    [(2, 0), (6, 0), (8, 3), (6, 6), (2, 6), (0, 3)],    # hexagon
+    [(4, 0), (8, 4), (4, 8), (0, 4)],                    # diamond
+    [(0, 0), (12, 1), (1, 3)],                           # thin triangle
+]
+
+
+def relate_pair_corpus(n_pairs: int = 175):
+    """Deterministic (pair_id, side, idx, x, y) convex-pair corpus
+    covering equals/disjoint/touches/contains/within/overlaps. side 0
+    is A, side 1 is B; vertex lists are OPEN (no closing repeat), CCW.
+    """
+    rows = []
+    for p in range(n_pairs):
+        ta = _RELATE_TEMPLATES[p % 5]
+        tb = _RELATE_TEMPLATES[(p // 5) % 5]
+        cfg = p % 7
+        sa, sb = 1, 1
+        ax = ay = bx = by = 0
+        if cfg == 0:
+            pass                                  # same spot: overlap/equals
+        elif cfg == 1:
+            bx, by = 30, 5                        # far: disjoint
+        elif cfg == 2:
+            bx = max(x for x, _ in ta) - min(x for x, _ in tb)  # bbox kiss
+        elif cfg == 3:
+            sa = 4                                # A scaled 4x: B inside?
+            bx, by = 9, 8
+        elif cfg == 4:
+            bx, by = 3, 2                         # partial overlap
+        elif cfg == 5:
+            bx = max(x for x, _ in ta) - min(x for x, _ in tb)
+            by = max(y for y, _ in ta) - min(y for y, _ in tb)  # corner kiss
+        else:
+            sb = 2
+            bx, by = -20, 0                       # disjoint, B scaled
+        for side, (tpl, s, dx, dy) in enumerate(
+                ((ta, sa, ax, ay), (tb, sb, bx, by))):
+            for idx, (x, y) in enumerate(tpl):
+                rows.append((p, side, idx, x * s + dx, y * s + dy))
+    return rows
+
+
+def relate_pairs_values_sql(rows) -> str:
+    vals = ", ".join(f"({p},{s},{i},{x},{y})" for p, s, i, x, y in rows)
+    return (f"(SELECT * FROM (VALUES {vals}) "
+            f"AS t(pair_id, side, idx, x, y))")
