@@ -146,7 +146,15 @@ class BatchText:
             starts = starts[starts < len(self.buf)]
             ends = ends[ends < len(self.buf)]
         lengths = ends - starts + 1
-        row_ids = np.searchsorted(self.offsets, starts, side="right") - 1
+        # row ids via per-row start counts + repeat: one reduceat and a
+        # linear repeat instead of an n*log(rows) searchsorted
+        per_row = self.count(starts_m)
+        if len(mask) > len(self.buf) and starts_m[-1]:
+            pass  # count() already subtracted the flipped sentinel
+        row_ids = np.repeat(np.arange(self.n, dtype=np.int64), per_row)
+        if len(row_ids) != len(starts):  # safety net (unexpected shape)
+            row_ids = np.searchsorted(self.offsets, starts,
+                                      side="right") - 1
         return starts, lengths, row_ids
 
 
@@ -157,19 +165,41 @@ def pack_word(w: str) -> int:
     return int.from_bytes(b.ljust(8, b"\0"), "little")
 
 
+_LEN_MASKS = np.array(
+    [0] + [(1 << (8 * j)) - 1 for j in range(1, 8)] + [~np.uint64(0)],
+    dtype=np.uint64)
+
+
 def word_keys(bt: BatchText, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """uint64 key of the first min(len, 8) lowercased bytes of each run.
     Keys of words longer than 8 bytes include byte 7, so they cannot
-    collide with any <= 8-byte stopword key."""
+    collide with any <= 8-byte stopword key.
+
+    ONE unaligned little-endian uint64 gather per word (an overlapping
+    byte-strided view of the padded buffer) + SWAR lowercase + a length
+    mask — replaces eight scattered byte gathers with seven vector ops
+    each. Bytes >= 0x80 produce garbage keys; the non-ASCII rows those
+    belong to are recomputed by the per-row reference paths anyway."""
     if not len(starts):
         return np.zeros(0, dtype=np.uint64)
     padded = np.concatenate([bt.buf, np.zeros(8, np.uint8)])
-    key = np.zeros(len(starts), dtype=np.uint64)
-    for j in range(8):
-        sel = lengths > j
-        bj = lower_bytes(padded[starts + j]).astype(np.uint64)
-        key |= np.where(sel, bj, np.uint64(0)) << np.uint64(8 * j)
-    return key
+    try:
+        view = np.ndarray(shape=(len(padded) - 7,), dtype=np.uint64,
+                          buffer=padded.data, strides=(1,))
+        raw = view[starts]
+    except (ValueError, TypeError):
+        # platform without unaligned views: byte-gather fallback
+        raw = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(8):
+            raw |= padded[starts + j].astype(np.uint64) << np.uint64(8 * j)
+    ones = np.uint64(0x0101010101010101)
+    ascii7 = raw & np.uint64(0x7F7F7F7F7F7F7F7F)
+    with np.errstate(over="ignore"):
+        ge_a = (ascii7 + np.uint64(0x3F) * ones) & (np.uint64(0x80) * ones)
+        le_z = (np.uint64(0xDA) * ones - ascii7) & (np.uint64(0x80) * ones)
+    upper = ge_a & le_z & ~(raw & (np.uint64(0x80) * ones))
+    lowered = raw | (upper >> np.uint64(2))
+    return lowered & _LEN_MASKS[np.minimum(lengths, 8)]
 
 
 def stop_hits(bt: BatchText, mask: np.ndarray, stop_sets,
@@ -183,17 +213,34 @@ def stop_hits(bt: BatchText, mask: np.ndarray, stop_sets,
     n_words = np.bincount(row_ids, minlength=bt.n).astype(np.int64)
     row_sel = row_ids
     if max_words is not None and len(starts) and n_words.max() > max_words:
-        # rank of each run within its row (row_ids ascending)
-        rank = np.arange(len(starts)) - np.searchsorted(row_ids, row_ids)
+        # rank of each run within its row (row_ids ascending): linear
+        # first-index repeat instead of an n*log(n) self-searchsorted
+        firsts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+        rank = np.arange(len(starts)) - np.repeat(firsts, n_words)
         sel = rank < max_words
         keys = keys[sel]
         row_sel = row_ids[sel]
     out = np.zeros((len(stop_sets), bt.n), dtype=np.int64)
-    for si, words in enumerate(stop_sets):
-        ks = np.array([pack_word(w) for w in words if w.isascii()],
-                      dtype=np.uint64)
-        hit = np.isin(keys, ks)
-        out[si] = np.bincount(row_sel[hit], minlength=bt.n)
+    if len(stop_sets) > 64:
+        raise ValueError("stop_hits supports at most 64 sets")
+    # ONE binary search against the union of all sets, with a per-key
+    # set-membership bitmask — np.isin per set re-scans the whole key
+    # array |sets| times (the LangId hot path at 8 language profiles)
+    key_lists = [np.array([pack_word(w) for w in words if w.isascii()],
+                          dtype=np.uint64) for words in stop_sets]
+    uniq = np.unique(np.concatenate(key_lists)) if key_lists else \
+        np.zeros(0, np.uint64)
+    if len(uniq) and len(keys):
+        bits = np.zeros(len(uniq), dtype=np.uint64)
+        for si, ks in enumerate(key_lists):
+            if len(ks):
+                bits[np.searchsorted(uniq, ks)] |= np.uint64(1 << si)
+        pos = np.searchsorted(uniq, keys)
+        pos_c = np.minimum(pos, len(uniq) - 1)
+        kb = np.where(uniq[pos_c] == keys, bits[pos_c], np.uint64(0))
+        for si in range(len(stop_sets)):
+            hit = (kb >> np.uint64(si)) & np.uint64(1) != 0
+            out[si] = np.bincount(row_sel[hit], minlength=bt.n)
     return out, n_words
 
 
