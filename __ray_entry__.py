@@ -720,6 +720,27 @@ def docs_term_stats(sf_dir: str):
     return term_stats(ds, n_docs=n_docs)
 
 
+def docs_heavy_terms(sf_dir: str):
+    """Top-20 heavy-hitter TERMS with exact counts at streaming scale:
+    per-block Misra-Gries/SpaceSaving summaries (counter merge volume
+    O(blocks x capacity), never token count) pick a candidate set,
+    which broadcasts into one exact recount pass — the same
+    candidates-then-verify shape as docs_minhash_verified, so the
+    reported counts are exact and SQL-checkable
+    (functions/sketch.heavy_hitters)."""
+    from simplefeatures_ray.functions.sketch import heavy_hitters
+    from simplefeatures_ray.functions.text import _word_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        return _word_table(t, "doc_id", "text").select(["term"])
+
+    terms = ds.map_batches(words, batch_format="pyarrow")
+    out = heavy_hitters(terms, "term", k=20, capacity=512)
+    return pa.table({"term": out["value"], "n": out["n"]})
+
+
 def docs_inverted_index(sf_dir: str):
     """Inverted-index build (functions/text.inverted_index): term ->
     (document frequency, capped sorted posting list). One coarse
@@ -3803,6 +3824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_ngram_pairs": docs_exact_ngram_pairs,
         "docs_contamination": docs_contamination,
         "docs_term_stats": docs_term_stats,
+        "docs_heavy_terms": docs_heavy_terms,
         "docs_inverted_index": docs_inverted_index,
         "docs_repetition_metrics": docs_repetition_metrics,
         "docs_fingerprint": docs_fingerprint,
@@ -4277,6 +4299,18 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM r WHERE rn <= 20 GROUP BY term
+        """,
+        "docs_heavy_terms": r"""
+            WITH w AS (
+              SELECT unnest(list_transform(
+                       regexp_extract_all(text, '[\w'']+'),
+                       x -> lower(x))) AS term
+              FROM documents)
+            SELECT term, COUNT(*)::BIGINT AS n
+            FROM w WHERE term <> ''
+            GROUP BY term
+            ORDER BY n DESC, term ASC
+            LIMIT 20
         """,
         "docs_term_stats": r"""
             WITH w AS (

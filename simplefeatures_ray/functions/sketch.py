@@ -280,3 +280,64 @@ def bloom_anti_sql(table_expr: str, key_col: str, block_values_sql: str,
         SELECT t.* FROM {table_expr} t
         WHERE {survive}
     """
+
+
+def heavy_hitters(ds, value_col: str, k: int = 20, capacity: int = 512,
+                  tie_col_order: str = "value"):
+    """Top-k heavy hitters with EXACT final counts, at streaming scale:
+
+      phase 1 (sketch): per-block Misra-Gries / SpaceSaving summaries of
+        `capacity` counters (vectorized: one pandas value_counts per
+        block, truncated to capacity with the standard undercount
+        decrement) merged on the driver — counter merge volume is
+        O(blocks x capacity), never row count. Any value with true
+        frequency > n/capacity is GUARANTEED present in the merged
+        summary (Misra-Gries invariant survives summary merging).
+      phase 2 (verify): the merged candidate set (<= capacity values)
+        broadcasts into one exact recount pass, so the reported counts
+        are EXACT and SQL-checkable — the same candidates-then-verify
+        shape as MinHash's verified twin.
+
+    Returns a pyarrow Table (value, n) of the top k by exact count,
+    ties broken by value ascending. The guarantee is meaningful when
+    capacity >> k (default 512 >> 20): any item in the true top k with
+    count > n/capacity cannot be missed.
+    """
+    import pandas as pd
+
+    import ray
+
+    from .relational import collect_table
+
+    def summary(t: pa.Table) -> pa.Table:
+        s = t[value_col].to_pandas().value_counts()
+        if len(s) > capacity:
+            # SpaceSaving-style truncation: keep top `capacity`, charge
+            # every kept counter with the largest evicted count (an
+            # OVERestimate per counter; the guarantee needs only that
+            # kept >= true - error, preserved under merge)
+            evicted_max = int(s.iloc[capacity])
+            s = s.iloc[:capacity] + evicted_max
+        return pa.table({"value": pa.array(s.index.astype(str)),
+                         "n_est": pa.array(s.to_numpy(), pa.int64())})
+
+    partials = collect_table(ds.map_batches(summary, batch_format="pyarrow"))
+    merged = (partials.to_pandas().groupby("value", sort=False)["n_est"]
+              .sum().sort_values(ascending=False))
+    cand = merged.index[: capacity].to_numpy()
+    cand_ref = ray.put(set(cand.tolist()))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        s = t[value_col].to_pandas().astype(str)
+        s = s[s.isin(cset)].value_counts()
+        return pa.table({"value": pa.array(s.index),
+                         "n": pa.array(s.to_numpy(), pa.int64())})
+
+    exact = (collect_table(ds.map_batches(recount, batch_format="pyarrow"))
+             .to_pandas().groupby("value", sort=False)["n"].sum()
+             .reset_index())
+    exact = exact.sort_values(["n", "value"], ascending=[False, True],
+                              kind="mergesort").head(k)
+    return pa.table({"value": pa.array(exact["value"].to_numpy(), pa.string()),
+                     "n": pa.array(exact["n"].to_numpy(), pa.int64())})

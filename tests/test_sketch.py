@@ -308,3 +308,32 @@ def test_pivot_counts(ray_session):
     assert out.loc["en", "n_other"] == 2 and out.loc["en", "n_total"] == 5
     assert out.loc["de", "n_a"] == 1 and out.loc["de", "n_b"] == 2
     assert out.loc["de", "n_other"] == 0 and out.loc["de", "n_total"] == 3
+
+
+def test_heavy_hitters_guarantee_and_exact_counts(ray_session):
+    """Misra-Gries candidates + exact recount: top-k by exact count with
+    value tie-break, matched against a driver-side exact groupby on a
+    skewed corpus split across many small blocks (worst case for the
+    per-block summaries)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(4)
+    # zipf-ish: few hot values + long tail
+    hot = [f"hot{i}" for i in range(30)]
+    tail = [f"t{i}" for i in range(5000)]
+    vals = list(rng.choice(hot, 30000, p=np.linspace(5, 1, 30) / np.sum(np.linspace(5, 1, 30))))
+    vals += list(rng.choice(tail, 20000))
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals, pa.string())})
+    out = heavy_hitters(rd.from_arrow(t).repartition(16), "v",
+                        k=15, capacity=256)
+    ref = (pd.Series(vals).value_counts().rename_axis("value")
+           .reset_index(name="n"))
+    ref = ref.sort_values(["n", "value"], ascending=[False, True],
+                          kind="mergesort").head(15)
+    assert out["value"].to_pylist() == ref["value"].tolist()
+    assert out["n"].to_pylist() == ref["n"].tolist()
