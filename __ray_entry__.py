@@ -946,6 +946,23 @@ def docs_len_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.9], group_keys="lang")
 
 
+def events_value_quantiles_raw(sf_dir: str):
+    """EXACT quantiles of the RAW continuous value column (no cents
+    quantization): iterative histogram refinement
+    (functions/agg.exact_quantiles_continuous) — per round one
+    streaming pass + a (targets x 4096) reduction, final collection
+    bounded by the refined interval; the result is an actual data
+    value, so the oracle compare is byte-exact with no rounding rule
+    anywhere. The scale path for quantiles of unbounded-cardinality
+    doubles (exact_quantiles' histogram is bounded by DISTINCT values,
+    ruinous for raw doubles)."""
+    from simplefeatures_ray.functions.agg import exact_quantiles_continuous
+
+    ds = _read(sf_dir, "events", ["value"])
+    return exact_quantiles_continuous(ds, "value",
+                                      [0.25, 0.5, 0.9, 0.99])
+
+
 def events_hourly_profile(sf_dir: str):
     """Calendar-time feature derivation: event counts + cents-exact
     value sums per (hour-of-day, event_type) — the time-profile matrix
@@ -3842,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_counts": events_transition_counts,
         "events_running_total": events_running_total,
         "events_hourly_profile": events_hourly_profile,
+        "events_value_quantiles_raw": events_value_quantiles_raw,
         "events_distinct_users": events_distinct_users,
         "events_latest_per_user": events_latest_per_user,
         "events_retention_cohorts": events_retention_cohorts,
@@ -4617,6 +4635,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "events_value_quantiles_raw": """
+            SELECT quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.5)  AS q50,
+                   quantile_disc(value, 0.9)  AS q90,
+                   quantile_disc(value, 0.99) AS q99
+            FROM events
         """,
         "events_hourly_profile": """
             SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,

@@ -207,3 +207,149 @@ def exact_quantiles(ds, col: str, qs, group_keys=None):
             rows.append({**dict(zip(group_keys, key)), **q_of(sub)})
         return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
     return pa.Table.from_pandas(pd.DataFrame([q_of(merged)]), preserve_index=False)
+
+
+def exact_quantiles_continuous(ds, col: str, qs, n_bins: int = 4096,
+                               collect_threshold: int = 200_000,
+                               max_rounds: int = 12):
+    """EXACT quantiles of a CONTINUOUS double column at streaming scale.
+
+    exact_quantiles above bounds its shuffle by the number of DISTINCT
+    values — the right tool for integers/cents, ruinous for raw
+    doubles. This variant never ships the value multiset. Iterative
+    histogram refinement, driver-coordinated:
+
+      round 0: one streaming pass -> global [min, max] + row count;
+      round k: one streaming pass computing, for every still-active
+        quantile target, an n_bins histogram of its current candidate
+        interval (all targets share the pass); the driver locates the
+        bin holding each target rank and narrows the interval — a
+        ~n_bins-fold narrowing per round;
+      finish: when a target's interval holds <= collect_threshold rows,
+        one final filtered pass collects JUST those rows and picks the
+        rank element exactly.
+
+    Rank semantics match DuckDB quantile_disc: 0-based index
+    max(0, ceil(q*n) - 1) into the sorted multiset — the result is an
+    actual data value, so an oracle compare is exact with no rounding.
+    Returns a pyarrow Table with one column per quantile (q50, q90...).
+
+    At 100 TB: each round is a streaming map + a tiny (targets x n_bins)
+    reduction; rounds needed ~ log_{n_bins}(n / collect_threshold) — 2
+    or 3 in practice. Nothing row-sized ever reaches the driver except
+    the final <= collect_threshold candidate slice per target.
+    """
+    import math
+
+    from .relational import collect_table
+
+    qs = list(qs)
+
+    def stats_pass(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.inf]),
+                             "hi": pa.array([-np.inf])})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    st = collect_table(ds.map_batches(stats_pass, batch_format="pyarrow"))
+    n = int(np.asarray(st["n"]).sum())
+    if n == 0:
+        return pa.table({f"q{int(round(q * 100))}":
+                         pa.array([None], pa.float64()) for q in qs})
+    glo = float(np.asarray(st["lo"]).min())
+    ghi = float(np.asarray(st["hi"]).max())
+    # per-target state: candidate interval [lo, hi] guaranteed to hold
+    # the rank element; rank stays GLOBAL — every pass recounts v < lo
+    # exactly, so boundary fuzz can widen the interval but never corrupt
+    # the rank bookkeeping
+    targets = [{"lo": glo, "hi": ghi,
+                "rank": max(0, int(math.ceil(q * n)) - 1), "count": n}
+               for q in qs]
+
+    for _ in range(max_rounds):
+        active = [i for i, tg in enumerate(targets)
+                  if tg["count"] > collect_threshold
+                  and tg["hi"] > tg["lo"]]
+        if not active:
+            break
+        spans = [(targets[i]["lo"], targets[i]["hi"]) for i in active]
+
+        def hist_pass(t: pa.Table, spans=tuple(spans)) -> pa.Table:
+            v = np.asarray(t[col], dtype=np.float64)
+            v = v[~np.isnan(v)]
+            rows = {}
+            for si, (lo, hi) in enumerate(spans):
+                width = (hi - lo) / n_bins
+                sel = v[(v >= lo) & (v <= hi)]
+                if width <= 0:
+                    h = np.zeros(n_bins, dtype=np.int64)
+                    h[0] = len(sel)
+                else:
+                    idx = np.clip(((sel - lo) / width).astype(np.int64),
+                                  0, n_bins - 1)
+                    h = np.bincount(idx, minlength=n_bins)
+                rows[f"h{si}"] = h.astype(np.int64)
+                rows[f"b{si}"] = np.zeros(n_bins, dtype=np.int64)
+                rows[f"b{si}"][0] = int((v < lo).sum())
+            return pa.table(rows)
+
+        ht = collect_table(ds.map_batches(hist_pass, batch_format="pyarrow"))
+        progressed = False
+        for si, i in enumerate(active):
+            tg = targets[i]
+            h = np.asarray(ht[f"h{si}"]).reshape(-1, n_bins).sum(axis=0)
+            n_below = int(np.asarray(ht[f"b{si}"]).sum())
+            rank_in = tg["rank"] - n_below
+            cum = np.cumsum(h)
+            if rank_in < 0 or rank_in >= cum[-1]:
+                # interval drifted off the rank element (should not
+                # happen; nudge guards below) — stop narrowing, the
+                # final collect still recounts exactly
+                continue
+            b = int(np.searchsorted(cum, rank_in + 1))
+            lo, hi = tg["lo"], tg["hi"]
+            width = (hi - lo) / n_bins
+            in_bin = int(h[b])
+            # nudge: a value whose float bin index wobbled onto b can
+            # sit up to ~1e-12 bins outside the exact bounds
+            pad = width * 1e-9
+            new_lo = max(lo, lo + b * width - pad)
+            new_hi = min(hi, lo + (b + 1) * width + pad)
+            if in_bin >= tg["count"] and new_lo <= lo and new_hi >= hi:
+                tg["count"] = in_bin
+                continue  # mass concentrated: no further narrowing
+            progressed = True
+            tg.update({"lo": new_lo, "hi": new_hi, "count": in_bin})
+        if not progressed:
+            break
+
+    # final exact collection per target (shared pass): the candidate
+    # slice plus an exact recount of values below it
+    spans = [(tg["lo"], tg["hi"]) for tg in targets]
+
+    def collect_pass(t: pa.Table, spans=tuple(spans)) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        v = v[~np.isnan(v)]
+        rows = {}
+        for si, (lo, hi) in enumerate(spans):
+            sel = v[(v >= lo) & (v <= hi)]
+            rows[f"v{si}"] = pa.array([sel.tolist()],
+                                      pa.list_(pa.float64()))
+            rows[f"b{si}"] = pa.array([int((v < lo).sum())], pa.int64())
+        return pa.table(rows)
+
+    ct = collect_table(ds.map_batches(collect_pass, batch_format="pyarrow"))
+    out = {}
+    for si, (q, tg) in enumerate(zip(qs, targets)):
+        vals = np.concatenate([np.asarray(chunk, dtype=np.float64)
+                               for chunk in ct[f"v{si}"].to_pylist()])
+        n_below = int(np.asarray(ct[f"b{si}"]).sum())
+        vals.sort(kind="mergesort")
+        out[f"q{int(round(q * 100))}"] = pa.array(
+            [float(vals[tg["rank"] - n_below])], pa.float64())
+    return pa.table(out)

@@ -116,3 +116,35 @@ def test_var_std_large_mean_small_spread(ray_session, combine):
         gv, gs = got[int(row["k"])]
         assert abs(gv - row["v"]) < 1e-6 * row["v"]
         assert abs(gs - row["s"]) < 1e-6 * row["s"]
+
+
+def test_exact_quantiles_continuous_vs_duckdb(ray_session):
+    """Iterative-refinement quantiles of raw doubles: byte-exact match
+    with DuckDB quantile_disc across distributions, duplicates, single
+    rows and 1e300 outliers."""
+    import duckdb
+
+    from simplefeatures_ray.functions.agg import exact_quantiles_continuous
+
+    rng = np.random.default_rng(0)
+    cases = [
+        np.concatenate([rng.normal(0, 1, 20000), np.full(2000, 3.25),
+                        rng.uniform(-100, 100, 8000)]),
+        np.array([3.25] * 500),
+        np.array([1.0]),
+        np.concatenate([rng.normal(0, 1, 50), [1e300, -1e300]]),
+        np.repeat([1.5, 2.5], 10000).astype(np.float64),
+        np.round(rng.normal(0, 1e-6, 5000), 2),
+    ]
+    for ci, vals in enumerate(cases):
+        t = pa.table({"value": vals})
+        out = exact_quantiles_continuous(
+            rd.from_arrow(t).repartition(4), "value",
+            [0.25, 0.5, 0.99], collect_threshold=40)
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        ref = con.execute(
+            "SELECT quantile_disc(value, 0.25), quantile_disc(value, 0.5),"
+            " quantile_disc(value, 0.99) FROM t").fetchone()
+        got = [out[c][0].as_py() for c in ("q25", "q50", "q99")]
+        assert got == list(ref), (ci, got, ref)
