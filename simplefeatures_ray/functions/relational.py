@@ -335,6 +335,26 @@ def topk(ds, key: str, k: int, descending: bool = True, tie_cols=None):
     return pruned.sort(cols, descending=desc).limit(k)
 
 
+
+def _bucket100(keys_col, salt: str) -> "np.ndarray":
+    """sha256-derived bucket mod 100 of (salt, key): batched numpy
+    SHA-256 for integer keys (one vectorized compression for the whole
+    batch), per-row hashlib otherwise — identical digests either way."""
+    import hashlib
+
+    import pyarrow as pa_
+
+    if pa_.types.is_integer(keys_col.type) and keys_col.null_count == 0:
+        from ._sha256 import sha256_mod100_int_keys
+
+        return sha256_mod100_int_keys(
+            salt, np.asarray(keys_col, dtype=np.int64))
+    keys = keys_col.to_pylist()
+    return np.fromiter(
+        (int(hashlib.sha256(f"{salt}:{k}".encode()).hexdigest()[:16], 16)
+         % 100 for k in keys), dtype=np.int64, count=len(keys))
+
+
 def hash_split(ds, key_col: str, splits, salt: str = "split"):
     """Deterministic train/val/test assignment: bucket = sha256-derived
     hash of (salt, key) mod 100, mapped onto cumulative split ranges.
@@ -352,11 +372,7 @@ def hash_split(ds, key_col: str, splits, salt: str = "split"):
         raise ValueError("split percentages must sum to 100")
 
     def kernel(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        h = np.fromiter(
-            (int(hashlib.sha256(f"{salt}:{k}".encode()).hexdigest()[:16], 16) % 100
-             for k in keys),
-            dtype=np.int64, count=len(keys))
+        h = _bucket100(t[key_col], salt)
         idx = np.searchsorted(bounds, h, side="right")
         out = np.array(names, dtype=object)[idx]
         return t.append_column("split", pa.array([str(s) for s in out], pa.string()))
@@ -384,11 +400,7 @@ def stratified_sample(ds, group_col: str, key_col: str, fractions,
             raise ValueError(f"fraction for {name!r} out of [0,100]")
 
     def kernel(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        h = np.fromiter(
-            (int(hashlib.sha256(f"{salt}:{k}".encode()).hexdigest()[:16], 16) % 100
-             for k in keys),
-            dtype=np.int64, count=len(keys))
+        h = _bucket100(t[key_col], salt)
         groups = t[group_col].to_pylist()
         pct = np.fromiter((fr.get(g, default_pct) for g in groups),
                           dtype=np.int64, count=len(groups))
@@ -485,10 +497,17 @@ def exact_stratified_split(ds, group_col: str, key_col: str, splits,
         raise ValueError("split percentages must sum to 100")
 
     def add_hash_part(t: pa.Table) -> pa.Table:
-        keys = t[key_col].to_pylist()
-        h = np.fromiter(
-            (int(hashlib.sha256(f"{salt}:{k}".encode()).hexdigest()[:16], 16)
-             for k in keys), dtype=np.uint64, count=len(keys))
+        kc = t[key_col]
+        if pa.types.is_integer(kc.type) and kc.null_count == 0:
+            from ._sha256 import sha256_u64_int_keys
+
+            h = sha256_u64_int_keys(salt, np.asarray(kc, dtype=np.int64))
+        else:
+            keys = kc.to_pylist()
+            h = np.fromiter(
+                (int(hashlib.sha256(f"{salt}:{k}".encode())
+                     .hexdigest()[:16], 16)
+                 for k in keys), dtype=np.uint64, count=len(keys))
         gvals = pd.Series(t[group_col].to_pylist(), dtype=object)
         uniq = pd.unique(gvals)
         gh = np.fromiter((_hash64(str(g)) % n_parts for g in uniq),
