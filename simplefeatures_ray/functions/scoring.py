@@ -66,22 +66,42 @@ def _bigram_tables(batch: pa.Table, id_col: str, text_col: str):
     """Per-batch (doc, prev, cur) bigram rows + (doc, term) unigram rows
     with the corpus-standard tokenization (text._word_table: RE2 word
     runs, lowercased) — order-preserving so bigrams are consecutive."""
+    bi, uni = _bigram_arrow(batch, id_col, text_col)
+    return (
+        {"doc": np.asarray(bi["doc"]),
+         "prev": np.asarray(bi["prev"], dtype=object),
+         "cur": np.asarray(bi["cur"], dtype=object)},
+        {"doc": np.asarray(uni["doc"]),
+         "term": np.asarray(uni["term"], dtype=object)},
+    )
+
+
+def _bigram_arrow(batch: pa.Table, id_col: str, text_col: str):
+    """Arrow-native twin of _bigram_tables: (bigrams, unigrams) as
+    pa.Tables — the term columns never materialize as Python objects
+    (the hot-path cost of the old pandas kernels)."""
     import pyarrow.compute as pc
 
     words = pc.split_pattern_regex(batch[text_col], pattern=r"[^\w']+")
     flat = pc.utf8_lower(pc.list_flatten(words))
-    parents = np.asarray(pc.list_parent_indices(words))
-    terms = np.asarray(flat, dtype=object)
-    keep = terms != ""
-    terms, parents = terms[keep], parents[keep]
-    ids = np.asarray(batch[id_col])[parents]
-    same = parents[:-1] == parents[1:] if len(parents) else np.array([], bool)
-    return (
-        {"doc": ids[:-1][same] if len(ids) else ids,
-         "prev": terms[:-1][same] if len(terms) else terms,
-         "cur": terms[1:][same] if len(terms) else terms},
-        {"doc": ids, "term": terms},
-    )
+    parents = pc.list_parent_indices(words)
+    ids = pc.take(batch[id_col], parents)
+    t0 = pa.table({"doc": ids, "term": flat,
+                   "parent": parents}).filter(pc.not_equal(flat, ""))
+    uni = t0.select(["doc", "term"])
+    n = len(t0)
+    if n < 2:
+        empty = pa.table({"doc": pa.array([], t0.schema.field("doc").type),
+                          "prev": pa.array([], pa.string()),
+                          "cur": pa.array([], pa.string())})
+        return empty, uni
+    par = np.asarray(t0["parent"])
+    same = pa.array(par[:-1] == par[1:])
+    term = t0["term"].combine_chunks()
+    bi = pa.table({"doc": t0["doc"].slice(0, n - 1),
+                   "prev": term.slice(0, n - 1),
+                   "cur": term.slice(1)}).filter(same)
+    return bi, uni
 
 
 def bigram_lm_perplexity(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -123,16 +143,27 @@ def bigram_lm_perplexity(ds, id_col: str = "doc_id", text_col: str = "text",
     # unigram partials (kind=1, cur='' — tokenization drops empty terms,
     # so '' can never collide with a real token)
     def counts_partial(t: pa.Table) -> pa.Table:
-        bi, uni = _bigram_tables(t, id_col, text_col)
-        db = pd.DataFrame({"prev": bi["prev"], "cur": bi["cur"]})
-        gb = db.groupby(["prev", "cur"], sort=False).size().rename("n").reset_index()
-        gb.insert(0, "kind", np.int64(0))
-        du = pd.DataFrame({"prev": uni["term"]})
-        gu = du.groupby("prev", sort=False).size().rename("n").reset_index()
-        gu.insert(1, "cur", "")
-        gu.insert(0, "kind", np.int64(1))
-        out = pd.concat([gb, gu], ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        import pyarrow.compute as pc
+
+        bi, uni = _bigram_arrow(t, id_col, text_col)
+        gb = (bi.select(["prev", "cur"]).group_by(["prev", "cur"])
+              .aggregate([([], "count_all")]))
+        gu = (uni.select(["term"]).group_by("term")
+              .aggregate([([], "count_all")]))
+        return pa.table({
+            "kind": pa.array(
+                np.concatenate([np.zeros(len(gb), np.int64),
+                                np.ones(len(gu), np.int64)])),
+            "prev": pa.concat_arrays(
+                [pc.cast(gb["prev"], pa.string()).combine_chunks(),
+                 pc.cast(gu["term"], pa.string()).combine_chunks()]),
+            "cur": pa.concat_arrays(
+                [pc.cast(gb["cur"], pa.string()).combine_chunks(),
+                 pa.array([""] * len(gu), pa.string())]),
+            "n": pa.concat_arrays(
+                [pc.cast(gb["count_all"], pa.int64()).combine_chunks(),
+                 pc.cast(gu["count_all"], pa.int64()).combine_chunks()]),
+        })
 
     counts = collect_table(grouped_agg(
         ds.map_batches(counts_partial, batch_format="pyarrow"),
@@ -148,34 +179,46 @@ def bigram_lm_perplexity(ds, id_col: str = "doc_id", text_col: str = "text",
         bi_counts = bi_counts[bi_counts["n"] >= min_count]
         uni_counts = uni_counts[uni_counts["n"] >= min_count]
 
-    bi_ref = ray.put(bi_counts)
-    uni_ref = ray.put(uni_counts)
+    bi_ref = ray.put(pa.Table.from_pandas(bi_counts, preserve_index=False))
+    uni_ref = ray.put(pa.Table.from_pandas(
+        uni_counts.rename(columns={"term": "prev", "n": "cn"}),
+        preserve_index=False))
     a = float(alpha)
     aV = a * float(vocab_size)
 
     def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         bi_c = ray.get(bi_ref)
         uni_c = ray.get(uni_ref)
-        bi, _ = _bigram_tables(t, id_col, text_col)
-        df = pd.DataFrame(bi)
-        if not len(df):
+        bi, _ = _bigram_arrow(t, id_col, text_col)
+        if not len(bi):
             return pa.table({id_col: pa.array([], pa.int64()),
                              "ppl": pa.array([], pa.float64()),
                              "n_bigrams": pa.array([], pa.int64())})
-        df = df.merge(bi_c, on=["prev", "cur"], how="left")
-        df = df.merge(uni_c.rename(columns={"term": "prev", "n": "cn"}),
-                      on="prev", how="left")
-        cb = df["n"].fillna(0).to_numpy(dtype=np.float64)
-        cu = df["cn"].fillna(0).to_numpy(dtype=np.float64)
+        # acero hash joins (no per-row Python); the row-index sort
+        # restores the original bigram order so the per-doc log-prob
+        # summation order stays exactly the pandas-merge order
+        # (deterministic at any parallelism; a doc's bigrams never
+        # split across batches)
+        bi = bi.append_column("__i", pa.array(np.arange(len(bi))))
+        j = bi.join(bi_c, keys=["prev", "cur"], join_type="left outer")
+        j = j.join(uni_c, keys="prev", join_type="left outer")
+        j = j.sort_by("__i")
+        cb = np.asarray(pc.fill_null(pc.cast(j["n"], pa.float64()), 0.0))
+        cu = np.asarray(pc.fill_null(pc.cast(j["cn"], pa.float64()), 0.0))
         lp = np.log((cb + a) / (cu + aV))
-        g = pd.DataFrame({"doc": df["doc"], "lp": lp}).groupby("doc", sort=True)
-        s = g["lp"].sum()
-        nb = g.size()
-        ppl = np.round(np.exp(-s.to_numpy() / nb.to_numpy(dtype=np.float64)),
-                       round_to) + 0.0
-        return pa.table({id_col: pa.array(s.index.to_numpy(), pa.int64()),
+        docs = np.asarray(j["doc"], dtype=np.int64)
+        order = np.argsort(docs, kind="mergesort")
+        ds_ = docs[order]
+        lp_s = lp[order]
+        seg = np.concatenate(([0], 1 + np.nonzero(ds_[1:] != ds_[:-1])[0]))
+        s = np.add.reduceat(lp_s, seg)
+        nb = np.diff(np.concatenate([seg, [len(ds_)]]))
+        ppl = np.round(np.exp(-s / nb.astype(np.float64)), round_to) + 0.0
+        return pa.table({id_col: pa.array(ds_[seg], pa.int64()),
                          "ppl": pa.array(ppl, pa.float64()),
-                         "n_bigrams": pa.array(nb.to_numpy(), pa.int64())})
+                         "n_bigrams": pa.array(nb.astype(np.int64))})
 
     return ds.map_batches(score, batch_format="pyarrow")
 
