@@ -167,3 +167,48 @@ def reference_bpe(texts: list[str], num_merges: int = 8) -> list[dict]:
         out.append({"rank": rank, "left": a, "right": b, "n": n})
         merges.append((a, b))
     return out
+
+
+def bpe_encode(ds, merges, id_col: str = "doc_id", text_col: str = "text",
+               out_col: str = "n_bpe_tokens"):
+    """APPLY a learned merge table to the corpus — the tokenizer-
+    application pass a training pipeline runs after train_bpe: per
+    document, the BPE token count under `merges` (the number a data
+    loader needs for packing/budgeting).
+
+    Distributed shape: the merge list is tiny and ships with the task
+    closure; each batch symbolizes only its DISTINCT words (the same
+    vocabulary-bounded trick as the trainer), maps each distinct word
+    to its post-merge token count, then scatters the counts back to
+    documents with one vectorized groupby — no per-token Python, no
+    shuffle at all (a pure map stage).
+
+    merges: list of (left, right) pairs in rank order, or the pa.Table
+    produced by train_bpe (columns left, right, rank).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(merges, pa.Table):
+        order = np.argsort(np.asarray(merges["rank"]))
+        merges = [(merges["left"][int(i)].as_py(),
+                   merges["right"][int(i)].as_py()) for i in order]
+    merges = [tuple(m) for m in merges]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(t[text_col], pattern=r"[^\w']+")
+        flat = pc.utf8_lower(pc.list_flatten(words))
+        parents = np.asarray(pc.list_parent_indices(words))
+        terms = np.asarray(flat, dtype=object)
+        keep = terms != ""
+        terms, parents = terms[keep], parents[keep]
+        uniq, inv = np.unique(terms, return_inverse=True)
+        tok_per_word = np.fromiter(
+            (len(_apply_merges(w, merges)) for w in uniq),
+            dtype=np.int64, count=len(uniq))
+        per_tok = tok_per_word[inv]
+        counts = np.zeros(len(t), dtype=np.int64)
+        np.add.at(counts, parents, per_tok)
+        return pa.table({id_col: t[id_col],
+                         out_col: pa.array(counts, pa.int64())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -70,3 +70,32 @@ def test_pair_counts_weighted_by_frequency(ray_session):
     t = pair_counts(ds, "text", []).to_pandas().set_index(["left", "right"])
     assert int(t.loc[("a", "a"), "n"]) == 3
     assert int(t.loc[("a", "b"), "n"]) == 1
+
+
+def test_bpe_encode_counts_match_reference(ray_session):
+    """bpe_encode token counts == per-document reference application of
+    the trained merge table."""
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.bpe import (_apply_merges, bpe_encode,
+                                                  train_bpe)
+
+    texts = ["the cat sat on the mat", "the THE the cats",
+             "concatenation of catastrophic categories",
+             "", "unrelated words entirely",
+             "don't can't won't", "mat mat mat cat cat the"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(3)
+    merges_tbl = train_bpe(ds, num_merges=6)
+    order = np.argsort(np.asarray(merges_tbl["rank"]))
+    merges = [(merges_tbl["left"][int(i)].as_py(),
+               merges_tbl["right"][int(i)].as_py()) for i in order]
+    out = bpe_encode(rd.from_arrow(t).repartition(3), merges_tbl).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    import re
+
+    for i, text in enumerate(texts):
+        words = [w.lower() for w in re.findall(r"[\w']+", text)]
+        want = sum(len(_apply_merges(w, merges)) for w in words)
+        assert int(out["n_bpe_tokens"][i]) == want, (i, text)
