@@ -33,6 +33,10 @@ HEADLINE_QUERIES = [
     "spatial_cell_join",
     "emb_kmeans_clusters",
     "docs_lm_perplexity",
+    # round-4 additions: the dense-broadcast kNN path and the
+    # candidates-then-verify heavy hitters
+    "spatial_knn_dense",
+    "docs_heavy_terms",
 ]
 
 
