@@ -436,3 +436,130 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
                              "cosine": np.round(cos[keep], 6)})
 
     return j.map_batches(arrow_groups(verify), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# product quantization (PQ): the memory-reduction scale path — vectors
+# compress to m uint8 codes (e.g. 128 floats -> 8 bytes, 64x), queries
+# scan codes with per-subspace ADC lookup tables. Jegou et al. 2011
+# ("Product Quantization for Nearest Neighbor Search"), public method.
+# --------------------------------------------------------------------------- #
+
+
+def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 8,
+             seed: int = 11) -> np.ndarray:
+    """Train PQ codebooks on a (bounded) sample: the vector splits into
+    m subspaces, each with its own seeded-deterministic k-means of ks
+    centroids. Returns (m, ks, dim/m) float32 codebooks."""
+    sample = np.asarray(sample, dtype=np.float32)
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = np.zeros((m, ks, sub), dtype=np.float32)
+    for j in range(m):
+        block = np.ascontiguousarray(sample[:, j * sub:(j + 1) * sub])
+        rng = np.random.default_rng(seed + j)
+        idx = rng.choice(n, size=min(ks, n), replace=False)
+        cents = block[np.sort(idx)].copy()
+        for _ in range(iters):
+            d = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = block[msk].mean(axis=0)
+        books[j, : len(cents)] = cents
+    return books
+
+
+def _pq_encode_matrix(mtx: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) float32 -> (n, m) uint8 codes (nearest sub-centroid)."""
+    m, ks, sub = books.shape
+    n = len(mtx)
+    codes = np.zeros((n, m), dtype=np.uint8)
+    for j in range(m):
+        block = mtx[:, j * sub:(j + 1) * sub]
+        d = ((block[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds, books: np.ndarray, *, id_col="vec_id",
+              vec_col="embedding"):
+    """Dataset of (id, embedding) -> (id, pq_code fixed_size_list<uint8>).
+    Codebooks broadcast once (ray.put), one vectorized nearest-centroid
+    assignment per subspace per batch."""
+    import ray
+
+    books_ref = ray.put(np.asarray(books, dtype=np.float32))
+    m = books.shape[0]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        mtx = _batch_matrix(t, vec_col)
+        codes = _pq_encode_matrix(mtx, bk)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), m)
+        return pa.table({id_col: t[id_col], "pq_code": arr})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds, query_ids, query_matrix, books: np.ndarray, k: int,
+            *, id_col="vec_id", code_col="pq_code"):
+    """ADC top-k over PQ codes: per query, an (m, ks) lookup table of
+    squared distances to every sub-centroid; a code's approximate
+    distance is m LUT gathers + a sum — the corpus is scanned as uint8,
+    never as floats. Per-block partial top-k -> tiny final merge (the
+    same combiner shape as brute_force_topk). Returns
+    (query_id, id, adc_dist, rank) with the (dist, id) total order."""
+    import ray
+
+    from .relational import collect_table
+
+    books = np.asarray(books, dtype=np.float32)
+    m, ks, sub = books.shape
+    qm = np.asarray(query_matrix, dtype=np.float32)
+    # (nq, m, ks) ADC tables
+    luts = np.zeros((len(qm), m, ks), dtype=np.float32)
+    for j in range(m):
+        qb = qm[:, j * sub:(j + 1) * sub]
+        luts[:, j, :] = (
+            (qb[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    lut_ref = ray.put(luts)
+    qids = np.asarray(query_ids)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        arr = t[code_col].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codes = np.asarray(arr.values, dtype=np.uint8).reshape(-1, m)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        n = len(codes)
+        kk = min(k, n)
+        out_q, out_i, out_d = [], [], []
+        for qi in range(len(lt)):
+            # ADC: sum of m per-subspace gathers
+            d = lt[qi, 0, codes[:, 0]].astype(np.float64)
+            for j in range(1, m):
+                d += lt[qi, j, codes[:, j]]
+            part = np.argpartition(d, kth=kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[qi], dtype=np.int64))
+            out_i.append(ids[part])
+            out_d.append(d[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "adc_dist": pa.array(np.concatenate(out_d)),
+        })
+
+    parts = collect_table(codes_ds.map_batches(partial,
+                                               batch_format="pyarrow"))
+    df = parts.to_pandas()
+    df = df.sort_values(["query_id", "adc_dist", id_col],
+                        kind="mergesort").groupby("query_id").head(k)
+    df["rank"] = df.groupby("query_id").cumcount()
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
