@@ -186,13 +186,43 @@ class KNNJoin:
             out[:, j] = self._poly_dist_vec(px, py, j)
         return out
 
+    TILE = 2048
+
     def _knn_large(self, x: np.ndarray, y: np.ndarray, kk: int):
-        """Large-corpus path: MBR-lower-bound pruned polygon sweep,
-        nearest-box-first from the batch median, maintaining each
+        """Large-corpus path: the batch is SPATIALLY TILED (sorted by a
+        coarse grid key, processed in runs of TILE points) and each
+        tile runs the MBR-pruned polygon sweep. The tiling is what
+        makes the prune bite: a tile's bounding box is small, so once
+        its points hold k nearby candidates, the tile-bbox-to-polygon
+        lower bound eliminates the rest of the corpus in O(1) per
+        polygon. Deterministic: results are per-point and
+        order-independent."""
+        n = len(x)
+        best_d = np.full((n, kk), np.inf)
+        best_p = np.full((n, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        best_pos = np.full((n, kk), -1, dtype=np.int64)
+        if n == 0:
+            return best_d, best_p, best_pos
+        span = max(x.max() - x.min(), y.max() - y.min(), 1e-9)
+        cell = span / 16.0
+        gx = np.floor((x - x.min()) / cell).astype(np.int64)
+        gy = np.floor((y - y.min()) / cell).astype(np.int64)
+        order_pts = np.lexsort((y, x, gy, gx))
+        for s in range(0, n, self.TILE):
+            sel = order_pts[s:s + self.TILE]
+            d_, p_, pos_ = self._knn_tile(x[sel], y[sel], kk)
+            best_d[sel] = d_
+            best_p[sel] = p_
+            best_pos[sel] = pos_
+        return best_d, best_p, best_pos
+
+    def _knn_tile(self, x: np.ndarray, y: np.ndarray, kk: int):
+        """One tile's MBR-lower-bound pruned polygon sweep,
+        nearest-box-first from the tile median, maintaining each
         point's running top-k by a vectorized insertion (kk is small).
         Replaces the old per-point tree-heap Python loop — all work is
         numpy over point vectors; the only Python loop is over POLYGONS
-        that survive the box-bound prune against the current kth-best."""
+        that survive the box-bound prunes against the current kth-best."""
         n = len(x)
         boxes = self.tree.boxes
         best_d = np.full((n, kk), np.inf)
@@ -204,7 +234,23 @@ class KNNJoin:
         ox = np.maximum(0.0, np.maximum(boxes[:, 0] - cx, cx - boxes[:, 2]))
         oy = np.maximum(0.0, np.maximum(boxes[:, 1] - cy, cy - boxes[:, 3]))
         order = np.argsort(np.hypot(ox, oy), kind="stable")
+        bx0, by0, bx1, by1 = x.min(), y.min(), x.max(), y.max()
+        max_kth = np.inf
+        dirty = False
         for j in order:
+            # O(1) tile-level skip: polygon-box to tile-bbox distance vs
+            # the WORST kth-best in the tile (recomputed lazily; it only
+            # tightens when insertions happen)
+            bb = np.hypot(
+                max(0.0, max(boxes[j, 0] - bx1, bx0 - boxes[j, 2])),
+                max(0.0, max(boxes[j, 1] - by1, by0 - boxes[j, 3])))
+            if bb > max_kth:
+                continue
+            if dirty:
+                max_kth = float(best_d[:, kk - 1].max())
+                dirty = False
+                if bb > max_kth:
+                    continue
             lbx = np.maximum(0.0, np.maximum(boxes[j, 0] - x, x - boxes[j, 2]))
             lby = np.maximum(0.0, np.maximum(boxes[j, 1] - y, y - boxes[j, 3]))
             lb = np.hypot(lbx, lby)
@@ -230,6 +276,7 @@ class KNNJoin:
             best_d[ii, pp] = dd2
             best_p[ii, pp] = pid
             best_pos[ii, pp] = j
+            dirty = True
         return best_d, best_p, best_pos
 
     def __call__(self, batch: pa.Table) -> pa.Table:
