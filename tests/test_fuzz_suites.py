@@ -208,3 +208,45 @@ class TestCodecSuite:
             coords = np.round(rng.uniform(-1e6, 1e6, (n, 2)), 6)
             g = Geometry(2, 0, coords=coords)
             assert to_wkt(from_wkb(to_wkb(g))) == to_wkt(g)
+
+
+class TestRasterSuite:
+    """Rasterizer invariants: anti-aliased coverage integrates to the
+    analytic polygon area (2%), vectorize_mask is exactly
+    area-conservative on the binary mask, and its output validates."""
+
+    @pytest.mark.parametrize("seed", [77, 402])
+    def test_area_conservation_and_vectorize(self, seed):
+        from simplefeatures_ray.raster import rasterize, vectorize_mask
+
+        rng = np.random.default_rng(seed)
+        done = 0
+        while done < 20:
+            cx, cy = rng.uniform(-40, 40, 2)
+            nv = int(rng.integers(3, 10))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            r = rng.uniform(1, 12, nv)
+            xs = cx + r * np.cos(ang)
+            ys = cy + r * np.sin(ang)
+            ring = np.stack([np.append(xs, xs[0]), np.append(ys, ys[0])],
+                            axis=1)
+            g = Geometry(3, 0, rings=[ring])
+            ok, _ = validate(g)
+            if not ok:
+                continue
+            done += 1
+            bounds = (xs.min() - 2, ys.min() - 2, xs.max() + 2, ys.max() + 2)
+            W = H = 192
+            m = rasterize(g, W, H, bounds, supersample=4).astype(
+                np.float64) / 255.0
+            cell_a = ((bounds[2] - bounds[0]) * (bounds[3] - bounds[1])
+                      / (W * H))
+            assert abs(float(m.sum()) * cell_a - area(g)) \
+                <= 0.02 * max(area(g), 1.0), (seed, done)
+            bm = m > 0.5
+            vm = vectorize_mask(bm, bounds)
+            assert abs(area(vm) - float(bm.sum()) * cell_a) \
+                <= 1e-6 * max(float(bm.sum()) * cell_a, 1.0)
+            if vm.tag in (3, 6):
+                ok2, reason = validate(vm)
+                assert ok2, (seed, done, reason)
