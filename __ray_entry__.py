@@ -741,6 +741,19 @@ def docs_heavy_terms(sf_dir: str):
     return pa.table({"term": out["value"], "n": out["n"]})
 
 
+def docs_line_dedup(sf_dir: str):
+    """C4/CCNet-style cross-document LINE deduplication: 3-word lines
+    occurring in >= 2 distinct documents are boilerplate and are
+    removed everywhere; per doc the gate compares the kept/dropped
+    counts AND the sha256 of the reassembled text (functions/
+    text.line_dedup — explode, distinct-pair df count, bucketed LEFT
+    ANTI on line, doc-keyed reassembly; no corpus-sized broadcast)."""
+    from simplefeatures_ray.functions.text import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup(ds, line_words=3, min_docs=2)
+
+
 def docs_inverted_index(sf_dir: str):
     """Inverted-index build (functions/text.inverted_index): term ->
     (document frequency, capped sorted posting list). One coarse
@@ -3842,6 +3855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": docs_contamination,
         "docs_term_stats": docs_term_stats,
         "docs_heavy_terms": docs_heavy_terms,
+        "docs_line_dedup": docs_line_dedup,
         "docs_inverted_index": docs_inverted_index,
         "docs_repetition_metrics": docs_repetition_metrics,
         "docs_fingerprint": docs_fingerprint,
@@ -4317,6 +4331,36 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM r WHERE rn <= 20 GROUP BY term
+        """,
+        "docs_line_dedup": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\w'']+'),
+                                    x -> lower(x)) AS ws
+              FROM documents),
+            l AS (
+              SELECT doc_id, li,
+                     array_to_string(ws[3*li+1 : 3*li+3], ' ') AS line
+              FROM w, unnest(range(0, CAST(ceil(len(ws)/3.0) AS BIGINT)))
+                   t(li)),
+            df AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                   FROM l GROUP BY line),
+            kept AS (
+              SELECT l.doc_id, l.li, l.line
+              FROM l JOIN df USING (line) WHERE df.df < 2),
+            ka AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+                     substr(sha256(array_to_string(
+                       list(line ORDER BY li), chr(10))), 1, 16) AS clean_sha
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines
+                    FROM l GROUP BY doc_id)
+            SELECT t.doc_id, t.n_lines,
+                   COALESCE(ka.n_kept, 0) AS n_kept,
+                   t.n_lines - COALESCE(ka.n_kept, 0) AS n_dropped,
+                   COALESCE(ka.clean_sha,
+                            substr(sha256(''), 1, 16)) AS clean_sha
+            FROM tot t LEFT JOIN ka USING (doc_id)
         """,
         "docs_heavy_terms": r"""
             WITH w AS (

@@ -860,3 +860,121 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
     parted = ds.map_batches(pairs, batch_format="pyarrow")
     return parted.groupby("__part").map_groups(
         arrow_groups(build), batch_format="pyarrow")
+
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               line_words: int = 3, min_docs: int = 2,
+               n_buckets: int = 32):
+    """C4/CCNet-style CROSS-DOCUMENT line deduplication: any "line"
+    occurring in >= min_docs DISTINCT documents is boilerplate and is
+    removed from every document. Lines are consecutive `line_words`-word
+    windows of the corpus-standard tokenization (a corpus without
+    newline structure still dedups repeated spans; with real lines,
+    split on the delimiter instead — the pipeline shape is identical).
+
+    Scale shape (no corpus-sized broadcast anywhere):
+      1. explode docs to (doc, li, line) rows — batch-local;
+      2. line document-frequency: per-batch DISTINCT (line, doc) pairs
+         (a doc never spans batches, so batch-local dedup is global)
+         -> combiner grouped count keyed by line;
+      3. drop duplicated lines with a bucketed LEFT ANTI join on line;
+      4. reassemble surviving docs with one doc-keyed coarse shuffle,
+         emit (doc_id, n_lines, n_kept, n_dropped, clean_sha) where
+         clean_sha = sha256 hex prefix of the kept lines joined with
+         '\\n' in li order (SQL recomputes the identical digest).
+    """
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ._pdarrow import arrow_groups
+    from .agg import grouped_agg
+    from .relational import bucketed_join
+
+    def lines_kernel(t: pa.Table) -> pa.Table:
+        w = _word_table(t, id_col, text_col)
+        df = w.to_pandas()
+        if not len(df):
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "li": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string())})
+        df["__rank"] = df.groupby(id_col, sort=False).cumcount()
+        df["li"] = df["__rank"] // line_words
+        g = (df.groupby([id_col, "li"], sort=False)["term"]
+             .agg(" ".join).reset_index(name="line"))
+        return pa.table({"doc": pa.array(g[id_col].to_numpy(np.int64)),
+                         "li": pa.array(g["li"].to_numpy(np.int64)),
+                         "line": pa.array(g["line"], pa.string())})
+
+    lines = ds.map_batches(lines_kernel, batch_format="pyarrow")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        d = t.select(["line", "doc"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    pairs = lines.map_batches(pair_partial, batch_format="pyarrow")
+    df_ds = grouped_agg(pairs, "line", {"df": ("doc", "count")},
+                        combine="shuffle")
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.cast(t["df"], pa.int64()),
+                                min_docs)
+        return pa.table({"line": t["line"]}).filter(keep)
+
+    dup = df_ds.map_batches(dup_only, batch_format="pyarrow")
+    kept = bucketed_join(lines, dup, key="line", n_buckets=n_buckets,
+                         join_type="left anti")
+
+    totals = grouped_agg(lines, "doc", {"n_lines": (None, "count")},
+                         combine="shuffle")
+
+    n_parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pc.fill_null(pc.cast(t["doc"], pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return t.append_column("__part",
+                               pa.array((h % n_parts).astype(np.int32)))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc", "li"], kind="mergesort")
+        g = df.groupby("doc", sort=True)
+        text = g["line"].agg("\n".join)
+        sha = [hashlib.sha256(s.encode()).hexdigest()[:16] for s in text]
+        return pd.DataFrame({"doc": text.index.to_numpy(np.int64),
+                             "n_kept": g.size().to_numpy(np.int64),
+                             "clean_sha": sha})
+
+    kept_agg = (kept.map_batches(add_part, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(arrow_groups(
+                    lambda d: reassemble(d.drop(columns="__part"))),
+                    batch_format="pyarrow"))
+
+    out = bucketed_join(totals, kept_agg, key="doc",
+                        n_buckets=n_buckets, join_type="left outer",
+                        right_schema=pa.schema([
+                            ("doc", pa.int64()),
+                            ("n_kept", pa.int64()),
+                            ("clean_sha", pa.string())]))
+
+    empty_sha = hashlib.sha256(b"").hexdigest()[:16]
+
+    def finish(t: pa.Table) -> pa.Table:
+        nl = pc.cast(t["n_lines"], pa.int64())
+        nk = pc.cast(pc.fill_null(t["n_kept"], 0), pa.int64())
+        if pa.types.is_floating(t["n_kept"].type):
+            nkv = np.nan_to_num(
+                np.asarray(t["n_kept"], dtype=np.float64)).astype(np.int64)
+            nk = pa.array(nkv)
+        sha = pc.fill_null(t["clean_sha"], empty_sha)
+        return pa.table({
+            id_col: pc.cast(t["doc"], pa.int64()),
+            "n_lines": nl,
+            "n_kept": nk,
+            "n_dropped": pc.subtract(nl, nk),
+            "clean_sha": sha,
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -53,3 +53,44 @@ def test_quality_matches_reference(batch):
         assert out["n_chars_q"][i].as_py() == n_chars, repr(t)
         assert out["punct_ratio"][i].as_py() == pytest.approx(pr, abs=1e-12)
         assert out["stop_ratio"][i].as_py() == pytest.approx(sr, abs=1e-12)
+
+
+def test_line_dedup_reference_parity(ray_session):
+    """line_dedup vs a driver-side reference (line df counts, removal,
+    sha of reassembly) on a corpus engineered for heavy cross-doc
+    duplication, across parallelism levels."""
+    import collections
+    import hashlib
+    import re
+
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.text import line_dedup
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 40))))
+             for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    lines_by_doc = {}
+    for did, txt in zip(range(120), texts):
+        ws = [w.lower() for w in re.findall(r"[\w']+", txt, re.ASCII)]
+        lines_by_doc[did] = [" ".join(ws[i:i + 3])
+                             for i in range(0, len(ws), 3)]
+    df = collections.Counter()
+    for ls in lines_by_doc.values():
+        for l in set(ls):
+            df[l] += 1
+    for parts in (2, 9):
+        out = (line_dedup(rd.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert len(out) == 120
+        for _, row in out.iterrows():
+            ls = lines_by_doc[row["doc_id"]]
+            kept = [l for l in ls if df[l] < 2]
+            sha = hashlib.sha256("\n".join(kept).encode()).hexdigest()[:16]
+            assert row["n_lines"] == len(ls)
+            assert row["n_kept"] == len(kept)
+            assert row["n_dropped"] == len(ls) - len(kept)
+            assert row["clean_sha"] == sha
