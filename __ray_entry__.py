@@ -4353,8 +4353,9 @@ def oracle_sql() -> dict[str, str]:
                      substr(sha256(array_to_string(
                        list(line ORDER BY li), chr(10))), 1, 16) AS clean_sha
               FROM kept GROUP BY doc_id),
-            tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines
-                    FROM l GROUP BY doc_id)
+            tot AS (SELECT doc_id,
+                           CAST(ceil(len(ws)/3.0) AS BIGINT) AS n_lines
+                    FROM w)
             SELECT t.doc_id, t.n_lines,
                    COALESCE(ka.n_kept, 0) AS n_kept,
                    t.n_lines - COALESCE(ka.n_kept, 0) AS n_dropped,

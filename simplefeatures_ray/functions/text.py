@@ -926,8 +926,19 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     kept = bucketed_join(lines, dup, key="line", n_buckets=n_buckets,
                          join_type="left anti")
 
-    totals = grouped_agg(lines, "doc", {"n_lines": (None, "count")},
-                         combine="shuffle")
+    # totals come from the DOCUMENT table (not the line table) so
+    # zero-word documents stay in the output with n_lines = 0
+    def totals_kernel(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(t[text_col], pattern=r"[^\w']+")
+        flat = pc.utf8_lower(pc.list_flatten(words))
+        parents = np.asarray(pc.list_parent_indices(words))
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        nw = np.bincount(parents[nonempty], minlength=len(t))
+        nl = (nw + line_words - 1) // line_words
+        return pa.table({"doc": pc.cast(t[id_col], pa.int64()),
+                         "n_lines": pa.array(nl.astype(np.int64))})
+
+    totals = ds.map_batches(totals_kernel, batch_format="pyarrow")
 
     n_parts = 32
 
