@@ -93,6 +93,10 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     sides, then join per bucket inside map_groups. The all-to-all cost is
     one groupby shuffle per side; B bounds per-task memory.
 
+    join_type: 'inner' | 'left outer' | 'left semi' | 'left anti' |
+    'full outer' (full outer is incompatible with n_salts > 1 — the
+    right-side replication would duplicate unmatched right rows).
+
     n_salts > 1 is the HOT-KEY guard: every left row additionally takes an
     arbitrary salt in [0, n_salts) (salting is pure load-splitting — the
     join result is identical for ANY assignment) and every right row is
@@ -118,15 +122,18 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     # side are empty; anti/left-outer with an unknowable RIGHT return the
     # left rows as-is (left outer pads the right columns as typed nulls
     # when the right_schema hint supplies their types).
+    if join_type == "full outer" and n_salts != 1:
+        raise ValueError("full outer join cannot be salted")
     sl, sr = left_ds.schema(), right_ds.schema()
     if sl is None:
-        return left_ds
+        # unknowable empty left: full outer degenerates to the right
+        # rows (left columns unknowable — same caveat as the left-outer
+        # empty-right case below)
+        return right_ds if join_type == "full outer" else left_ds
     if sr is None and right_schema is not None:
         sr = right_schema
     if sr is None:
-        if join_type == "left anti":
-            return left_ds
-        if join_type == "left outer":
+        if join_type in ("left anti", "left outer", "full outer"):
             return left_ds
         return left_ds.map_batches(lambda t: t.slice(0, 0),
                                    batch_format="pyarrow")
@@ -137,7 +144,7 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
                                        batch_format="pyarrow")
         if join_type == "left anti":
             return left_ds
-        # left outer: left rows + typed null right columns
+        # left/full outer: left rows + typed null right columns
         extra = [(f.name, f.type) for f in sr if f.name != key
                  and f.name not in sl.names]
 

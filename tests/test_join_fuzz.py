@@ -154,3 +154,32 @@ def test_topk_empty_lazy(ray_session):
     lazy = _lazy_empty(pa.table({"v": pa.array([], pa.float64()),
                                  "id": pa.array([], pa.int64())}))
     assert topk(lazy, "v", k=5).count() == 0
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_bucketed_full_outer_matches_arrow(ray_session, trial):
+    rng = np.random.default_rng(500 + trial)
+    n_l, n_r = int(rng.integers(0, 120)), int(rng.integers(0, 70))
+    str_keys = trial % 2 == 0
+    lt = pa.table({"k": _keys(rng, n_l, str_keys, trial % 3 == 0),
+                   "a": pa.array(rng.integers(0, 99, n_l), pa.int64())})
+    rt = pa.table({"k": _keys(rng, n_r, str_keys, trial % 3 == 0),
+                   "b": pa.array(rng.integers(0, 99, n_r), pa.int64())})
+    got = bucketed_join(rd.from_arrow(lt).repartition(4),
+                        rd.from_arrow(rt).repartition(3),
+                        key="k", n_buckets=8,
+                        join_type="full outer").to_pandas()
+    want = lt.join(rt, keys="k", join_type="full outer").to_pandas()
+    cols = sorted(set(got.columns) | set(want.columns))
+    gs = (got.reindex(columns=cols)
+          .sort_values(cols, na_position="last").reset_index(drop=True))
+    ws = (want.reindex(columns=cols)
+          .sort_values(cols, na_position="last").reset_index(drop=True))
+    pd.testing.assert_frame_equal(gs.astype(object), ws.astype(object),
+                                  check_dtype=False)
+
+
+def test_bucketed_full_outer_rejects_salts(ray_session):
+    t = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        bucketed_join(t, t, key="k", join_type="full outer", n_salts=2)
