@@ -2090,11 +2090,14 @@ def spatial_knn_dense(sf_dir: str):
     pts = ds.map_batches(derive, batch_format="pyarrow")
     index_ref = ray.put(
         build_polygon_index(synth_boxes_int_polygon_table(800)))
+    # large batches amortize the per-polygon sweep overhead (the tiled
+    # kernel re-localizes internally, so bigger batches only help)
     out = pts.map_batches(
         knn_join_batch,
         fn_kwargs={"index_ref": index_ref, "k": 2,
                    "x_col": "x", "y_col": "y"},
         batch_format="pyarrow",
+        batch_size=8192,
     )
 
     def finish(t: pa.Table) -> pa.Table:
