@@ -2087,7 +2087,10 @@ def spatial_knn_dense(sf_dir: str):
         return pa.table({"event_id": t["event_id"],
                          "x": pa.array(x), "y": pa.array(y)})
 
-    pts = ds.map_batches(derive, batch_format="pyarrow")
+    # a single-file read is ONE task; without a repartition the heavy
+    # kNN kernel fuses into that lone lineage and runs ~serially
+    # (multi-file inputs at real scale parallelize naturally)
+    pts = ds.repartition(32).map_batches(derive, batch_format="pyarrow")
     index_ref = ray.put(
         build_polygon_index(synth_boxes_int_polygon_table(800)))
     # large batches amortize the per-polygon sweep overhead (the tiled
