@@ -470,6 +470,14 @@ def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text
     return dedup_pairs(cand)
 
 
+def _cc_label_join(t: pa.Table, *, lab_ref) -> pa.Table:
+    """Per-batch broadcast join for CC rounds: plain task function, the
+    small label table fetched zero-copy from the object store."""
+    import ray
+
+    return t.join(ray.get(lab_ref), keys="node")
+
+
 def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
                          id_out: str = "doc_id", label_out: str = "cluster_id",
                          max_rounds: int = 50, n_buckets: int = 32,
@@ -565,7 +573,13 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
         label = compress(label)
         for _ in range(max_rounds):
             lab_tbl = pa.table({"node": node, "label": label})
-            msgs = broadcast_join(edges, lab_tbl, keys="node")
+            # task-based broadcast join (zero-copy ray.get of the small
+            # label table per batch) — broadcast_join's ACTOR pool costs
+            # a pool spin-up per ROUND, which dominated iterative CC
+            lab_ref = ray.put(lab_tbl)
+            msgs = edges.map_batches(
+                _cc_label_join, fn_kwargs={"lab_ref": lab_ref},
+                batch_format="pyarrow")
             part = grouped_agg(
                 msgs.map_batches(to_dst, batch_format="pyarrow"),
                 "node", {"label": ("label", "min")}, combine="driver")
