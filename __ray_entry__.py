@@ -873,10 +873,13 @@ def docs_cc_pipeline(sf_dir: str):
     def _ds(x):
         return rd.from_arrow(x) if isinstance(x, pa.Table) else x
 
+    # materialize the three shared legs ONCE: each feeds multiple
+    # downstream consumers (and every .schema() probe on a lazy leg
+    # re-executes its upstream) — all three are small per-doc tables
     q = _ds(docs_quality_classifier(sf_dir)).select_columns(
-        ["doc_id", "keep"])
-    f = _ds(docs_fingerprint(sf_dir))
-    clusters = _ds(docs_dup_clusters(sf_dir))
+        ["doc_id", "keep"]).materialize()
+    f = _ds(docs_fingerprint(sf_dir)).materialize()
+    clusters = _ds(docs_dup_clusters(sf_dir)).materialize()
 
     keepers = grouped_agg(f, "fp_sha", {"keeper": ("doc_id", "min")},
                           combine="shuffle")
@@ -887,14 +890,16 @@ def docs_cc_pipeline(sf_dir: str):
                       pc.cast(t["keeper"], pa.int64()))
         return pa.table({"doc_id": t["doc_id"]}).filter(ok)
 
-    exact_keep = fk.map_batches(exact_flag, batch_format="pyarrow")
+    exact_keep = fk.map_batches(exact_flag,
+                                batch_format="pyarrow").materialize()
 
     def losers_kernel(t: pa.Table) -> pa.Table:
         bad = pc.not_equal(pc.cast(t["doc_id"], pa.int64()),
                            pc.cast(t["cluster_id"], pa.int64()))
         return pa.table({"doc_id": t["doc_id"]}).filter(bad)
 
-    losers = clusters.map_batches(losers_kernel, batch_format="pyarrow")
+    losers = clusters.map_batches(losers_kernel,
+                                  batch_format="pyarrow").materialize()
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
@@ -902,9 +907,17 @@ def docs_cc_pipeline(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"]}).filter(
             pc.cast(t["keep"], pa.bool_()))
 
-    keepq = q.map_batches(quality_only, batch_format="pyarrow")
-    surv = bucketed_join(docs, keepq, key="doc_id", n_buckets=16)
-    surv = bucketed_join(surv, exact_keep, key="doc_id", n_buckets=16)
+    keepq = q.map_batches(quality_only,
+                          batch_format="pyarrow").materialize()
+    # materialize between the chained joins: every bucketed_join probes
+    # its inputs' schemas, and a schema probe on a lazy post-shuffle
+    # chain re-executes the whole upstream — the legs are tiny per-doc
+    # id tables, so pinning them is free and cuts the composition from
+    # ~31 s of re-execution to one pass per stage
+    surv = bucketed_join(docs, keepq, key="doc_id",
+                         n_buckets=16).materialize()
+    surv = bucketed_join(surv, exact_keep, key="doc_id",
+                         n_buckets=16).materialize()
     surv = bucketed_join(surv, losers, key="doc_id", n_buckets=16,
                          join_type="left anti")
 
