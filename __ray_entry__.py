@@ -1206,8 +1206,12 @@ def docs_pagerank(sf_dir: str):
 
     base = rd.range(n).map_batches(
         lambda t: pa.table({"id": t["id"]}), batch_format="pyarrow")
-    edges = base.map_batches(gen_edges, batch_format="pyarrow")
-    ranks = base.map_batches(gen_ranks, batch_format="pyarrow")
+    # pin edges once and the rank state per iteration: a lazy rank chain
+    # re-executes every PRIOR iteration at each schema probe/consume
+    # (the classic lazy-iteration blowup); state is O(nodes) blocks in
+    # the object store, exactly what crosses iterations anyway
+    edges = base.map_batches(gen_edges, batch_format="pyarrow").materialize()
+    ranks = base.map_batches(gen_ranks, batch_format="pyarrow").materialize()
 
     for _ in range(3):
         joined = bucketed_join(edges, ranks, key="src", n_buckets=8)
@@ -1225,7 +1229,8 @@ def docs_pagerank(sf_dir: str):
             r = 0.15 / n + 0.85 * np.asarray(t["s"], dtype=np.float64)
             return pa.table({"src": t["dst"], "rank": pa.array(r)})
 
-        ranks = summed.map_batches(renorm, batch_format="pyarrow")
+        ranks = summed.map_batches(renorm,
+                                   batch_format="pyarrow").materialize()
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
