@@ -386,7 +386,9 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
         arrow_groups(bucket_pairs), batch_format="pyarrow")
     from .dedup import dedup_pairs
 
-    pairs = dedup_pairs(cand)
+    # pin the candidate set: both downstream hash joins probe/consume
+    # it, and a lazy re-execution would repeat the banding shuffles
+    pairs = dedup_pairs(cand).materialize()
 
     # exact verify: join each side's vector back (Ray-native hash joins —
     # the candidate set and the corpus both stream; nothing on the driver)
