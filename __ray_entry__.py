@@ -1406,6 +1406,9 @@ def q5_region_revenue(sf_dir: str):
     asia_set = pa.array(asia["n_nationkey"].to_pylist(), pa.int64())
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # parquet-footer schema (no execution) — feeds the right_schema hint
+    _cs = cust.schema()
+    cnk_ty = dict(zip(_cs.names, _cs.types))["c_nationkey"]
 
     def cust_in_region(t: pa.Table) -> pa.Table:
         keep = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
@@ -1436,7 +1439,13 @@ def q5_region_revenue(sf_dir: str):
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    lic = bucketed_join(li, oc, key="l_orderkey", n_buckets=32)
+    # right_schema: oc sits downstream of the first bucketed_join's
+    # shuffle — a schema() probe would EXECUTE that shuffle once just for
+    # the column names and the real run would repeat it
+    lic = bucketed_join(li, oc, key="l_orderkey", n_buckets=32,
+                        right_schema=pa.schema([
+                            ("l_orderkey", pa.int64()),
+                            ("c_nationkey", cnk_ty)]))
 
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     lics = broadcast_join(lic, supp, keys="l_suppkey", right_keys="s_suppkey")

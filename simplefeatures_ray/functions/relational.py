@@ -17,16 +17,35 @@ from ._pdarrow import arrow_groups
 
 def collect_table(ds_or_table) -> pa.Table:
     """Materialize a SMALL Dataset to one Arrow table (driver side).
-    Only for dimension tables / aggregates, never the main input."""
+    Only for dimension tables / aggregates, never the main input.
+
+    Consumes the pipeline EXACTLY ONCE via iter_internal_ref_bundles +
+    driver-side block conversion. Dataset.to_arrow_refs() would execute
+    the plan and then call schema(fetch_if_missing=True), which — on a
+    non-materialized lineage — executes the ENTIRE plan a second time
+    (ray 2.49 dataset.py:5834-5840); that silently doubled the cost of
+    every driver-combined aggregate."""
     if isinstance(ds_or_table, pa.Table):
         return ds_or_table
     import ray
+    from ray.data.block import BlockAccessor
 
-    parts = [t for t in ray.get(ds_or_table.to_arrow_refs()) if t.num_rows]
+    refs = [br for bundle in ds_or_table.iter_internal_ref_bundles()
+            for br in bundle.block_refs]
+    tables = [BlockAccessor.for_block(b).to_arrow() for b in ray.get(refs)]
+    parts = [t for t in tables if t.num_rows]
     if not parts:
+        if tables:
+            # zero rows but typed blocks exist: keep their schema
+            return tables[0]
+        # zero BLOCKS: schema() may re-execute, but an all-empty plan is
+        # the rare cheap case
         sch = ds_or_table.schema() if hasattr(ds_or_table, "schema") else None
-        # an exhausted pipeline over zero input blocks reports schema None
-        return pa.table({}) if sch is None else sch.empty_table()
+        if sch is None:
+            return pa.table({})
+        sch = getattr(sch, "base_schema", sch)
+        return (sch.empty_table() if isinstance(sch, pa.Schema)
+                else pa.table({}))
     return pa.concat_tables(parts, promote_options="permissive").combine_chunks()
 
 
@@ -88,7 +107,8 @@ def broadcast_join(big_ds, small, keys, right_keys=None, join_type="inner",
 
 def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
                   join_type: str = "inner", n_salts: int = 1,
-                  right_schema: pa.Schema | None = None):
+                  right_schema: pa.Schema | None = None,
+                  left_schema: pa.Schema | None = None):
     """Large×large partitioned hash join: add bucket = hash(key) % B to both
     sides, then join per bucket inside map_groups. The all-to-all cost is
     one groupby shuffle per side; B bounds per-task memory.
@@ -106,14 +126,22 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     the classic skew-join trade, same rationale as stages/shuffle.py's
     salted aggregation.
 
-    right_schema: optional hint for when the right side is a zero-row
-    LAZY dataset whose schema Ray cannot infer (schema() None). WITHOUT
-    it, a 'left outer' join against such a side returns the left rows
-    with NO right columns — the output schema then depends on whether
-    the empty side's schema was inferable, and a downstream select of a
-    right column KeyErrors only in the empty-lazy case. WITH it, the
-    right columns are appended as typed nulls (same contract as
-    asof_join's non-lazy empty path)."""
+    right_schema / left_schema: TRUSTED schema hints that skip the
+    `ds.schema()` probe for that side entirely. Two reasons to pass one:
+      1. PERFORMANCE — `schema()` on a side that sits downstream of an
+         all-to-all (a grouped_agg, another bucketed_join, a map_groups)
+         executes that whole upstream shuffle just to learn the column
+         names, and the real execution then runs it AGAIN (Ray does not
+         cache non-materialized lineage). A hint makes the chained join
+         single-execution. Any call site whose input is post-shuffle and
+         whose columns are statically known should pass one.
+      2. EMPTY-LAZY CORRECTNESS — a zero-row lazy side reports schema
+         None; without a hint a 'left outer' join against it returns the
+         left rows with NO right columns, so a downstream select of a
+         right column KeyErrors only in the empty-lazy case. WITH the
+         hint the right columns are appended as typed nulls (the general
+         per-bucket acero path pads them; same contract as asof_join's
+         non-lazy empty path)."""
     import pyarrow.compute as pc
 
     # a zero-row LAZY side can report schema None (Ray cannot infer a
@@ -124,36 +152,18 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     # when the right_schema hint supplies their types).
     if join_type == "full outer" and n_salts != 1:
         raise ValueError("full outer join cannot be salted")
-    sl, sr = left_ds.schema(), right_ds.schema()
+    sl = left_schema if left_schema is not None else left_ds.schema()
+    sr = right_schema if right_schema is not None else right_ds.schema()
     if sl is None:
         # unknowable empty left: full outer degenerates to the right
         # rows (left columns unknowable — same caveat as the left-outer
         # empty-right case below)
         return right_ds if join_type == "full outer" else left_ds
-    if sr is None and right_schema is not None:
-        sr = right_schema
     if sr is None:
         if join_type in ("left anti", "left outer", "full outer"):
             return left_ds
         return left_ds.map_batches(lambda t: t.slice(0, 0),
                                    batch_format="pyarrow")
-    if right_ds.schema() is None:
-        # known-empty right with a schema hint: no shuffle needed
-        if join_type in ("inner", "left semi"):
-            return left_ds.map_batches(lambda t: t.slice(0, 0),
-                                       batch_format="pyarrow")
-        if join_type == "left anti":
-            return left_ds
-        # left/full outer: left rows + typed null right columns
-        extra = [(f.name, f.type) for f in sr if f.name != key
-                 and f.name not in sl.names]
-
-        def pad(t: pa.Table) -> pa.Table:
-            for name, typ in extra:
-                t = t.append_column(name, pa.nulls(len(t), typ))
-            return t
-
-        return left_ds.map_batches(pad, batch_format="pyarrow")
 
     def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
         # NULL keys never equi-match, so their bucket only needs to be
@@ -217,8 +227,8 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         batch_format="pyarrow",
     )
 
-    lcols = list(left_ds.schema().names)
-    rcols = list(right_ds.schema().names)
+    lcols = list(sl.names)
+    rcols = list(sr.names)
 
     # per-bucket join in pure Arrow (acero hash join): keeps exact column
     # types — the union pads each side's missing columns with nulls, and a
@@ -238,10 +248,9 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     # non-empty side would drop the empty side's columns and break
     # join_bucket's select)
     fields: dict = {}
-    for s in (left_ds.schema(), right_ds.schema()):
-        if s is not None:
-            for n, ty in zip(s.names, s.types):
-                fields.setdefault(n, ty)
+    for s in (sl, sr):
+        for n, ty in zip(s.names, s.types):
+            fields.setdefault(n, ty)
     fields["__bucket"] = pa.int32()
     fields["__side"] = pa.int8()
 
