@@ -16,9 +16,13 @@ the corpus itself. Distributed shape per iteration:
                  (count DESC, left ASC, right ASC) -> next merge
 
 The merge list is O(num_merges) and ships with the task closure; the
-corpus is never collected. num_merges executions re-read the input —
-the standard trade for iterative algorithms on an immutable Dataset
-(same pattern as functions/cluster.py k-means).
+corpus is never collected. The corpus is read ONCE: train_bpe first
+reduces it to the distinct (word, freq) table through one shuffle and
+pins that — every merge iteration then re-symbolizes the VOCABULARY
+(sublinear in corpus size; the standard word-frequency-dict BPE
+formulation), not the corpus. The word table stays a distributed
+Dataset end-to-end, so a web-scale vocabulary never lands on the
+driver.
 
 Tokenization matches the corpus standard elsewhere in the engine
 (functions/scoring._bigram_tables): RE2 word runs `[\\w']+`,
@@ -100,6 +104,50 @@ def pair_counts(ds, text_col: str = "text",
                                      {"n": ("n", "sum")}, combine="shuffle"))
 
 
+def word_freq_dataset(ds, text_col: str = "text"):
+    """One corpus pass -> distributed distinct (word, freq) table,
+    pinned so the merge loop never re-reads the input. The vocabulary
+    stays sharded in the object store (web-scale vocab is 10^8+ rows —
+    never driver-collected)."""
+    from .agg import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = _word_freqs(t, text_col)
+        return pa.table({"word": pa.array(f.index, pa.string()),
+                         "n": pa.array(f.to_numpy(np.int64))})
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(p, "word", {"freq": ("n", "sum")},
+                       combine="shuffle").materialize()
+
+
+def _vocab_pair_counts(words_ds, merges: list[tuple[str, str]]) -> pa.Table:
+    """Pair counts from the pinned (word, freq) table under merges."""
+    from .agg import grouped_agg
+    from .relational import collect_table
+
+    ms = list(merges)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        freqs = np.asarray(t["freq"], dtype=np.int64)
+        for word, n in zip(t["word"].to_pylist(), freqs):
+            syms = _apply_merges(word, ms)
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + int(n)
+        items = list(counts.items())
+        return pa.table({
+            "left": pa.array([k[0] for k, _ in items], pa.string()),
+            "right": pa.array([k[1] for k, _ in items], pa.string()),
+            "n": pa.array([v for _, v in items], pa.int64()),
+        })
+
+    partial = words_ds.map_batches(kernel, batch_format="pyarrow")
+    return collect_table(grouped_agg(partial, ["left", "right"],
+                                     {"n": ("n", "sum")}))
+
+
 def _top_pair(tbl: pa.Table) -> tuple[str, str, int] | None:
     df = tbl.to_pandas()
     if not len(df):
@@ -115,10 +163,11 @@ def train_bpe(ds, num_merges: int = 8, text_col: str = "text") -> pa.Table:
     rank 0-based in learning order; n is the pair's corpus count at the
     time it was chosen. Deterministic at any parallelism: counts are
     exact integers and the tie-break is total."""
+    words = word_freq_dataset(ds, text_col)
     merges: list[tuple[str, str]] = []
     rows = []
     for rank in range(num_merges):
-        top = _top_pair(pair_counts(ds, text_col, merges))
+        top = _top_pair(_vocab_pair_counts(words, merges))
         if top is None or top[2] < 1:
             break
         left, right, n = top
