@@ -868,61 +868,101 @@ def docs_cc_pipeline(sf_dir: str):
     import pyarrow.compute as pc
 
     from simplefeatures_ray.functions.agg import grouped_agg
-    from simplefeatures_ray.functions.relational import bucketed_join
+    from simplefeatures_ray.functions.relational import dedup_exact
 
     def _ds(x):
         return rd.from_arrow(x) if isinstance(x, pa.Table) else x
 
-    # materialize the three shared legs ONCE: each feeds multiple
-    # downstream consumers (and every .schema() probe on a lazy leg
-    # re-executes its upstream) — all three are small per-doc tables
     q = _ds(docs_quality_classifier(sf_dir)).select_columns(
-        ["doc_id", "keep"]).materialize()
-    f = _ds(docs_fingerprint(sf_dir)).materialize()
-    clusters = _ds(docs_dup_clusters(sf_dir)).materialize()
+        ["doc_id", "keep"])
+    f = _ds(docs_fingerprint(sf_dir))
+    clusters = _ds(docs_dup_clusters(sf_dir))
 
-    keepers = grouped_agg(f, "fp_sha", {"keeper": ("doc_id", "min")},
-                          combine="shuffle")
-    fk = bucketed_join(f, keepers, key="fp_sha", n_buckets=16)
+    # the three verdict legs are per-doc_id FLAG sets; instead of three
+    # chained bucketed_joins (each its own two-sided shuffle) tag each
+    # leg with a bit, union them with the payload rows, and resolve
+    # everything in ONE doc_id co-partition that emits per-lang PARTIAL
+    # aggregates — the whole composition is a single all-to-all over
+    # (docs + flags) plus the tiny driver combine
+    T_QUAL, T_EXACT, T_LOSER, T_DOC = 1, 2, 4, 8
 
-    def exact_flag(t: pa.Table) -> pa.Table:
-        ok = pc.equal(pc.cast(t["doc_id"], pa.int64()),
-                      pc.cast(t["keeper"], pa.int64()))
-        return pa.table({"doc_id": t["doc_id"]}).filter(ok)
+    def quality_only(t: pa.Table) -> pa.Table:
+        ids = pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())})
+        return ids.filter(pc.cast(t["keep"], pa.bool_()))
 
-    exact_keep = fk.map_batches(exact_flag,
-                                batch_format="pyarrow").materialize()
+    keepq = q.map_batches(quality_only, batch_format="pyarrow")
+
+    # exact-dedup keeper = the min-doc_id row of its fp_sha group —
+    # dedup_exact's combiner shape (one coarse shuffle, no agg + join)
+    exact_keep = dedup_exact(f, "fp_sha", keep_col="doc_id") \
+        .select_columns(["doc_id"])
 
     def losers_kernel(t: pa.Table) -> pa.Table:
         bad = pc.not_equal(pc.cast(t["doc_id"], pa.int64()),
                            pc.cast(t["cluster_id"], pa.int64()))
-        return pa.table({"doc_id": t["doc_id"]}).filter(bad)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}) \
+            .filter(bad)
 
-    losers = clusters.map_batches(losers_kernel,
-                                  batch_format="pyarrow").materialize()
+    losers = clusters.map_batches(losers_kernel, batch_format="pyarrow")
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    N_B = 32
 
-    def quality_only(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"]}).filter(
-            pc.cast(t["keep"], pa.bool_()))
+    def tag_ids(tag):
+        def k(t: pa.Table) -> pa.Table:
+            ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "tag": pa.array(np.full(len(ids), tag, np.int32)),
+                "lang": pa.nulls(len(ids), pa.string()),
+                "n_chars": pa.nulls(len(ids), pa.int64()),
+                "__bucket": pa.array((ids % N_B).astype(np.int32)),
+            })
+        return k
 
-    keepq = q.map_batches(quality_only,
-                          batch_format="pyarrow").materialize()
-    # materialize between the chained joins: every bucketed_join probes
-    # its inputs' schemas, and a schema probe on a lazy post-shuffle
-    # chain re-executes the whole upstream — the legs are tiny per-doc
-    # id tables, so pinning them is free and cuts the composition from
-    # ~31 s of re-execution to one pass per stage
-    surv = bucketed_join(docs, keepq, key="doc_id",
-                         n_buckets=16).materialize()
-    surv = bucketed_join(surv, exact_keep, key="doc_id",
-                         n_buckets=16).materialize()
-    surv = bucketed_join(surv, losers, key="doc_id", n_buckets=16,
-                         join_type="left anti")
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "tag": pa.array(np.full(len(ids), T_DOC, np.int32)),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "__bucket": pa.array((ids % N_B).astype(np.int32)),
+        })
 
-    out = grouped_agg(surv, "lang", {"n_docs": (None, "count"),
-                                     "chars_sum": ("n_chars", "sum")})
+    u = keepq.map_batches(tag_ids(T_QUAL), batch_format="pyarrow") \
+        .union(exact_keep.map_batches(tag_ids(T_EXACT),
+                                      batch_format="pyarrow")) \
+        .union(losers.map_batches(tag_ids(T_LOSER),
+                                  batch_format="pyarrow")) \
+        .union(docs.map_batches(tag_docs, batch_format="pyarrow"))
+
+    def resolve(df):
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "chars_sum": pd.Series([], dtype=np.int64)})
+        flags = df[df["tag"] != T_DOC]
+        bits = flags.groupby("doc_id", sort=False)["tag"].sum()
+        ok = bits[((bits & (T_QUAL | T_EXACT)) == (T_QUAL | T_EXACT))
+                  & ((bits & T_LOSER) == 0)].index
+        pay = df[df["tag"] == T_DOC]
+        pay = pay[pay["doc_id"].isin(ok)]
+        g = pay.groupby("lang", sort=False, dropna=False)
+        out = g.agg(n_docs=("doc_id", "size"),
+                    chars_sum=("n_chars", "sum")).reset_index()
+        return pd.DataFrame({"lang": out["lang"],
+                             "n_docs": out["n_docs"].astype(np.int64),
+                             "chars_sum": out["chars_sum"].astype(np.int64)})
+
+    from simplefeatures_ray.functions._pdarrow import arrow_groups
+
+    part = u.groupby("__bucket").map_groups(arrow_groups(resolve),
+                                            batch_format="pyarrow")
+    out = grouped_agg(part, "lang", {"n_docs": ("n_docs", "sum"),
+                                     "chars_sum": ("chars_sum", "sum")})
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
