@@ -1244,7 +1244,11 @@ def docs_pagerank(sf_dir: str):
         return pa.table({"src": pa.array(ids),
                          "rank": pa.array(np.full(len(ids), 1.0 / n))})
 
-    base = rd.range(n).map_batches(
+    # shard the id range by SIZE, not rd.range's default block count —
+    # the default gave 65 blocks for a 5k-node graph, and per-block task
+    # overhead through two shuffles per iteration dwarfed the compute
+    nb = max(1, min(1024, n // 262144)) if n > 0 else 1
+    base = rd.range(n, override_num_blocks=nb).map_batches(
         lambda t: pa.table({"id": t["id"]}), batch_format="pyarrow")
     # pin edges once and the rank state per iteration: a lazy rank chain
     # re-executes every PRIOR iteration at each schema probe/consume
