@@ -134,7 +134,6 @@ def q1_pricing_summary(sf_dir: str):
 
 def q3_revenue_topk(sf_dir: str):
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from simplefeatures_ray.functions.relational import (
         broadcast_join, bucketed_join, collect_table)
@@ -163,11 +162,34 @@ def q3_revenue_topk(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
     li = li.map_batches(derive, batch_format="pyarrow")
-    joined = bucketed_join(li, orders_b, key="l_orderkey", n_buckets=32)
-    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("rev", alias_name="revenue"))
+    # schema hints: both sides are post-map lazy chains whose probes
+    # would each burn a block-execution just for column names
+    _os = orders.schema()
+    odate_ty = dict(zip(_os.names, _os.types))["o_orderdate"]
+    # the join key l_orderkey determines the (l_orderkey, o_orderdate)
+    # group, so the revenue aggregation folds into the join's own
+    # co-partition task (bucket_fn) — ONE all-to-all for join+agg
+    def bucket_rev(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "o_orderdate"]) \
+             .aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "o_orderdate": g["o_orderdate"],
+                         "revenue": g["rev_sum"]})
+
+    agg = bucketed_join(li, orders_b, key="l_orderkey", n_buckets=32,
+                        left_schema=pa.schema([
+                            ("l_orderkey", pa.int64()),
+                            ("rev", pa.float64())]),
+                        right_schema=pa.schema([
+                            ("l_orderkey", pa.int64()),
+                            ("o_orderdate", odate_ty)]),
+                        bucket_fn=bucket_rev)
+    from simplefeatures_ray.functions.relational import topk
+
     agg = _cents_cols(agg, ["revenue"])
-    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
-    return top
+    # partial-top-k combiner instead of a global sort
+    return topk(agg, "revenue", 10, descending=True,
+                tie_cols=["l_orderkey"])
 
 
 def region_customer_stats(sf_dir: str):

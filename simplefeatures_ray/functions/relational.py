@@ -108,7 +108,8 @@ def broadcast_join(big_ds, small, keys, right_keys=None, join_type="inner",
 def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
                   join_type: str = "inner", n_salts: int = 1,
                   right_schema: pa.Schema | None = None,
-                  left_schema: pa.Schema | None = None):
+                  left_schema: pa.Schema | None = None,
+                  bucket_fn=None):
     """Large×large partitioned hash join: add bucket = hash(key) % B to both
     sides, then join per bucket inside map_groups. The all-to-all cost is
     one groupby shuffle per side; B bounds per-task memory.
@@ -141,7 +142,16 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
          right column KeyErrors only in the empty-lazy case. WITH the
          hint the right columns are appended as typed nulls (the general
          per-bucket acero path pads them; same contract as asof_join's
-         non-lazy empty path)."""
+         non-lazy empty path).
+
+    bucket_fn: optional Arrow-table kernel applied to each bucket's
+    joined table INSIDE the co-partition task. When the join key
+    functionally determines the group, a group-by here sees COMPLETE
+    groups — the place to fold the post-join aggregation into the same
+    all-to-all instead of paying a second shuffle. Must be pure and
+    schema-stable (empty bucket in, typed empty out). Note: with
+    n_salts > 1 a key's rows SPLIT across salt shards, so group-complete
+    aggregation inside bucket_fn is only exact when n_salts == 1."""
     import pyarrow.compute as pc
 
     # a zero-row LAZY side can report schema None (Ray cannot infer a
@@ -239,8 +249,9 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         side = pc.equal(t["__side"], 0)
         lhs = t.filter(side).select(lcols).combine_chunks()
         rhs = t.filter(pc.invert(side)).select(rcols).combine_chunks()
-        return lhs.join(rhs, keys=key, join_type=join_type)\
-                  .replace_schema_metadata(None)
+        out = lhs.join(rhs, keys=key, join_type=join_type)\
+                 .replace_schema_metadata(None)
+        return bucket_fn(out) if bucket_fn is not None else out
 
     # pad both sides to ONE static union schema built from the INPUT
     # schemas (not the post-map executed schemas — a zero-row side
@@ -342,6 +353,13 @@ def topk(ds, key: str, k: int, descending: bool = True, tie_cols=None):
         return t.take(idx)
 
     pruned = ds.map_batches(partial, batch_format="pyarrow")
+    if tie_cols is not None:
+        # explicit ties: the final sort spec needs no schema — never
+        # probe (a probe on a lazy post-shuffle input executes the
+        # whole upstream once, and the sort then executes it AGAIN)
+        cols, desc = [key] + list(tie_cols), \
+            [descending] + [False] * len(tie_cols)
+        return pruned.sort(cols, descending=desc).limit(k)
     sch = ds.schema()
     if sch is None:
         # zero-row lazy input with no inferable schema: top-k of empty
