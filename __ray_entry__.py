@@ -1169,41 +1169,59 @@ def events_latest_per_user(sf_dir: str):
 
 def events_retention_cohorts(sf_dir: str):
     """Cohort retention matrix: users cohorted by first-active day,
-    counted at each day offset they return. Three bounded exchanges:
-    distinct (user, day) via combiner dedup, per-user min-day via
-    combiner grouped_agg, then a LARGE x LARGE bucketed hash join of
-    activity back to cohorts (the per-user state is too big to
-    broadcast at 10^12 scale) and a final small groupby."""
+    counted at each day offset they return. ONE all-to-all: per-batch
+    (user, day) combiner dedup bounds the exchange, then a user_id
+    co-partition resolves dedup + per-user min-day + offsets and emits
+    (cohort_day, offset) PARTIAL counts; a tiny driver combine
+    finishes. The per-user state never broadcasts and never joins —
+    cohorting is group-complete inside its user partition."""
     import pyarrow.compute as pc
 
     from simplefeatures_ray.functions.agg import grouped_agg
-    from simplefeatures_ray.functions.relational import bucketed_join, dedup_exact
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = 32
 
     def to_day(t: pa.Table) -> pa.Table:
-        # integer floor-div (all ts are post-epoch, so trunc == floor)
+        # integer floor-div (all ts are post-epoch, so trunc == floor);
+        # local (user, day) dedup = the combiner bounding the shuffle
         us = np.asarray(pc.cast(t["ts"], pa.int64()))
+        uid = np.asarray(pc.cast(t["user_id"], pa.int64()))
         day = us // 86_400_000_000
-        return pa.table({"user_id": t["user_id"],
-                         "day": pa.array(day, pa.int64())})
+        key = uid * np.int64(1 << 20) + day
+        _, idx = np.unique(key, return_index=True)
+        uid, day = uid[idx], day[idx]
+        return pa.table({"user_id": pa.array(uid),
+                         "day": pa.array(day, pa.int64()),
+                         "__part": pa.array(
+                             (uid % n_parts).astype(np.int32))})
 
     pairs = ds.map_batches(to_day, batch_format="pyarrow")
-    pairs = dedup_exact(pairs, ["user_id", "day"])
-    cohort = grouped_agg(pairs, "user_id", {"cohort_day": ("day", "min")},
-                         combine="shuffle")
-    joined = bucketed_join(pairs, cohort, key="user_id", n_buckets=32)
 
-    def offs(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "cohort_day": t["cohort_day"],
-            "offset_days": pc.subtract(t["day"], t["cohort_day"]),
-        })
+    def resolve(df):
+        import pandas as pd
 
-    off = joined.map_batches(offs, batch_format="pyarrow")
-    out = grouped_agg(off, ["cohort_day", "offset_days"],
-                      {"n_users": (None, "count")}, combine="shuffle")
-    return out
+        if not len(df):
+            return pd.DataFrame({
+                "cohort_day": pd.Series([], dtype=np.int64),
+                "offset_days": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64)})
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id", sort=False)["day"].transform("min")
+        off = (df["day"] - cohort).to_numpy(np.int64)
+        g = pd.DataFrame({"cohort_day": cohort.to_numpy(np.int64),
+                          "offset_days": off})
+        out = g.groupby(["cohort_day", "offset_days"], sort=False) \
+               .size().rename("n_users").reset_index()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    from simplefeatures_ray.functions._pdarrow import arrow_groups
+
+    part = pairs.groupby("__part").map_groups(arrow_groups(resolve),
+                                              batch_format="pyarrow")
+    return grouped_agg(part, ["cohort_day", "offset_days"],
+                       {"n_users": ("n_users", "sum")})
 
 
 def docs_decile_buckets(sf_dir: str):
