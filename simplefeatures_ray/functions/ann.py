@@ -350,6 +350,20 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
     import pandas as pd
 
     dim = len(ds.take(1)[0][vec_col])
+    # size the partition fan-out to the corpus: fixed 256-way coarse
+    # partitions + 32 join buckets drown a small input in task overhead
+    # (and at web scale the caps below leave them at their maxima).
+    # count() is O(1) metadata for the parquet-rooted gated inputs.
+    try:
+        n_rows = ds.count()
+    except Exception:
+        n_rows = None
+    if n_rows:
+        # floor of 16: fewer buckets UNDER-parallelize the per-bucket
+        # map_groups tasks (measured: 4 buckets ran 4x slower than 16
+        # on the same input); the caps only bite on small corpora
+        n_parts = int(min(n_parts, max(16, n_rows // 64)))
+        n_join_buckets = int(min(n_join_buckets, max(16, n_rows // 256)))
 
     def sig_fn(batch: pa.Table) -> pa.Table:
         from ..stages.worker_cache import get_cached
@@ -406,18 +420,27 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
             return pa.table({to_id: t[id_col], to_vec: fsb})
         return f
 
-    import ray
+    from .relational import bucketed_join
 
-    # each Join operator holds num_partitions aggregator actors; two
-    # chained joins plus upstream map tasks must all fit the cluster, so
-    # cap partitions at half the CPUs to avoid starving the pipeline
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_jp = max(2, min(n_join_buckets, cpus // 2))
+    # task-based bucketed hash joins (the Ray-native Join operator
+    # spins up num_partitions aggregator ACTORS per join — two chained
+    # joins paid ~20s of pool spin-up at 32 CPUs); candidate pairs and
+    # corpus both stream, nothing lands on the driver
+    fsb_ty = pa.binary(dim * 4)
+    pair_sch = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     emb = ds.select_columns([id_col, vec_col])
     emb_a = emb.map_batches(rename("id_a", "__vec_a"), batch_format="pyarrow")
     emb_b = emb.map_batches(rename("id_b", "__vec_b"), batch_format="pyarrow")
-    j = pairs.join(emb_a, join_type="inner", num_partitions=n_jp, on=("id_a",))
-    j = j.join(emb_b, join_type="inner", num_partitions=n_jp, on=("id_b",))
+    j = bucketed_join(pairs, emb_a, key="id_a", n_buckets=n_join_buckets,
+                      left_schema=pair_sch,
+                      right_schema=pa.schema([("id_a", pa.int64()),
+                                              ("__vec_a", fsb_ty)]))
+    j = bucketed_join(j, emb_b, key="id_b", n_buckets=n_join_buckets,
+                      left_schema=pa.schema([("id_a", pa.int64()),
+                                             ("id_b", pa.int64()),
+                                             ("__vec_a", fsb_ty)]),
+                      right_schema=pa.schema([("id_b", pa.int64()),
+                                              ("__vec_b", fsb_ty)]))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
