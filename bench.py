@@ -37,6 +37,10 @@ HEADLINE_QUERIES = [
     # candidates-then-verify heavy hitters
     "spatial_knn_dense",
     "docs_heavy_terms",
+    # late round-4: the multi-way bucketed-join pipelines after the
+    # single-execution fixes (collect_table, trusted schema hints)
+    "q5_region_revenue",
+    "q3_revenue_topk",
 ]
 
 
