@@ -1766,15 +1766,11 @@ def docs_incremental_dedup(sf_dir: str):
     anti-joined by content hash against the fingerprint set of the
     already-ingested corpus (doc_id %% 3 != 0) — the daily-crawl shape
     where yesterday's fingerprints are too big to broadcast, so the
-    anti join runs through bucketed_join's LEFT ANTI path (one bounded
-    hash shuffle per side; the Bloom prefilter in docs_bloom_prefilter
-    is this op's approximate broadcast twin). Oracle: SQL ANTI JOIN on
-    the identical sha256-derived 63-bit hash."""
+    anti join runs as ONE fp co-partition of the side-tagged fingerprint
+    rows (group-complete per bucket; the Bloom prefilter in
+    docs_bloom_prefilter is this op's approximate broadcast twin).
+    Oracle: SQL ANTI JOIN on the identical sha256-derived 63-bit hash."""
     import hashlib
-
-    import pyarrow.compute as pc
-
-    from simplefeatures_ray.functions.relational import bucketed_join, dedup_exact
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1786,22 +1782,34 @@ def docs_incremental_dedup(sf_dir: str):
             dtype=np.int64, count=len(texts))
         return pa.table({"doc_id": t["doc_id"], "fp": pa.array(h)})
 
-    fps = ds.map_batches(fp, batch_format="pyarrow")
+    # ONE sha256 pass over the corpus (the new/old split is a per-row
+    # tag, not two filtered re-scans) and ONE fp co-partition where the
+    # anti-join is group-complete: keep new rows whose fp has no old row
+    n_b = 32
 
-    def _mod3(eq: bool):
-        def k(t: pa.Table) -> pa.Table:
-            m = (np.asarray(t["doc_id"], dtype=np.int64) % 3) == 0
-            return t.filter(pa.array(m if eq else ~m))
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        fpv = np.asarray(t["fp"], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "fp": pa.array(fpv),
+            "__old": pa.array((ids % 3 != 0)),
+            "__bucket": pa.array((fpv % n_b).astype(np.int32)),
+        })
 
-        return k
+    fps = ds.map_batches(fp, batch_format="pyarrow") \
+            .map_batches(tag, batch_format="pyarrow")
 
-    new = fps.map_batches(_mod3(True), batch_format="pyarrow")
-    old = fps.map_batches(_mod3(False), batch_format="pyarrow")
-    old_fps = dedup_exact(old.select_columns(["fp"]), "fp")
-    out = bucketed_join(new, old_fps, key="fp", join_type="left anti")
-    return out.map_batches(
-        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
-        batch_format="pyarrow")
+    def anti(t: pa.Table) -> pa.Table:
+        old_mask = np.asarray(t["__old"])
+        fpv = np.asarray(t["fp"], dtype=np.int64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        seen = np.unique(fpv[old_mask])
+        keep = (~old_mask) & ~np.isin(fpv, seen)
+        return pa.table({"doc_id": pa.array(ids[keep])})
+
+    return fps.groupby("__bucket").map_groups(anti,
+                                              batch_format="pyarrow")
 
 
 def docs_stratified_sample(sf_dir: str):
