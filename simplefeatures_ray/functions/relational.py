@@ -81,28 +81,35 @@ def broadcast_join(big_ds, small, keys, right_keys=None, join_type="inner",
                    small_cols=None, concurrency=None):
     """big Dataset ⋈ small table/Dataset without shuffling the big side.
 
-    concurrency defaults to an autoscaling pool sized to cluster CPUs —
-    a fixed small pool would cap the stage regardless of cluster size."""
+    Runs as PLAIN-FUNCTION tasks with a per-worker-process cache of the
+    broadcast table (stages/worker_cache.py): the table rides ONE
+    ray.put, each standing worker fetches it zero-copy once, and — unlike
+    an actor-pool stage — no processes spin up per execution (a 32-actor
+    pool costs ~4s of startup EVERY run; the task path costs none).
+    `concurrency` caps concurrent tasks when set (default: let the
+    scheduler use the whole worker pool)."""
     import ray
 
-    from ..stages.worker_cache import auto_concurrency
+    from ..stages.worker_cache import get_cached
 
-    if concurrency is None:
-        concurrency = auto_concurrency()
     small_tbl = collect_table(small)
-    small_ref = ray.put(small_tbl)
-    return big_ds.map_batches(
-        JoinSmall,
-        fn_constructor_kwargs={
-            "small_ref": small_ref,
-            "keys": keys,
-            "right_keys": right_keys,
-            "join_type": join_type,
-            "small_cols": small_cols,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    if small_cols:
+        small_tbl = small_tbl.select(small_cols)
+    small_ref = ray.put(small_tbl.combine_chunks())
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    rkeys_l = (keys_l if right_keys is None
+               else [right_keys] if isinstance(right_keys, str)
+               else list(right_keys))
+
+    def join_small(batch: pa.Table) -> pa.Table:
+        s = get_cached(small_ref)
+        return batch.join(s, keys=keys_l, right_keys=rkeys_l,
+                          join_type=join_type)
+
+    kwargs = {}
+    if concurrency is not None and not isinstance(concurrency, tuple):
+        kwargs["concurrency"] = concurrency
+    return big_ds.map_batches(join_small, batch_format="pyarrow", **kwargs)
 
 
 def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
@@ -275,8 +282,16 @@ def bucketed_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     lt = lt.map_batches(pad, batch_format="pyarrow")
     rt = rt.map_batches(pad, batch_format="pyarrow")
     both = lt.union(rt)
-    return both.groupby("__bucket").map_groups(
-        join_bucket, batch_format="pyarrow")
+    # co-partition through the task-based exchange (stages/exchange.py)
+    # instead of groupby().map_groups — no sampling pass, no comparison
+    # sort, and downstream schema probes read a materialized block
+    # instead of re-executing this shuffle. Empty buckets flow through
+    # join_bucket on a typed empty so the output schema is stable.
+    from ..stages.exchange import hash_exchange
+
+    empty = pa.table({n: pa.nulls(0, ty) for n, ty in fields.items()})
+    return hash_exchange(both, n_buckets * n_salts, join_bucket,
+                         part_col="__bucket", empty=empty)
 
 
 def dedup_exact(ds, key_cols, keep_col: str | list | None = None,
