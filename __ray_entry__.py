@@ -980,9 +980,10 @@ def docs_cc_pipeline(sf_dir: str):
                              "chars_sum": out["chars_sum"].astype(np.int64)})
 
     from simplefeatures_ray.functions._pdarrow import arrow_groups
+    from simplefeatures_ray.stages.exchange import hash_exchange
 
-    part = u.groupby("__bucket").map_groups(arrow_groups(resolve),
-                                            batch_format="pyarrow")
+    part = hash_exchange(u, N_B, arrow_groups(resolve),
+                         part_col="__bucket")
     out = grouped_agg(part, "lang", {"n_docs": ("n_docs", "sum"),
                                      "chars_sum": ("chars_sum", "sum")})
 
@@ -1217,9 +1218,10 @@ def events_retention_cohorts(sf_dir: str):
         return out
 
     from simplefeatures_ray.functions._pdarrow import arrow_groups
+    from simplefeatures_ray.stages.exchange import hash_exchange
 
-    part = pairs.groupby("__part").map_groups(arrow_groups(resolve),
-                                              batch_format="pyarrow")
+    part = hash_exchange(pairs, n_parts, arrow_groups(resolve),
+                         part_col="__part")
     return grouped_agg(part, ["cohort_day", "offset_days"],
                        {"n_users": ("n_users", "sum")})
 
@@ -1808,8 +1810,9 @@ def docs_incremental_dedup(sf_dir: str):
         keep = (~old_mask) & ~np.isin(fpv, seen)
         return pa.table({"doc_id": pa.array(ids[keep])})
 
-    return fps.groupby("__bucket").map_groups(anti,
-                                              batch_format="pyarrow")
+    from simplefeatures_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(fps, n_b, anti, part_col="__bucket")
 
 
 def docs_stratified_sample(sf_dir: str):

@@ -155,7 +155,9 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
         return restore_types(df, t.schema, only=keys)
 
     parted = partial.map_batches(add_part, batch_format="pyarrow")
-    return parted.groupby("__part").map_groups(final, batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(parted, n_parts, final, part_col="__part")
 
 
 def exact_quantiles(ds, col: str, qs, group_keys=None):

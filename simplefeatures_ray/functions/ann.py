@@ -396,8 +396,10 @@ def embedding_near_dup_lsh(ds, threshold: float, *, id_col="vec_id",
         ia, ib = bucketed_pairs_vectorized(key, df[id_col].to_numpy(np.int64))
         return pd.DataFrame({"id_a": ia, "id_b": ib}).drop_duplicates()
 
-    cand = parted.groupby("__part").map_groups(
-        arrow_groups(bucket_pairs), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    cand = hash_exchange(parted, n_parts, arrow_groups(bucket_pairs),
+                         part_col="__part")
     from .dedup import dedup_pairs
 
     # pin the candidate set: both downstream hash joins probe/consume

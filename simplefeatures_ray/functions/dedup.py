@@ -236,8 +236,10 @@ def minhash_lsh_pairs(ds, *, num_perm=64, bands=16, ngram=3, id_col="doc_id",
         out = pd.DataFrame({"id_a": ia, "id_b": ib})
         return out.drop_duplicates()
 
-    pairs = bandrows.groupby("band_part").map_groups(
-        arrow_groups(pairs_in_part), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    pairs = hash_exchange(bandrows, 256, arrow_groups(pairs_in_part),
+                          part_col="band_part")
     return dedup_pairs(pairs)
 
 
@@ -306,8 +308,10 @@ def dedup_pairs(pairs_ds, extra_cols=()):
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"]).drop(columns="pair_part")
 
-    return parts.groupby("pair_part").map_groups(
-        arrow_groups(uniq), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(parts, 64, arrow_groups(uniq),
+                         part_col="pair_part")
 
 
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
@@ -465,8 +469,10 @@ def simhash_near_dup_pairs(ds, *, max_hamming=3, id_col="doc_id", text_col="text
                             "hamming": hd[keep].astype(np.int64)})
         return out.drop_duplicates(["id_a", "id_b"])
 
-    cand = rows.groupby("band_part").map_groups(
-        arrow_groups(pairs), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    cand = hash_exchange(rows, 256, arrow_groups(pairs),
+                         part_col="band_part")
     return dedup_pairs(cand)
 
 
@@ -713,8 +719,10 @@ def exact_ngram_dup_pairs(ds, *, ngram: int = 8, min_shared: int = 2,
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    partial = rows.groupby("gpart").map_groups(
-        arrow_groups(pairs_in_part), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    partial = hash_exchange(rows, n_parts, arrow_groups(pairs_in_part),
+                            part_col="gpart")
     counts = grouped_agg(partial, ["id_a", "id_b"],
                          {"n_shared": ("n", "sum")}, combine="shuffle")
 

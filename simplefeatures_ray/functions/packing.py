@@ -82,5 +82,7 @@ def pack_sequences(ds, group_col: str, order_col: str, size_col: str,
         df["seq_id"] = seq
         return df
 
-    return parted.groupby("__part").map_groups(
-        arrow_groups(per_part), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(parted, n_parts, arrow_groups(per_part),
+                         part_col="__part")

@@ -337,7 +337,9 @@ def dedup_exact(ds, key_cols, keep_col: str | list | None = None,
         return restore_types(out, t.schema)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
-    return part.groupby("__part").map_groups(final, batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(part, n_parts, final, part_col="__part")
 
 
 def topk(ds, key: str, k: int, descending: bool = True, tie_cols=None):
@@ -497,7 +499,9 @@ def grouped_topk(ds, keys, order_col: str, k: int, descending: bool = True,
         return restore_types(_head(df, sch), t.schema)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
-    return part.groupby("__part").map_groups(final, batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(part, n_parts, final, part_col="__part")
 
 
 def grouped_nunique(ds, keys, value_col: str):
@@ -580,5 +584,7 @@ def exact_stratified_split(ds, group_col: str, key_col: str, splits,
     from ._pdarrow import arrow_groups
 
     parted = ds.map_batches(add_hash_part, batch_format="pyarrow")
-    return parted.groupby("__part").map_groups(
-        arrow_groups(assign), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(parted, n_parts, arrow_groups(assign),
+                         part_col="__part")

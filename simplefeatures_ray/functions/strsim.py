@@ -103,6 +103,8 @@ def editdist1_pairs(ds, id_col: str, str_col: str, n_parts: int = 64):
 
     from ._pdarrow import arrow_groups
 
-    pairs = parted.groupby("__part").map_groups(
-        arrow_groups(pair_partition), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    pairs = hash_exchange(parted, n_parts, arrow_groups(pair_partition),
+                          part_col="__part")
     return dedup_exact(pairs, ["id_a", "id_b"])

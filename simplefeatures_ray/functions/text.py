@@ -867,8 +867,10 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
         return out
 
     parted = ds.map_batches(pairs, batch_format="pyarrow")
-    return parted.groupby("__part").map_groups(
-        arrow_groups(build), batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(parted, n_parts, arrow_groups(build),
+                         part_col="__part")
 
 
 def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -972,11 +974,12 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                              "n_kept": g.size().to_numpy(np.int64),
                              "clean_sha": sha})
 
-    kept_agg = (kept.map_batches(add_part, batch_format="pyarrow")
-                .groupby("__part")
-                .map_groups(arrow_groups(
-                    lambda d: reassemble(d.drop(columns="__part"))),
-                    batch_format="pyarrow"))
+    from ..stages.exchange import hash_exchange
+
+    kept_agg = hash_exchange(
+        kept.map_batches(add_part, batch_format="pyarrow"), n_parts,
+        arrow_groups(lambda d: reassemble(d.drop(columns="__part"))),
+        part_col="__part")
 
     out = bucketed_join(totals, kept_agg, key="doc",
                         n_buckets=n_buckets, join_type="left outer",

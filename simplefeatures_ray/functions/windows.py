@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ._pdarrow import arrow_groups, cents_half_away
+from ..stages.exchange import hash_exchange
 import pyarrow.compute as pc
 
 
@@ -221,8 +222,9 @@ def asof_join(left_ds, right_ds, key: str, ts_left: str, ts_right: str,
     lt = lt.map_batches(pad, batch_format="pyarrow")
     rt = rt.map_batches(pad, batch_format="pyarrow")
     both = lt.union(rt)
-    return both.groupby("__bucket").map_groups(
-        arrow_groups(merge_bucket), batch_format="pyarrow")
+    empty = pa.table({n: pa.nulls(0, ty) for n, ty in fields.items()})
+    return hash_exchange(both, n_buckets, arrow_groups(merge_bucket),
+                         part_col="__bucket", empty=empty)
 
 
 def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
@@ -273,8 +275,8 @@ def sessionize(ds, key: str, ts_col: str, gap_s: float, id_cols=(),
             np.where(key_change, carried, -1))
         return df[[key] + id_cols + [ts_col, "session_seq"]]
 
-    return parted.groupby("__part").map_groups(
-        arrow_groups(per_part), batch_format="pyarrow")
+    return hash_exchange(parted, n_parts, arrow_groups(per_part),
+                         part_col="__part")
 
 
 def interval_join(left_ds, intervals_ds, t_col: str, start_col: str,
@@ -365,8 +367,8 @@ def rolling_mean(ds, key: str, ts_col: str, value_col: str,
         return out
 
     parted = ds.map_batches(add_part, batch_format="pyarrow")
-    return parted.groupby("__part").map_groups(
-        arrow_groups(per_part), batch_format="pyarrow")
+    return hash_exchange(parted, n_parts, arrow_groups(per_part),
+                         part_col="__part")
 
 
 def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
@@ -434,8 +436,8 @@ def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
         })
 
     parted = ds.map_batches(project, batch_format="pyarrow")
-    per = parted.groupby("__part").map_groups(
-        arrow_groups(per_part), batch_format="pyarrow")
+    per = hash_exchange(parted, n_parts, arrow_groups(per_part),
+                         part_col="__part")
 
     from .agg import grouped_agg
 
@@ -507,8 +509,8 @@ def transition_counts(ds, key: str, ts_col: str, type_col: str,
 
     from ._pdarrow import arrow_groups, cents_half_away
 
-    partial = parted.groupby("__part").map_groups(
-        arrow_groups(per_part), batch_format="pyarrow")
+    partial = hash_exchange(parted, n_parts, arrow_groups(per_part),
+                         part_col="__part")
     return grouped_agg(partial, ["prev_type", "next_type"],
                        {"n": ("n", "sum")}, combine="shuffle")
 
@@ -543,5 +545,5 @@ def running_total(ds, key: str, ts_col: str, value_col: str, tie_col: str,
         return out
 
     parted = ds.map_batches(add_part, batch_format="pyarrow")
-    return parted.groupby("__part").map_groups(
-        arrow_groups(per_part), batch_format="pyarrow")
+    return hash_exchange(parted, n_parts, arrow_groups(per_part),
+                         part_col="__part")

@@ -35,6 +35,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# max object args per reduce/concat task (task-spec size bound)
+_FANIN = 512
+
 
 def _split_block(tbl, part_col: str, n_parts: int):
     """Partition one block by its int partition column ∈ [0, n_parts)."""
@@ -58,6 +61,17 @@ def _split_block(tbl, part_col: str, n_parts: int):
                  for i in range(n_parts))
 
 
+def _concat_shards(*shards):
+    parts = [s for s in shards if s.num_rows]
+    if parts:
+        return pa.concat_tables(parts, promote_options="permissive")
+    # typed 0-row shard (a slice of a real block) beats a schema-less one
+    for s in shards:
+        if s.num_columns:
+            return s.slice(0, 0)
+    return pa.table({})
+
+
 def _reduce_part(fn, empty, empty_out, drop_cols, *shards):
     parts = [s for s in shards if s.num_rows]
     if not parts and empty_out is not None:
@@ -68,9 +82,16 @@ def _reduce_part(fn, empty, empty_out, drop_cols, *shards):
     elif empty is not None:
         t = empty
     else:
-        t = shards[0] if shards else pa.table({})
+        # no typed `empty` given: recover schema from any 0-row shard
+        # that kept its columns so `fn` still sees a typed table
+        t = _concat_shards(*shards)
     if drop_cols:
         t = t.drop_columns([c for c in drop_cols if c in t.column_names])
+    if t.num_columns == 0 and t.num_rows == 0:
+        # fully schema-less partition (every upstream block degenerate):
+        # calling fn would KeyError on its columns; emit the degenerate
+        # empty unchanged — same state the lazy-empty path produces.
+        return t
     return fn(t) if fn is not None else t
 
 
@@ -109,6 +130,18 @@ def hash_exchange(ds, n_parts: int, fn=None, part_col: str = "__bucket",
     splits = [split_task.remote(r, part_col, n_parts) for r in refs]
     if n_parts == 1:
         splits = [[s] for s in splits]
+    # fan-in guard: a reduce over 10^5+ upstream blocks (the 100-TB
+    # block count) would put every shard ref in ONE task spec. Insert a
+    # tree level: concat shard runs of <=_FANIN per partition first, so
+    # no task ever takes more than _FANIN object args.
+    concat_task = ray.remote(_concat_shards)
+    while len(splits) > _FANIN:
+        merged = []
+        for i in range(0, len(splits), _FANIN):
+            run = splits[i:i + _FANIN]
+            merged.append([concat_task.remote(*[s[p] for s in run])
+                           for p in range(n_parts)])
+        splits = merged
     outs = [reduce_task.remote(fn_ref, empty, empty_out, drop,
                                *[s[p] for s in splits])
             for p in range(n_parts)]
