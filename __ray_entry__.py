@@ -3923,6 +3923,142 @@ def _raster_oracle_sql(n_pages: int = 20000, n_polys: int = 64,
     return sql
 
 
+_CELL_RES = 6  # gated cell-index resolution: 64x64 grid (4096 cells)
+
+
+def _events_cells(sf_dir: str):
+    """events -> distinct occupied cells at _CELL_RES (half-integer
+    lattice; see corpus.events_xy_half for the boundary-safety proof).
+    The distinct set is computed distributed (per-batch dedup + one
+    grouped dedup) and is bounded by 4^res — grid-bounded, not
+    data-bounded, so the driver-side finish on it is scale-safe."""
+    from simplefeatures_ray import cells
+    from simplefeatures_ray.functions.relational import (collect_table,
+                                                         dedup_exact)
+    from simplefeatures_ray.pipelines.corpus import events_xy_half
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        x, y = events_xy_half(np.asarray(t["event_id"]))
+        c = cells.lonlat_to_cell(x, y, _CELL_RES)
+        return pa.table({"cell": pa.array(np.unique(c).astype(np.int64))})
+
+    occ = dedup_exact(ds.map_batches(to_cell, batch_format="pyarrow"), ["cell"])
+    t = collect_table(occ)
+    return np.unique(np.asarray(t["cell"]).astype(np.uint64))
+
+
+def cells_kring_density(sf_dir: str):
+    """Grid-disk neighborhood density (H3 kRing analogue): for every
+    occupied cell at res 6, how many of its Chebyshev-2 ring cells
+    exist (antimeridian wrap, top/bottom clamp) and how many of those
+    are themselves occupied. The occupied set is grid-bounded (<=4^res)
+    so the k_ring finish runs driver-side on a small table; the
+    corpus-sized work (cell assignment + distinct) is distributed."""
+    from simplefeatures_ray import cells
+
+    occ = _events_cells(sf_dir)
+    idx, ring = cells.k_ring(occ, 2)
+    member = np.isin(ring, occ)
+    n_ring = np.bincount(idx, minlength=len(occ)).astype(np.int64)
+    n_occ = np.bincount(idx[member], minlength=len(occ)).astype(np.int64)
+    return pa.table(
+        {
+            "cell": pa.array(occ.astype(np.int64)),
+            "n_ring": pa.array(n_ring),
+            "n_occupied": pa.array(n_occ),
+        }
+    ).sort_by("cell")
+
+
+def cells_compact_cover(sf_dir: str):
+    """H3-style compaction of the occupied-cell cover: complete sibling
+    quartets collapse to their parent recursively (cells.compact),
+    emitting the mixed-resolution minimal cover. Oracle: the closed-form
+    per-level 'full set' chain in SQL (a cell is in the compact cover
+    iff all its res-6 descendants are occupied and its parent is not
+    full)."""
+    from simplefeatures_ray import cells
+
+    occ = _events_cells(sf_dir)
+    comp = cells.compact(occ)
+    return pa.table(
+        {
+            "cell": pa.array(comp.astype(np.int64)),
+            "res": pa.array(cells.cell_res(comp).astype(np.int64)),
+        }
+    ).sort_by("cell")
+
+
+def cells_polyfill_polys(sf_dir: str):
+    """polyfill (H3 polygonToCells, center-containment semantics) of the
+    60 synthetic convex octagons at res 6, distributed: each map_batches
+    task decodes its polygons from WKB and sweeps only the polygon's
+    bbox in grid space (cells.polyfill), emitting (poly_id, cell) rows.
+    Oracle: full-grid centers x the convex all-edges-left test over the
+    identical inlined vertex doubles (min |cross margin| over the whole
+    lattice is 1.6e-5 — enumerated, zero cross-engine straddles)."""
+    import ray
+
+    from simplefeatures_ray import cells
+    from simplefeatures_ray.geometry.wkb import from_wkb
+    from simplefeatures_ray.pipelines.corpus import synth_convex_polys
+
+    _ = sf_dir  # polygon corpus is the deterministic synthetic table
+    polys = ray.data.from_arrow(synth_convex_polys(60)).repartition(3)
+
+    def fill(t: pa.Table) -> pa.Table:
+        pids, cs = [], []
+        for pid, wkb in zip(t["poly_id"].to_pylist(), t["wkb"].to_pylist()):
+            got = cells.polyfill(from_wkb(wkb), _CELL_RES)
+            pids.append(np.full(len(got), pid, dtype=np.int64))
+            cs.append(got.astype(np.int64))
+        return pa.table(
+            {
+                "poly_id": pa.array(np.concatenate(pids) if pids else []),
+                "cell": pa.array(np.concatenate(cs) if cs else []),
+            }
+        )
+
+    return polys.map_batches(fill, batch_format="pyarrow")
+
+
+def _cells_compact_oracle_sql() -> str:
+    """Closed-form compact-cover SQL: per-level full sets f6..f0 via
+    count-4 parent grouping, keep each full cell whose parent is not
+    full. Pure integer bit arithmetic after the one grid floor."""
+    from simplefeatures_ray.pipelines.corpus import (cell_grid_sql,
+                                                     event_points_half_sql,
+                                                     morton_sql)
+
+    res = _CELL_RES
+    parts = [
+        f"grid AS ({cell_grid_sql(res, event_points_half_sql('p'))})",
+        f"f{res} AS (SELECT DISTINCT ({morton_sql(res)}) AS m FROM grid)",
+    ]
+    for l in range(res - 1, -1, -1):
+        parts.append(
+            f"f{l} AS (SELECT m >> 2 AS m FROM f{l + 1} "
+            f"GROUP BY m >> 2 HAVING COUNT(*) = 4)"
+        )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS cell, 0 AS res FROM f0"
+    ]
+    for l in range(1, res + 1):
+        selects.append(
+            f"SELECT CAST((1::BIGINT << {2 * l}) + m AS BIGINT) AS cell, "
+            f"{l} AS res FROM f{l} "
+            f"WHERE (m >> 2) NOT IN (SELECT m FROM f{l - 1})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT cell, CAST(res AS BIGINT) AS res FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY cell"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at smoke scale (sf0.001-sized synthetic pages
     through the same geotag -> join -> tile path the gated
@@ -4040,6 +4176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_boxes": spatial_knn_boxes,
         "spatial_knn_dense": spatial_knn_dense,
         "geom_relate_classes": geom_relate_classes,
+        "cells_kring_density": cells_kring_density,
+        "cells_compact_cover": cells_compact_cover,
+        "cells_polyfill_polys": cells_polyfill_polys,
         # geometry kernels
         "geom_area": geom_area,
         "geom_length": geom_length,
@@ -4097,6 +4236,15 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _convex_poly_vals = _scpv(60)
+    from simplefeatures_ray.pipelines.corpus import (cell_grid_sql,
+                                                     event_points_half_sql,
+                                                     morton_sql)
+
+    _cell_scale = float(1 << _CELL_RES)
+    _cell_n = 1 << _CELL_RES
+    _cell_grid = cell_grid_sql(_CELL_RES, event_points_half_sql("p"))
+    _cell_morton = morton_sql(_CELL_RES)
+    _cell_lead = 1 << (2 * _CELL_RES)
     poly_vals = coords_values_sql(polygon_corpus())
     line_vals = coords_values_sql(linestring_corpus())
     convex_vals = coords_values_sql(
@@ -5324,6 +5472,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, poly_id
             FROM crosses GROUP BY event_id, poly_id
             HAVING MIN(cr) >= 0
+        """,
+        "cells_kring_density": f"""
+            WITH grid AS ({_cell_grid}),
+            occ AS (SELECT DISTINCT ix, iy FROM grid),
+            offs AS (SELECT CAST(a.r AS BIGINT) - 2 AS dx,
+                            CAST(b.r AS BIGINT) - 2 AS dy
+                     FROM range(5) a(r) CROSS JOIN range(5) b(r)),
+            ring AS (SELECT o.ix, o.iy,
+                            ((o.ix + f.dx) % {_cell_n} + {_cell_n}) % {_cell_n} AS nx,
+                            o.iy + f.dy AS ny
+                     FROM occ o CROSS JOIN offs f
+                     WHERE o.iy + f.dy BETWEEN 0 AND {_cell_n - 1}),
+            agg AS (SELECT r.ix, r.iy, COUNT(*) AS n_ring,
+                           SUM(CASE WHEN o2.ix IS NOT NULL THEN 1 ELSE 0 END)
+                             AS n_occupied
+                    FROM ring r LEFT JOIN occ o2
+                      ON o2.ix = r.nx AND o2.iy = r.ny
+                    GROUP BY r.ix, r.iy)
+            SELECT CAST({_cell_lead} + ({_cell_morton}) AS BIGINT) AS cell,
+                   CAST(n_ring AS BIGINT) AS n_ring,
+                   CAST(n_occupied AS BIGINT) AS n_occupied
+            FROM agg ORDER BY cell
+        """,
+        "cells_compact_cover": _cells_compact_oracle_sql(),
+        "cells_polyfill_polys": f"""
+            WITH g AS (SELECT CAST(a.r AS BIGINT) AS ix, CAST(b.r AS BIGINT) AS iy
+                       FROM range({_cell_n}) a(r) CROSS JOIN range({_cell_n}) b(r)),
+            ctr AS (SELECT ix, iy,
+                           ((CAST(ix AS DOUBLE) + 0.5) / {_cell_scale!r}) * 360.0
+                             - 180.0 AS lon,
+                           degrees(2.0 * atan(exp((1.0 - 2.0
+                             * ((CAST(iy AS DOUBLE) + 0.5) / {_cell_scale!r}))
+                             * pi())) - pi() / 2.0) AS lat
+                    FROM g),
+            v AS (SELECT * FROM (VALUES {_convex_poly_vals})
+                  AS t(poly_id, idx, x, y)),
+            seg AS (SELECT poly_id, x, y,
+                           lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                    FROM (SELECT * FROM v UNION ALL
+                          SELECT poly_id, 8 AS idx, x, y FROM v WHERE idx = 0)
+                    WINDOW w AS (PARTITION BY poly_id ORDER BY idx)),
+            inside AS (SELECT c.ix, c.iy, s.poly_id
+                       FROM ctr c CROSS JOIN seg s WHERE s.x2 IS NOT NULL
+                       GROUP BY c.ix, c.iy, s.poly_id
+                       HAVING MIN((s.x2 - s.x) * (c.lat - s.y)
+                                  - (s.y2 - s.y) * (c.lon - s.x)) > 0)
+            SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                   CAST({_cell_lead} + ({_cell_morton}) AS BIGINT) AS cell
+            FROM inside ORDER BY poly_id, cell
         """,
         "spatial_knn_radius": f"""
             WITH d AS (

@@ -289,6 +289,53 @@ def synth_convex_polys_values(n: int = 60) -> str:
     return ", ".join(rows)
 
 
+def events_xy_half(event_id: np.ndarray):
+    """HALF-integer-degree point grid (exact doubles) for the cell-index
+    gates: integer lats land exactly on Mercator cell boundaries at
+    every resolution (lat=0 -> my=0.5), a cross-engine knife-edge; the
+    +-0.5 lattice keeps every my*2^res >= 5e-3 away from an integer for
+    res<=8 (enumerated over all 140 lats), so numpy-vs-DuckDB ulp
+    differences in ln/tan can never flip a floor. The lon path is pure
+    rational arithmetic in the same op order on both sides — exact."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 360).astype(np.float64) - 179.5
+    y = (e * 104729 % 140).astype(np.float64) - 69.5
+    return x, y
+
+
+def event_points_half_sql(alias: str = "pts") -> str:
+    """SQL twin of events_xy_half."""
+    return (
+        f"(SELECT event_id, "
+        f"CAST(event_id * 7919 % 360 AS DOUBLE) - 179.5 AS x, "
+        f"CAST(event_id * 104729 % 140 AS DOUBLE) - 69.5 AS y "
+        f"FROM events) {alias}"
+    )
+
+
+def morton_sql(res: int, ix: str = "ix", iy: str = "iy") -> str:
+    """Bit-interleave SQL expression: the Morton payload of (ix, iy)
+    at `res` bits per axis (twin of cells._spread_bits)."""
+    return " + ".join(
+        f"((({ix} >> {b}) & 1) << {2 * b}) + ((({iy} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(res)
+    )
+
+
+def cell_grid_sql(res: int, pts: str) -> str:
+    """merc+grid CTE body: (ix, iy) cell grid coords at `res` of a
+    point relation with (event_id, x, y) columns — IDENTICAL op order
+    to cells.mercator_xy/lonlat_to_cell so boundary floors agree."""
+    scale = float(1 << res)
+    nmax = (1 << res) - 1
+    return (
+        f"SELECT event_id, "
+        f"greatest(least(CAST(floor(((x + 180.0) / 360.0) * {scale!r}) AS BIGINT), {nmax}), 0) AS ix, "
+        f"greatest(least(CAST(floor(((1.0 - ln(tan(pi() / 4.0 + (least(greatest(y, -85.05112878), 85.05112878) * (pi() / 180.0)) / 2.0)) / pi()) / 2.0) * {scale!r}) AS BIGINT), {nmax}), 0) AS iy "
+        f"FROM {pts}"
+    )
+
+
 def events_xy_int(event_id: np.ndarray):
     """INTEGER-degree point grid (exact doubles): the kNN-vs-SQL gate
     needs distances whose ties are exact in BOTH engines — the 0.01
