@@ -147,7 +147,7 @@ class RasterizeTiles:
         from .geometry.wkb import from_wkb
 
         cell = np.uint64(df[self.cell_col].iloc[0])
-        x0, y0, x1, y1 = (float(v) for v in cell_bounds_xy(np.array([cell])))
+        x0, y0, x1, y1 = (float(v[0]) for v in cell_bounds_xy(np.array([cell])))
         img = np.zeros((self.height, self.width), dtype=np.uint8)
         for w in df[self.wkb_col]:
             img = np.maximum(
