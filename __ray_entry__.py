@@ -3007,6 +3007,88 @@ def _proj_national_oracle_sql() -> str:
     """
 
 
+def proj_swiss_grid(sf_dir: str):
+    """Swiss national grid CH1903+/LV95 (EPSG:2056, method 9814 — the
+    Gaussian double projection: Bessel ellipsoid -> conformal sphere
+    tangent at Bern -> pseudo-equator rotation -> Mercator), a
+    projection FAMILY the other proj gates don't touch. Reference
+    reaches it via C-PROJ +proj=somerc (proj/proj.go:56-108); the
+    engine's class (ellipsoid.py SwissObliqueMercatorEllipsoidal) is
+    pinned against swisstopo's published Rigi worked example in
+    tests/test_ellipsoid.py. Millidegree lattice inside the LV95
+    domain; decimeter gate with >= 1.7e-6 m boundary margin
+    (enumerated over the full 96,600-pair lattice period)."""
+    from simplefeatures_ray.crs import TransformCRS
+    from simplefeatures_ray.pipelines.corpus import events_xy_swiss
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x, y = events_xy_swiss(np.asarray(t["event_id"]))
+        return pa.table({"event_id": t["event_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    lv95 = TransformCRS("EPSG:4326", "EPSG:2056", out_x="e95", out_y="n95")
+    out = pts.map_batches(lv95, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "e95": pa.array(np.round(np.asarray(t["e95"]), 1) + 0.0),
+            "n95": pa.array(np.round(np.asarray(t["n95"]), 1) + 0.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _proj_swiss_oracle_sql() -> str:
+    """SQL twin of proj_swiss_grid: the 9814 double projection per point
+    in DuckDB. Constants (alpha, R, b0, K) re-derived here with the math
+    module from the EPSG parameters — not imported from ellipsoid.py."""
+    import math
+
+    from simplefeatures_ray.pipelines.corpus import event_points_swiss_sql
+
+    a = 6377397.155                     # Bessel 1841
+    f = 1.0 / 299.1528128128
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    lam0 = math.radians(7.0 + 26.0 / 60.0 + 22.50 / 3600.0)
+    phi0 = math.radians(46.0 + 57.0 / 60.0 + 8.66 / 3600.0)
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * c0 ** 4)
+    R = a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    b0 = math.asin(s0 / alpha)
+    K = (math.log(math.tan(math.pi / 4.0 + b0 / 2.0))
+         - alpha * math.log(math.tan(math.pi / 4.0 + phi0 / 2.0))
+         + alpha * e / 2.0 * math.log((1.0 + e * s0) / (1.0 - e * s0)))
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+
+    return f"""
+        WITH p AS (SELECT event_id, x, y FROM {event_points_swiss_sql('pts')}),
+        sph AS (SELECT event_id,
+                       2.0 * (atan(exp(
+                         {alpha!r} * ln(tan(pi()/4.0 + radians(y)/2.0))
+                         - {alpha * e / 2.0!r}
+                           * ln((1.0 + {e!r}*sin(radians(y)))
+                                / (1.0 - {e!r}*sin(radians(y))))
+                         + {K!r})) - pi()/4.0) AS b,
+                       {alpha!r} * (radians(x) - {lam0!r}) AS l
+                FROM p),
+        rot AS (SELECT event_id,
+                       {cb0!r}*sin(b) - {sb0!r}*cos(b)*cos(l) AS sbb,
+                       atan2(cos(b)*sin(l),
+                             {sb0!r}*sin(b) + {cb0!r}*cos(b)*cos(l)) AS lbb
+                FROM sph)
+        SELECT event_id,
+               ROUND(2600000.0 + {R!r} * lbb, 1) + 0.0 AS e95,
+               ROUND(1200000.0 + {R / 2.0!r} * ln((1.0+sbb)/(1.0-sbb)), 1)
+                 + 0.0 AS n95
+        FROM rot
+    """
+
+
 def proj_wgs84_chain(sf_dir: str):
     """TRUE-ellipsoid (WGS84) projection chain: event lon/lat ->
     EPSG:3395 World Mercator (isometric-latitude closed form) -> back to
@@ -4197,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proj_wgs84_chain": proj_wgs84_chain,
         "proj_national_grids": proj_national_grids,
         "proj_polar_laea": proj_polar_laea,
+        "proj_swiss_grid": proj_swiss_grid,
         # projections / raster / multimodal
         "proj_web_mercator": proj_web_mercator,
         "raster_tiles": raster_tiles,
@@ -5782,6 +5865,7 @@ def oracle_sql() -> dict[str, str]:
         # simplefeatures_ray/ellipsoid.py
         "proj_national_grids": _proj_national_oracle_sql(),
         "proj_polar_laea": _proj_polar_laea_oracle_sql(),
+        "proj_swiss_grid": _proj_swiss_oracle_sql(),
         "geom_relate_classes": _geom_relate_classes_oracle_sql(),
         "proj_wgs84_chain": f"""
             WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}),

@@ -24,6 +24,8 @@ Registered codes:
   EPSG:2180   ETRS89 / Poland CS92 (TM, GRS80)
   EPSG:2193   NZGD2000 / NZTM2000 (TM, GRS80)
   EPSG:3035   ETRS89-extended / LAEA Europe (ellipsoidal equal-area)
+  EPSG:2056   CH1903+ / LV95 (Swiss Oblique Mercator 9814, Bessel 1841)
+  EPSG:21781  CH1903 / LV03 (same projection, legacy false origin)
   EPSG:5041/5042  WGS84 / UPS North & South (polar stereographic A)
   EPSG:3413   NSIDC Sea Ice Polar Stereographic North (variant B)
   EPSG:3031/3032  Antarctic / Australian Antarctic Polar Stereographic
@@ -116,7 +118,8 @@ def _national_grids():
                             AlbersEqualAreaEllipsoidal,
                             LambertAzimuthalEqualAreaEllipsoidal,
                             LambertConformalConicEllipsoidal,
-                            PolarStereographicEllipsoidal)
+                            PolarStereographicEllipsoidal,
+                            SwissObliqueMercatorEllipsoidal)
 
     return {
         # Europe: ETRS89-extended / LAEA Europe (EPSG method 9820)
@@ -163,6 +166,18 @@ def _national_grids():
         "EPSG:2193": lambda: _tm_with_lat0(
             lon0=173.0, lat0=0.0, k0=0.9996,
             fe=1600000.0, fn=10000000.0, a=GRS80_A, f=GRS80_F),
+        # Switzerland: CH1903+/LV95 and CH1903/LV03 (EPSG method 9814,
+        # Bessel 1841; grid coords exact for CH1903(+)-referenced input —
+        # same no-datum-shift convention as OSGB36 above). Centre: old
+        # Bern observatory 46°57'08.66"N 7°26'22.50"E.
+        "EPSG:2056": lambda: SwissObliqueMercatorEllipsoidal(
+            lon0=7.0 + 26.0 / 60.0 + 22.50 / 3600.0,
+            lat0=46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+            false_easting=2600000.0, false_northing=1200000.0),
+        "EPSG:21781": lambda: SwissObliqueMercatorEllipsoidal(
+            lon0=7.0 + 26.0 / 60.0 + 22.50 / 3600.0,
+            lat0=46.0 + 57.0 / 60.0 + 8.66 / 3600.0,
+            false_easting=600000.0, false_northing=200000.0),
     }
 
 

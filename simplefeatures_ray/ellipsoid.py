@@ -538,3 +538,84 @@ class LambertAzimuthalEqualAreaEllipsoidal:
                 q / (1.0 - e2) - s / one
                 + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es)))
         return _deg(lam), _deg(phi)
+
+
+class SwissObliqueMercatorEllipsoidal:
+    """Swiss Oblique Mercator (EPSG method 9814): the Gaussian double
+    projection behind CH1903+/LV95 (EPSG:2056) and CH1903/LV03
+    (EPSG:21781). Ellipsoid -> conformal (Gauss) sphere tangent at the
+    projection centre -> rotation of the centre onto the pseudo-equator
+    -> equatorial Mercator. Public formulas (swisstopo, "Formulas and
+    constants for the calculation of the Swiss conformal cylindrical
+    projection"; EPSG Guidance Note 7-2 method 9814). The reference
+    reaches Swiss grids through C-PROJ (proj/proj.go:56-108, +proj=somerc).
+
+    The sphere is conformal AND tangent at (lat0, lon0): point scale
+    there is exactly 1, and the centre maps to (false_easting,
+    false_northing) by construction — both pinned in tests.
+    """
+
+    def __init__(self, lon0: float, lat0: float,
+                 false_easting: float, false_northing: float,
+                 a: float = 6377397.155, f: float = 1.0 / 299.1528128128):
+        # Bessel 1841 defaults: the ellipsoid of both Swiss CRSs
+        self.a = a
+        e2 = f * (2.0 - f)
+        self.e = math.sqrt(e2)
+        self.lam0 = math.radians(lon0)
+        self.fe = false_easting
+        self.fn = false_northing
+        phi0 = math.radians(lat0)
+        s0, c0 = math.sin(phi0), math.cos(phi0)
+        # Gauss sphere constants (GN7-2 9814: alpha, R, b0, K)
+        self.alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * c0 ** 4)
+        self.R = a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+        self.b0 = math.asin(s0 / self.alpha)
+        self.K = (math.log(math.tan(math.pi / 4.0 + self.b0 / 2.0))
+                  - self.alpha * math.log(math.tan(math.pi / 4.0 + phi0 / 2.0))
+                  + self.alpha * self.e / 2.0
+                  * math.log((1.0 + self.e * s0) / (1.0 - self.e * s0)))
+        self.sb0, self.cb0 = math.sin(self.b0), math.cos(self.b0)
+
+    def _sphere_lat(self, phi: np.ndarray) -> np.ndarray:
+        """Geodetic -> conformal-sphere latitude b."""
+        s = np.sin(phi)
+        S = (self.alpha * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+             - self.alpha * self.e / 2.0
+             * np.log((1.0 + self.e * s) / (1.0 - self.e * s)) + self.K)
+        return 2.0 * (np.arctan(np.exp(S)) - np.pi / 4.0)
+
+    def forward(self, lon, lat):
+        lam = _rad(lon)
+        phi = _rad(lat)
+        b = self._sphere_lat(phi)
+        l = self.alpha * (lam - self.lam0)
+        sb, cb = np.sin(b), np.cos(b)
+        sl, cl = np.sin(l), np.cos(l)
+        # rotate the centre onto the pseudo-equator
+        sbb = np.clip(self.cb0 * sb - self.sb0 * cb * cl, -1.0, 1.0)
+        lbb = np.arctan2(cb * sl, self.sb0 * sb + self.cb0 * cb * cl)
+        x = self.R * lbb
+        y = self.R / 2.0 * np.log((1.0 + sbb) / (1.0 - sbb))
+        return self.fe + x, self.fn + y
+
+    def reverse(self, x, y):
+        xs = (np.asarray(x, dtype=np.float64) - self.fe) / self.R
+        ys = (np.asarray(y, dtype=np.float64) - self.fn) / self.R
+        bb = 2.0 * (np.arctan(np.exp(ys)) - np.pi / 4.0)
+        sbb, cbb = np.sin(bb), np.cos(bb)
+        sl, cl = np.sin(xs), np.cos(xs)
+        b = np.arcsin(np.clip(self.cb0 * sbb + self.sb0 * cbb * cl, -1.0, 1.0))
+        l = np.arctan2(cbb * sl, self.cb0 * cbb * cl - self.sb0 * sbb)
+        lam = self.lam0 + l / self.alpha
+        # sphere -> geodetic latitude: fixed point on the conformal
+        # relation (contraction ~e^2 per step)
+        Sb = np.log(np.tan(np.pi / 4.0 + b / 2.0))
+        phi = b.copy()
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = 2.0 * (np.arctan(np.exp(
+                (Sb - self.K) / self.alpha
+                + self.e / 2.0 * np.log((1.0 + self.e * s) / (1.0 - self.e * s))
+            )) - np.pi / 4.0)
+        return _deg(lam), _deg(phi)

@@ -313,6 +313,27 @@ def event_points_half_sql(alias: str = "pts") -> str:
     )
 
 
+def events_xy_swiss(event_id: np.ndarray):
+    """Deterministic millidegree lattice inside the Swiss LV95 domain
+    (lon 5.9..10.5, lat 45.8..47.9) — exact doubles on both engines
+    (integer/1000). Pair period lcm(4600, 2100) = 96,600, small enough
+    to enumerate exhaustively for rounding-straddle proofs."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 4600).astype(np.float64) / 1000.0 + 5.9
+    y = (e * 104729 % 2100).astype(np.float64) / 1000.0 + 45.8
+    return x, y
+
+
+def event_points_swiss_sql(alias: str = "pts") -> str:
+    """SQL twin of events_xy_swiss."""
+    return (
+        f"(SELECT event_id, "
+        f"CAST(event_id * 7919 % 4600 AS DOUBLE)/1000.0 + 5.9 AS x, "
+        f"CAST(event_id * 104729 % 2100 AS DOUBLE)/1000.0 + 45.8 AS y "
+        f"FROM events) {alias}"
+    )
+
+
 def morton_sql(res: int, ix: str = "ix", iy: str = "iy") -> str:
     """Bit-interleave SQL expression: the Morton payload of (ix, iy)
     at `res` bits per axis (twin of cells._spread_bits)."""

@@ -382,3 +382,76 @@ class TestPolarAndLAEA:
         truth = WGS84_A * float(_snyder_m(np.radians(70.0), WGS84_E)) \
             * np.radians(dlon)
         assert abs(planar / truth - 1.0) < 1e-6
+
+
+class TestSwissObliqueMercator:
+    """CH1903(+) Swiss Oblique Mercator (EPSG method 9814, Bessel 1841):
+    the Gaussian double projection, pinned against swisstopo's published
+    'Rigi' worked example and the definitional centre anchor."""
+
+    def _lv95(self):
+        from simplefeatures_ray.crs import crs_for
+        return crs_for("EPSG:2056")
+
+    def test_rigi_worked_example_lv03(self):
+        """swisstopo reference point Rigi:
+        47°03'28.95659233"N 8°29'11.11127154"E ->
+        LV03 y=679520.05, x=212273.44 (published worked example)."""
+        from simplefeatures_ray.crs import crs_for
+
+        p = crs_for("EPSG:21781")
+        lat = 47 + 3 / 60 + 28.95659233 / 3600
+        lon = 8 + 29 / 60 + 11.11127154 / 3600
+        e, n = p.forward(np.array([lon]), np.array([lat]))
+        assert abs(float(e[0]) - 679520.05) < 5e-3
+        assert abs(float(n[0]) - 212273.44) < 5e-3
+
+    def test_centre_anchor_and_lv95_offset(self):
+        """The projection centre (old Bern observatory) maps to the
+        false origin EXACTLY (definitional), and LV95 = LV03 +
+        (2_000_000, 1_000_000) everywhere."""
+        from simplefeatures_ray.crs import crs_for
+
+        lon0 = 7 + 26 / 60 + 22.50 / 3600
+        lat0 = 46 + 57 / 60 + 8.66 / 3600
+        e, n = self._lv95().forward(np.array([lon0]), np.array([lat0]))
+        assert abs(float(e[0]) - 2600000.0) < 1e-6
+        assert abs(float(n[0]) - 1200000.0) < 1e-6
+        lv03 = crs_for("EPSG:21781")
+        lon = np.array([6.6, 8.5, 9.8])
+        lat = np.array([46.2, 47.4, 46.5])
+        e95, n95 = self._lv95().forward(lon, lat)
+        e03, n03 = lv03.forward(lon, lat)
+        assert np.allclose(e95 - e03, 2000000.0, atol=1e-9)
+        assert np.allclose(n95 - n03, 1000000.0, atol=1e-9)
+
+    def test_roundtrip_and_conformal_scale(self):
+        """Round trip < 1e-11 deg over the Swiss domain; the tangent
+        conformal sphere makes point scale exactly 1 at the centre
+        (checked against the Bessel ellipsoid's local metric)."""
+        import math
+
+        p = self._lv95()
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(5.9, 10.5, 5000)
+        lat = rng.uniform(45.8, 47.9, 5000)
+        E, N = p.forward(lon, lat)
+        lo, la = p.reverse(E, N)
+        assert np.abs(lo - lon).max() < 1e-11
+        assert np.abs(la - lat).max() < 1e-11
+        lon0 = 7 + 26 / 60 + 22.50 / 3600
+        lat0 = 46 + 57 / 60 + 8.66 / 3600
+        a, f = 6377397.155, 1 / 299.1528128128
+        e2 = f * (2 - f)
+        phi = math.radians(lat0)
+        M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        Nr = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        d = 1e-4
+        for dlon, dlat in ((d, 0.0), (0.0, d)):
+            e1, n1 = p.forward(np.array([lon0 + dlon]),
+                               np.array([lat0 + dlat]))
+            ell = math.hypot(math.radians(dlon) * Nr * math.cos(phi),
+                             math.radians(dlat) * M)
+            pl = math.hypot(float(e1[0]) - 2600000.0,
+                            float(n1[0]) - 1200000.0)
+            assert abs(pl / ell - 1.0) < 1e-6
