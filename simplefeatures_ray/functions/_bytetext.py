@@ -147,6 +147,17 @@ class BatchText:
         self._nonascii = None
         self._empty = None  # rows with offsets[i] == offsets[i+1]
         self._buf1 = None
+        self._buf8 = None
+
+    @property
+    def buf8(self) -> np.ndarray:
+        """buf + eight zero bytes: lets word_keys build its overlapping
+        uint64 view without a per-call full-buffer concatenate (the
+        stage's last whole-buffer copy)."""
+        if self._buf8 is None:
+            self._buf8 = np.concatenate(
+                [self.buf, np.zeros(8, dtype=np.uint8)])
+        return self._buf8
 
     @property
     def buf1(self) -> np.ndarray:
@@ -275,7 +286,7 @@ def word_keys(bt: BatchText, starts: np.ndarray, lengths: np.ndarray) -> np.ndar
     belong to are recomputed by the per-row reference paths anyway."""
     if not len(starts):
         return np.zeros(0, dtype=np.uint64)
-    padded = np.concatenate([bt.buf, np.zeros(8, np.uint8)])
+    padded = bt.buf8
     try:
         view = np.ndarray(shape=(len(padded) - 7,), dtype=np.uint64,
                           buffer=padded.data, strides=(1,))
