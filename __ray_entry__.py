@@ -818,6 +818,70 @@ def docs_contamination(sf_dir: str):
     return contamination_check(corpus, bench, ngram=5)
 
 
+def docs_dsir_select(sf_dir: str):
+    """DSIR-style importance resampling (Xie et al. 2023): hashed
+    unigram bucket features (sha256-derived, 64 buckets), Laplace-
+    smoothed target/source distributions from the held-out slice
+    (doc_id % 7 == 0, the contamination-check split) vs the corpus,
+    per-doc weight = integer micro-nat dot product (exact across
+    engines), picked = top-50 by (weight DESC, doc_id). Two streaming
+    passes + a 64-int broadcast — no shuffle
+    (functions/scoring.dsir_importance)."""
+    from simplefeatures_ray.functions.scoring import dsir_importance
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(is_target: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (np.asarray(t["doc_id"].to_numpy(), dtype=np.int64) % 7) == 0
+            return t.filter(pa.array(m if is_target else ~m))
+        return f
+
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    target = ds.map_batches(side(True), batch_format="pyarrow")
+    return dsir_importance(corpus, target, n_buckets=64, k=50)
+
+
+_DSIR_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                   x -> lower(x))) AS wd
+      FROM documents),
+    wb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(wd), 1, 16))::UBIGINT % 64
+                  AS BIGINT) AS b
+      FROM w WHERE wd <> ''),
+    src AS (SELECT b, COUNT(*)::BIGINT AS n FROM wb
+            WHERE doc_id % 7 <> 0 GROUP BY b),
+    tgt AS (SELECT b, COUNT(*)::BIGINT AS n FROM wb
+            WHERE doc_id % 7 = 0 GROUP BY b),
+    tots AS (SELECT COALESCE((SELECT SUM(n) FROM src), 0) AS sn,
+                    COALESCE((SELECT SUM(n) FROM tgt), 0) AS tn),
+    wq AS (
+      SELECT r.range AS b,
+             CAST(ROUND(LN(((COALESCE(t.n, 0) + 1.0) / (tots.tn + 64.0))
+                           / ((COALESCE(s.n, 0) + 1.0) / (tots.sn + 64.0)))
+                        * 1000000.0) AS BIGINT) AS wq
+      FROM range(64) r
+      LEFT JOIN src s ON s.b = r.range
+      LEFT JOIN tgt t ON t.b = r.range
+      CROSS JOIN tots),
+    docw AS (
+      SELECT d.doc_id, COALESCE(SUM(wq.wq), 0)::BIGINT AS dsir_w
+      FROM documents d
+      LEFT JOIN wb ON wb.doc_id = d.doc_id
+      LEFT JOIN wq ON wq.b = wb.b
+      WHERE d.doc_id % 7 <> 0
+      GROUP BY d.doc_id),
+    rk AS (SELECT doc_id, dsir_w,
+                  ROW_NUMBER() OVER (ORDER BY dsir_w DESC, doc_id) AS r
+           FROM docw)
+    SELECT doc_id, dsir_w, r <= 50 AS picked FROM rk
+"""
+
+
 def docs_exact_ngram_pairs(sf_dir: str):
     """Exact substring-level duplicate pairs: docs sharing >= 2 exact
     word 8-grams (Lee et al. 2022 style), df-bounded stop-gram guard
@@ -4199,6 +4263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cc_pipeline": docs_cc_pipeline,
         "docs_exact_ngram_pairs": docs_exact_ngram_pairs,
         "docs_contamination": docs_contamination,
+        "docs_dsir_select": docs_dsir_select,
         "docs_term_stats": docs_term_stats,
         "docs_heavy_terms": docs_heavy_terms,
         "docs_line_dedup": docs_line_dedup,
@@ -4572,6 +4637,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 6
         """,
+        "docs_dsir_select": _DSIR_SQL,
         "docs_contamination": r"""
             WITH w AS (
               SELECT doc_id,

@@ -258,3 +258,107 @@ def bigram_lm_sql(table: str = "documents", id_col: str = "doc_id",
                nb AS n_bigrams
         FROM scored
     """
+
+
+def _word_buckets(batch: pa.Table, id_col: str, text_col: str,
+                  n_buckets: int, cache: dict):
+    """(row_index_in_batch, bucket) int64 arrays for every word instance:
+    the DuckDB-twin tokenization (text.py _word_table), sha256-derived
+    word hash modulo n_buckets, hashed once per DISTINCT word per batch
+    (cache persists across batches on the worker)."""
+    import pyarrow.compute as pc
+
+    from .dedup import _sha_word_hash
+
+    words = pc.split_pattern_regex(
+        pc.fill_null(pc.cast(batch[text_col], pa.large_string()), ""),
+        pattern=r"[^\w']+")
+    flat = pc.utf8_lower(pc.list_flatten(words))
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    d = pc.dictionary_encode(flat).combine_chunks()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.chunk(0) if d.num_chunks else \
+            pa.array([], pa.string()).dictionary_encode()
+    vocab = d.dictionary.to_pylist()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    bk = np.empty(len(vocab), dtype=np.int64)
+    keep_v = np.empty(len(vocab), dtype=bool)
+    for i, w in enumerate(vocab):
+        h = cache.get(w)
+        if h is None:
+            h = cache[w] = _sha_word_hash(w) % n_buckets
+        bk[i] = h
+        keep_v[i] = w != ""
+    if not len(codes):
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    keep = keep_v[codes]
+    return parents[keep], bk[codes[keep]]
+
+
+def dsir_importance(corpus_ds, target_ds, *, n_buckets: int = 64,
+                    k: int = 50, id_col: str = "doc_id",
+                    text_col: str = "text", scale: int = 1_000_000):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): hashed
+    unigram features; per-document importance weight = sum over word
+    instances of log(p_target[bucket] / p_source[bucket]) with
+    Laplace-smoothed bucket unigram distributions; the k top-weight
+    documents are the selected subset.
+
+    Exactness design: the per-bucket log-ratios quantize to integer
+    MICRO-NATS (ROUND(ln(pt/ps) * scale), half away from zero = SQL
+    ROUND), so each document's weight is an integer dot product
+    n_doc,bucket . w_bucket — bit-identical across engines, summation
+    orders, and parallelism (a float log-ratio sum would ulp-diverge
+    between numpy and a SQL oracle). Selection rank is the total order
+    (weight DESC, doc_id ASC).
+
+    Scale shape: two streaming passes over the corpus (histogram, then
+    weights) — per-block partials are n_buckets ints, merged driver-side
+    (blocks x n_buckets, independent of corpus size); the quantized
+    ratio table (n_buckets ints) broadcasts into pass 2; the only
+    collect is the k-row top-k. No shuffle anywhere."""
+    from ..stages.worker_cache import get_cached
+    from .relational import collect_table, topk
+
+    def hist_kernel(t: pa.Table) -> pa.Table:
+        cache = get_cached(f"dsir-wh-{n_buckets}", build=lambda _: {})
+        _, bk = _word_buckets(t, id_col, text_col, n_buckets, cache)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets), pa.int64()),
+                         "n": pa.array(np.bincount(bk, minlength=n_buckets)
+                                       .astype(np.int64))})
+
+    def hist(ds) -> np.ndarray:
+        parts = collect_table(
+            ds.map_batches(hist_kernel, batch_format="pyarrow"))
+        out = np.zeros(n_buckets, dtype=np.int64)
+        np.add.at(out, np.asarray(parts["bucket"], dtype=np.int64),
+                  np.asarray(parts["n"], dtype=np.int64))
+        return out
+
+    cs = hist(corpus_ds)
+    ct = hist(target_ds)
+    sn, tn = int(cs.sum()), int(ct.sum())
+    ratio = np.log(((ct + 1.0) / (tn + n_buckets))
+                   / ((cs + 1.0) / (sn + n_buckets))) * float(scale)
+    wq = np.copysign(np.floor(np.abs(ratio) + 0.5), ratio).astype(np.int64)
+
+    def weight_kernel(t: pa.Table) -> pa.Table:
+        cache = get_cached(f"dsir-wh-{n_buckets}", build=lambda _: {})
+        rows, bk = _word_buckets(t, id_col, text_col, n_buckets, cache)
+        w = np.zeros(len(t), dtype=np.int64)
+        np.add.at(w, rows, wq[bk])
+        return pa.table({id_col: t[id_col], "dsir_w": pa.array(w)})
+
+    weights = corpus_ds.map_batches(weight_kernel, batch_format="pyarrow")
+    top = collect_table(topk(weights, "dsir_w", k, descending=True,
+                             tie_cols=[id_col]))
+    picked = set(np.asarray(top[id_col], dtype=np.int64).tolist())
+
+    def flag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return t.append_column(
+            "picked", pa.array(np.fromiter((int(i) in picked for i in ids),
+                                           dtype=bool, count=len(ids))))
+
+    return weights.map_batches(flag, batch_format="pyarrow")

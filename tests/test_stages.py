@@ -1002,3 +1002,71 @@ def test_cell_knn_join_matches_brute_force(ray_session):
         assert len(have) == len(want), i
         for (dh, jh), (dw, jw) in zip(have, want):
             assert jh == jw and abs(dh - dw) < 1e-9, i
+
+
+def test_dsir_importance(ray_session):
+    """dsir_importance vs a driver-side brute force: same sha-derived
+    bucket hashing, Laplace smoothing, integer micro-nat quantization,
+    and (weight DESC, doc_id ASC) top-k — weights must match EXACTLY
+    (integer dot product) at any parallelism."""
+    import hashlib
+    import re
+
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.scoring import dsir_importance
+
+    rng = np.random.default_rng(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "data", "model", "scale", "law"]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(0, 30))
+        docs.append(" ".join(rng.choice(vocab, n)))
+    docs[7] = ""          # zero-word doc keeps weight 0
+    ids = np.arange(60, dtype=np.int64)
+    corpus_rows = [(int(i), t) for i, t in zip(ids, docs) if i % 3 != 0]
+    target_rows = [(int(i), t) for i, t in zip(ids, docs) if i % 3 == 0]
+
+    def mk(rows, parallelism):
+        t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "text": pa.array([r[1] for r in rows], pa.string())})
+        return rd.from_arrow(t).repartition(parallelism)
+
+    # brute force
+    NB, K = 64, 10
+
+    def bucket(w):
+        return int.from_bytes(hashlib.sha256(w.encode()).digest()[:8],
+                              "big") % NB
+
+    def words(t):
+        return [w.lower() for w in re.findall(r"[\w']+", t) if w]
+
+    cs = np.zeros(NB, np.int64)
+    ct = np.zeros(NB, np.int64)
+    for _, t in corpus_rows:
+        for w in words(t):
+            cs[bucket(w)] += 1
+    for _, t in target_rows:
+        for w in words(t):
+            ct[bucket(w)] += 1
+    ratio = np.log(((ct + 1.0) / (ct.sum() + NB))
+                   / ((cs + 1.0) / (cs.sum() + NB))) * 1e6
+    wq = np.copysign(np.floor(np.abs(ratio) + 0.5), ratio).astype(np.int64)
+    expect = {i: sum(int(wq[bucket(w)]) for w in words(t))
+              for i, t in corpus_rows}
+    order = sorted(expect, key=lambda i: (-expect[i], i))
+    picked = set(order[:K])
+
+    for par in (1, 7):
+        out = dsir_importance(mk(corpus_rows, par), mk(target_rows, par),
+                              n_buckets=NB, k=K)
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+        got_w = dict(zip(np.asarray(tbl["doc_id"], np.int64).tolist(),
+                         np.asarray(tbl["dsir_w"], np.int64).tolist()))
+        got_p = {i for i, p in zip(np.asarray(tbl["doc_id"], np.int64).tolist(),
+                                   np.asarray(tbl["picked"]).tolist()) if p}
+        assert got_w == expect, par
+        assert got_p == picked, par
