@@ -362,17 +362,30 @@ def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None,
     if len(w) > len(buf):
         w = w[: len(buf)]  # zero-copy trim of a buf1-padded mask
     nonws = ~w
-    idx_nonws = np.nonzero(nonws)[0]
-    # per row: first and last non-ws positions (sentinel when none)
-    fi = np.searchsorted(idx_nonws, offsets[:-1], side="left")
-    li = np.searchsorted(idx_nonws, offsets[1:], side="left") - 1
-    has = li >= fi
-    first_nw = np.where(has, idx_nonws[np.minimum(fi, len(idx_nonws) - 1)], -1)
-    last_nw = np.where(has, idx_nonws[np.maximum(li, 0)], -1)
-    # ws run starts, kept only strictly inside (first_nw, last_nw)
-    ws_starts = np.nonzero(bt._start_mask(w))[0]
-    srow = np.searchsorted(offsets, ws_starts, side="right") - 1
-    kept_ws = ws_starts[(ws_starts > first_nw[srow]) & (ws_starts < last_nw[srow])]
+    # a ws run survives (as one space) iff it is neither the row's
+    # LEADING run (starts at the row offset — maximal runs are split at
+    # row boundaries, so a leading run starts there exactly) nor its
+    # TRAILING run (the row's last byte is ws and this is the row's last
+    # ws-run start). O(runs) — the previous first/last-non-ws approach
+    # materialized a nonzero(nonws) index array (~6.4 B per buffer byte
+    # of DRAM traffic) just to derive the same two exclusions.
+    starts_m = bt._start_mask(w)
+    ws_starts = np.nonzero(starts_m)[0]
+    if len(ws_starts):
+        # row ids by per-row start counts + linear repeat (same idiom as
+        # runs(); a searchsorted here costs runs x log(rows) gathers)
+        srow = np.repeat(np.arange(bt.n, dtype=np.int64),
+                         bt.count(starts_m))
+        if len(srow) != len(ws_starts):  # safety net (unexpected shape)
+            srow = np.searchsorted(offsets, ws_starts, side="right") - 1
+        leading = ws_starts == offsets[srow]
+        nxt = np.concatenate([ws_starts[1:],
+                              np.array([np.iinfo(np.int64).max])])
+        row_end = offsets[srow + 1]
+        trailing = (nxt >= row_end) & w[row_end - 1]
+        kept_ws = ws_starts[~leading & ~trailing]
+    else:
+        kept_ws = ws_starts
     keep = nonws.copy()
     keep[kept_ws] = True
     out = lower_bytes(buf) if lower else buf.copy()
