@@ -162,3 +162,74 @@ def test_contamination_check_small(ray_session):
     e = contamination_check(ray.data.from_arrow(corpus),
                             ray.data.from_arrow(emptyb), ngram=5)
     assert e.count() == 0
+
+
+def test_mask_prefix_at_fuzz():
+    """Seeded fuzz of the SIMD two-level prefix vs a cumsum reference:
+    every length regime (sub-word, sub-block, big) and query positions
+    at all alignments, including 0 and L."""
+    from simplefeatures_ray.functions._bytetext import _mask_prefix_at
+
+    rng = np.random.default_rng(11)
+    for trial in range(300):
+        L = int(rng.integers(0, 300)) if trial % 2 else \
+            int(rng.integers(0, 40_000))
+        mu = (rng.random(L) < rng.random()).view(np.uint8)
+        pos = np.sort(rng.integers(0, L + 1,
+                                   size=int(rng.integers(1, 30))).astype(np.int64))
+        ref = np.concatenate([[0], np.cumsum(mu, dtype=np.int64)])[pos]
+        got = _mask_prefix_at(mu, pos)
+        assert np.array_equal(got, ref), (trial, L)
+
+
+def test_count_fuzz_vs_reference():
+    """count() (SIMD path + padded-mask and unaligned fallbacks) vs a
+    per-row python sum, random strings incl. empties/trailing empties."""
+    from simplefeatures_ray.functions._bytetext import BatchText
+
+    rng = np.random.default_rng(12)
+    for trial in range(120):
+        n = int(rng.integers(1, 40))
+        rows = [bytes(rng.integers(32, 127, int(rng.integers(0, 30)))
+                      .astype(np.uint8)).decode() for _ in range(n)]
+        if trial % 3 == 0:
+            rows[-1] = ""
+        b = BatchText(pa.chunked_array([pa.array(rows, pa.string())]))
+        mask = rng.random(len(b.buf)) < rng.random()
+        ref = np.array([mask[b.offsets[i]:b.offsets[i + 1]].sum()
+                        for i in range(n)], np.int64)
+        assert np.array_equal(b.count(mask), ref), trial
+        padded = np.concatenate([mask, np.array([True])])
+        assert np.array_equal(b.count(padded), ref), (trial, "padded")
+        big = np.zeros(len(mask) + 3, bool)
+        big[3:] = mask
+        assert np.array_equal(b.count(big[3:]), ref), (trial, "unaligned")
+
+
+def test_normalize_ws_lower_fuzz_vs_python():
+    """normalize_ws_lower vs ' '.join(t.lower().split()) over random
+    ws-heavy rows: all-ws rows, empty first/last rows, tabs/newlines."""
+    from simplefeatures_ray.functions._bytetext import (BatchText,
+                                                        normalize_ws_lower)
+
+    rng = np.random.default_rng(13)
+    chars = list("ab c\t\n  xy ' Z9")
+    for trial in range(200):
+        n = int(rng.integers(1, 30))
+        rows = ["".join(rng.choice(chars, int(rng.integers(0, 40))))
+                for _ in range(n)]
+        if trial % 4 == 0:
+            rows[0] = ""
+        if trial % 5 == 0:
+            rows[-1] = "   "
+        if trial % 7 == 0:
+            rows[int(rng.integers(0, n))] = " \t\n "
+        b = BatchText(pa.chunked_array([pa.array(rows, pa.string())]))
+        buf, off = normalize_ws_lower(b)
+        for i, t in enumerate(rows):
+            got = bytes(buf[off[i]:off[i + 1]]).decode()
+            assert got == " ".join(t.lower().split()), (trial, i, repr(t))
+        buf2, off2 = normalize_ws_lower(b, lower=False)
+        for i, t in enumerate(rows):
+            got = bytes(buf2[off2[i]:off2[i + 1]]).decode()
+            assert got == " ".join(t.split()), (trial, i, repr(t))
