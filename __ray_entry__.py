@@ -3080,7 +3080,7 @@ def proj_swiss_grid(sf_dir: str):
     engine's class (ellipsoid.py SwissObliqueMercatorEllipsoidal) is
     pinned against swisstopo's published Rigi worked example in
     tests/test_ellipsoid.py. Millidegree lattice inside the LV95
-    domain; decimeter gate with >= 1.7e-6 m boundary margin
+    domain; decimeter gate with >= 1.7e-7 m boundary margin (1.7e-6 in 0.1 m units)
     (enumerated over the full 96,600-pair lattice period)."""
     from simplefeatures_ray.crs import TransformCRS
     from simplefeatures_ray.pipelines.corpus import events_xy_swiss

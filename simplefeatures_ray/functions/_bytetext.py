@@ -131,60 +131,28 @@ def _mask_prefix_at(mu: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return out
 
 
-class BatchText:
-    """Zero-copy view of a string column as one byte buffer + offsets."""
+class SeqRuns:
+    """Per-row count/run engine over any positional domain: `offsets`
+    (int64, n+1 entries) partition positions [0, seq_len) into rows, and
+    masks are boolean arrays over those positions. BatchText specializes
+    it to the byte domain; functions/_unitext.CPText to the codepoint
+    domain (the vectorized non-ASCII path)."""
 
-    def __init__(self, col):
-        arr = pc.cast(col, pa.large_binary()).combine_chunks()
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        self.n = len(arr)
-        raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
-        self.offsets = raw_off[arr.offset:arr.offset + self.n + 1]
-        self.buf = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-                    if arr.buffers()[2] is not None else np.zeros(0, np.uint8))
-        self._arr = arr
-        self._nonascii = None
+    n: int
+    offsets: np.ndarray
+    seq_len: int
+
+    def _init_runs(self, n: int, offsets: np.ndarray, seq_len: int):
+        self.n = n
+        self.offsets = offsets
+        self.seq_len = seq_len
         self._empty = None  # rows with offsets[i] == offsets[i+1]
-        self._buf1 = None
-        self._buf8 = None
-
-    @property
-    def buf8(self) -> np.ndarray:
-        """buf + eight zero bytes: lets word_keys build its overlapping
-        uint64 view without a per-call full-buffer concatenate (the
-        stage's last whole-buffer copy)."""
-        if self._buf8 is None:
-            self._buf8 = np.concatenate(
-                [self.buf, np.zeros(8, dtype=np.uint8)])
-        return self._buf8
-
-    @property
-    def buf1(self) -> np.ndarray:
-        """buf + one always-False sentinel byte: masks built over buf1
-        (length len(buf)+1) make count() a straight reduceat — no
-        per-call sentinel concatenation (a full mask copy per count)."""
-        if self._buf1 is None:
-            self._buf1 = np.concatenate(
-                [self.buf, np.zeros(1, dtype=np.uint8)])
-        return self._buf1
-
-    def row_text(self, i: int) -> str:
-        b = self._arr[i].as_py()
-        return b.decode("utf-8", errors="replace") if b is not None else ""
-
-    @property
-    def nonascii_rows(self) -> np.ndarray:
-        """Row indices containing any byte >= 0x80."""
-        if self._nonascii is None:
-            self._nonascii = np.nonzero(self.count(self.buf >= 0x80) > 0)[0]
-        return self._nonascii
 
     def count(self, mask: np.ndarray) -> np.ndarray:
         """Per-row count of True positions (int64)."""
-        if not len(self.buf):
+        if not self.seq_len:
             return np.zeros(self.n, dtype=np.int64)
-        L = len(self.buf)
+        L = self.seq_len
         if mask.dtype == np.bool_ and mask.flags.c_contiguous and \
                 (mask.__array_interface__["data"][0] & 7) == 0:
             # SIMD path: per-row count = prefix(end) - prefix(start).
@@ -204,7 +172,7 @@ class BatchText:
         # over buf1 arrive pre-padded (no per-call copy); a NEGATED
         # padded mask can flip the sentinel True — subtract it from the
         # last row instead of copying.
-        if len(mask) > len(self.buf):
+        if len(mask) > self.seq_len:
             ext = mask
         else:
             ext = np.concatenate([mask, np.zeros(1, dtype=mask.dtype)])
@@ -244,22 +212,72 @@ class BatchText:
             ends_m[prev] = mask[prev]
         starts = np.nonzero(starts_m)[0]
         ends = np.nonzero(ends_m)[0]
-        if len(mask) > len(self.buf):
+        if len(mask) > self.seq_len:
             # padded mask with a flipped sentinel: its run is exactly
             # [len(buf), len(buf)] — drop it from both ends
-            starts = starts[starts < len(self.buf)]
-            ends = ends[ends < len(self.buf)]
+            starts = starts[starts < self.seq_len]
+            ends = ends[ends < self.seq_len]
         lengths = ends - starts + 1
         # row ids via per-row start counts + repeat: one reduceat and a
         # linear repeat instead of an n*log(rows) searchsorted
         per_row = self.count(starts_m)
-        if len(mask) > len(self.buf) and starts_m[-1]:
+        if len(mask) > self.seq_len and starts_m[-1]:
             pass  # count() already subtracted the flipped sentinel
         row_ids = np.repeat(np.arange(self.n, dtype=np.int64), per_row)
         if len(row_ids) != len(starts):  # safety net (unexpected shape)
             row_ids = np.searchsorted(self.offsets, starts,
                                       side="right") - 1
         return starts, lengths, row_ids
+
+
+class BatchText(SeqRuns):
+    """Zero-copy view of a string column as one byte buffer + offsets."""
+
+    def __init__(self, col):
+        arr = pc.cast(col, pa.large_binary())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        offsets = raw_off[arr.offset:arr.offset + n + 1]
+        self.buf = (np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                    if arr.buffers()[2] is not None else np.zeros(0, np.uint8))
+        self._init_runs(n, offsets, len(self.buf))
+        self._arr = arr
+        self._nonascii = None
+        self._buf1 = None
+        self._buf8 = None
+
+    @property
+    def buf8(self) -> np.ndarray:
+        """buf + eight zero bytes: lets word_keys build its overlapping
+        uint64 view without a per-call full-buffer concatenate (the
+        stage's last whole-buffer copy)."""
+        if self._buf8 is None:
+            self._buf8 = np.concatenate(
+                [self.buf, np.zeros(8, dtype=np.uint8)])
+        return self._buf8
+
+    @property
+    def buf1(self) -> np.ndarray:
+        """buf + one always-False sentinel byte: masks built over buf1
+        (length len(buf)+1) make count() a straight reduceat — no
+        per-call sentinel concatenation (a full mask copy per count)."""
+        if self._buf1 is None:
+            self._buf1 = np.concatenate(
+                [self.buf, np.zeros(1, dtype=np.uint8)])
+        return self._buf1
+
+    def row_text(self, i: int) -> str:
+        b = self._arr[i].as_py()
+        return b.decode("utf-8", errors="replace") if b is not None else ""
+
+    @property
+    def nonascii_rows(self) -> np.ndarray:
+        """Row indices containing any byte >= 0x80."""
+        if self._nonascii is None:
+            self._nonascii = np.nonzero(self.count(self.buf >= 0x80) > 0)[0]
+        return self._nonascii
 
 
 def pack_word(w: str) -> int:

@@ -350,7 +350,13 @@ def dsir_importance(corpus_ds, target_ds, *, n_buckets: int = 64,
         np.add.at(w, rows, wq[bk])
         return pa.table({id_col: t[id_col], "dsir_w": pa.array(w)})
 
-    weights = corpus_ds.map_batches(weight_kernel, batch_format="pyarrow")
+    # materialize: `weights` is consumed twice (top-k scan + returned
+    # flagged pipeline); without the cache pass 2 and the upstream corpus
+    # read would re-execute per consumer (ADVICE r4). The cached table is
+    # (id, int64) per doc — tiny relative to the corpus — and lives in
+    # the distributed object store, so this is cluster-safe.
+    weights = corpus_ds.map_batches(
+        weight_kernel, batch_format="pyarrow").materialize()
     top = collect_table(topk(weights, "dsir_w", k, descending=True,
                              tie_cols=[id_col]))
     picked = set(np.asarray(top[id_col], dtype=np.int64).tolist())

@@ -80,25 +80,28 @@ def geotag_join_tiles(
 
     # The DAG branches here (histogram + final output both read `joined`);
     # without a branch cache Ray would re-execute extract+join per branch.
-    # Default branch_cache="spill": write the (post-filter, post-
-    # projection) join output once to parquet and serve both branches
-    # from disk — bounded by output bytes, resumable, and never pins
-    # O(output) in the object store. branch_cache="materialize" keeps
-    # the in-object-store variant for small interactive runs.
-    if branch_cache == "materialize":
-        joined = joined.materialize()
-    else:
-        import atexit
-        import shutil
-        import tempfile
+    #
+    # Cluster-safety invariant: a parquet spill is only valid when every
+    # node can read the files back, so the "spill" variant REQUIRES an
+    # explicitly shared path (spill_dir kwarg or $SFRAY_SPILL_DIR — an
+    # NFS mount or object-store URI on a real cluster). With no shared
+    # path configured the branch cache falls back to materialize(): the
+    # blocks live in Ray's *distributed* object store, which is correct
+    # on any topology and lets Ray's own spilling handle memory pressure.
+    # There is deliberately NO node-local tempdir default — on a
+    # multi-node cluster the read tasks would land on nodes where the
+    # files don't exist.
+    if spill_dir is None:
+        import os
 
+        spill_dir = os.environ.get("SFRAY_SPILL_DIR") or None
+    if branch_cache == "spill" and spill_dir is not None:
         import ray.data as rd
 
-        if spill_dir is None:
-            spill_dir = tempfile.mkdtemp(prefix="sfray-branch-", dir="/tmp")
-            atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
         joined.write_parquet(spill_dir)
         joined = rd.read_parquet(spill_dir)
+    else:
+        joined = joined.materialize()
 
     # two-stage histogram over joined pages; tiny result -> driver
     hist = cell_histogram(joined.select_columns(["cell"]))

@@ -159,3 +159,47 @@ def test_extracted_text_byte_identical(ray_session):
     # same under a different slicing
     half = ex(batch.slice(1000, 500))
     assert half["text"].to_pylist() == batch.slice(1000, 500)["text"].to_pylist()
+
+
+def test_branch_cache_cluster_safety(ray_session, tmp_path, monkeypatch):
+    """Cluster-safety invariant (VERDICT r4 #1): the branch cache never
+    spills to a node-local default path. With no shared spill dir
+    configured the pipeline must use the distributed object store
+    (materialize); an explicit shared path is honored and produces
+    identical content."""
+    import glob
+    import hashlib
+
+    from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
+    from simplefeatures_ray.sources.pages import pages_dataset
+    from simplefeatures_ray.sources.polygons import make_polygons
+
+    monkeypatch.delenv("SFRAY_SPILL_DIR", raising=False)
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    def digest(df):
+        return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
+
+    before = set(glob.glob("/tmp/sfray-branch-*"))
+    d_default = canon(geotag_join_tiles(
+        pages_dataset(2000), make_polygons(64)).to_pandas())
+    # no node-local tempdir was created by the default path
+    assert set(glob.glob("/tmp/sfray-branch-*")) == before
+
+    shared = tmp_path / "shared-spill"  # stands in for an NFS/object-store URI
+    d_spill = canon(geotag_join_tiles(
+        pages_dataset(2000), make_polygons(64),
+        spill_dir=str(shared)).to_pandas())
+    assert len(list(shared.glob("*.parquet"))) > 0  # spill actually used
+    assert digest(d_default) == digest(d_spill)
+
+    # env-var route works too
+    shared2 = tmp_path / "shared-spill-env"
+    monkeypatch.setenv("SFRAY_SPILL_DIR", str(shared2))
+    d_env = canon(geotag_join_tiles(
+        pages_dataset(2000), make_polygons(64)).to_pandas())
+    assert len(list(shared2.glob("*.parquet"))) > 0
+    assert digest(d_env) == digest(d_default)
