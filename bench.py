@@ -79,7 +79,7 @@ def _consume(res) -> int:
     return len(res)
 
 
-def run_flagship(n_pages: int):
+def run_flagship(n_pages: int, intl: bool = False):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from simplefeatures_ray.pipelines.geotag import geotag_join_tiles
     from simplefeatures_ray.sources.pages import pages_parquet_cached
@@ -92,7 +92,9 @@ def run_flagship(n_pages: int):
 
     from simplefeatures_ray.state.checkpoint import checkpointed_write
 
-    path = pages_parquet_cached(n_pages)  # generated once, reused across runs
+    # generated once, reused across runs; intl=True is the >=50%-non-ASCII
+    # variant (real-Common-Crawl shape) for the Unicode-path cliff check
+    path = pages_parquet_cached(n_pages, intl=intl)
     # untimed warmup: spin up Ray worker processes on a small slice
     geotag_join_tiles(rd.read_parquet(path).limit(2000), make_polygons(64)).count()
     # timed: the production shape — no global sort; partitioned parquet
@@ -123,6 +125,13 @@ def single_run(num_cpus: int, include_queries: bool = True) -> dict:
     for _ in range(reps - 1):
         sec, _n = run_flagship(n_pages)
         flagship_sec = min(flagship_sec, sec)
+    # no-cliff check: same flagship over the majority-non-ASCII corpus
+    intl_sec = None
+    if include_queries:
+        intl_sec, _ = run_flagship(n_pages, intl=True)
+        for _ in range(reps - 1):
+            sec, _n = run_flagship(n_pages, intl=True)
+            intl_sec = min(intl_sec, sec)
 
     qtimes = {}
     if include_queries:
@@ -147,6 +156,9 @@ def single_run(num_cpus: int, include_queries: bool = True) -> dict:
         "out_rows": out_rows,
         "pages_per_sec": round(n_pages / flagship_sec, 1),
     }
+    if intl_sec is not None:
+        result["intl_sec"] = round(intl_sec, 3)
+        result["pages_per_sec_intl"] = round(n_pages / intl_sec, 1)
     ray.shutdown()
     return result
 

@@ -10,10 +10,11 @@ only where run positions are genuinely needed.
 
 Exactness contract: byte-class logic is exact for ASCII rows (ASCII
 char classes never match UTF-8 continuation/lead bytes, so masks are
-sound on mixed buffers, but Python's unicode-aware \\w / isspace need
-the real regex). Rows flagged non-ASCII (or containing an apostrophe,
-for the BPE-ish token rule's absorption subtlety) are recomputed with
-the per-row reference implementation — semantics stay bit-identical.
+sound on mixed buffers; Python's unicode-aware \\w / isspace need the
+real tables). Rows flagged non-ASCII re-run vectorized in the
+CODEPOINT domain (functions/_unitext.py) over the same SeqRuns engine;
+the apostrophe-absorption rule is closed-form (absorption_savings) —
+semantics stay bit-identical at any ASCII/Unicode mix.
 """
 from __future__ import annotations
 
@@ -278,6 +279,69 @@ class BatchText(SeqRuns):
         if self._nonascii is None:
             self._nonascii = np.nonzero(self.count(self.buf >= 0x80) > 0)[0]
         return self._nonascii
+
+
+def absorption_savings(eng: SeqRuns, letter: np.ndarray, lower: np.ndarray,
+                       apo: np.ndarray) -> np.ndarray:
+    """Per-row token-count savings of the BPE-ish rule's apostrophe
+    absorption — ``[A-Za-z]+(?:'[a-z]+)?`` — relative to the naive
+    decomposition (letter-run starts + digit-run starts + other chars).
+
+    Domain-generic (byte or codepoint positions): `letter`/`lower`/`apo`
+    are class masks over eng's positional domain ([A-Za-z], [a-z], ').
+
+    Sequential regex semantics, vectorized: a match starting at letter
+    segment S absorbs ' + the following maximal-lowercase prefix iff the
+    char after S's end is ' and the one after that is lowercase (same
+    row). Savings per event: 1 (the ') +1 more when the prefix covers
+    the ENTIRE next segment (its match disappears). A fully absorbed
+    segment cannot itself absorb — the alternation along chains of
+    full-absorption links resolves by parity within maximal link runs
+    (F(i) = H(i) & ~F(i-1) has closed form: distance to the last
+    non-link position is odd)."""
+    n_seg_savings = np.zeros(eng.n, dtype=np.int64)
+    starts, lengths, rows = eng.runs(letter)
+    ns = len(starts)
+    if not ns:
+        return n_seg_savings
+    ends = starts + lengths - 1
+    row_end = eng.offsets[rows + 1]
+    L = eng.seq_len
+    nxt1 = np.minimum(ends + 1, L - 1)
+    nxt2 = np.minimum(ends + 2, L - 1)
+    link = (ends + 2 < row_end) & apo[nxt1] & lower[nxt2]
+    if not link.any():
+        return n_seg_savings
+    # aln(i) = link(i) and segment i+1 is ALL lowercase — evaluated only
+    # at linked segments (apostrophes are sparse): binary-search the
+    # uppercase positions instead of whole-buffer prefix sums
+    link_idx = np.nonzero(link)[0]
+    aln = np.zeros(ns, dtype=bool)
+    j = link_idx + 1
+    ok = j < ns  # a lowercase letter after ' implies a next segment
+    li, j = link_idx[ok], j[ok]
+    if len(j):
+        up_pos = np.nonzero(letter[:L] & ~lower[:L])[0]
+        if len(up_pos):
+            k = np.searchsorted(up_pos, starts[j])
+            kc = np.minimum(k, len(up_pos) - 1)
+            has_up = (k < len(up_pos)) & (up_pos[kc] <= ends[j])
+            aln[li] = ~has_up
+        else:
+            aln[li] = True
+    # h(i) = absorbing at i fully consumes segment i+1 (== aln here)
+    H = np.zeros(ns, dtype=bool)
+    H[1:] = aln[:-1]
+    idx = np.arange(ns, dtype=np.int64)
+    last_false = np.maximum.accumulate(np.where(~H, idx, -1))
+    F = H & (((idx - last_false) & 1) == 1)
+    A = link & ~F
+    if A.any():
+        gain = np.ones(ns, dtype=np.int64)
+        gain += aln
+        n_seg_savings = np.bincount(rows[A], weights=gain[A],
+                                    minlength=eng.n).astype(np.int64)
+    return n_seg_savings
 
 
 def pack_word(w: str) -> int:

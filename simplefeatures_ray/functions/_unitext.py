@@ -130,49 +130,57 @@ def invalid_utf8_rows(bt) -> np.ndarray:
     l3 = (buf >= 0xE0) & (buf <= 0xEF)
     l4 = (buf >= 0xF0) & (buf <= 0xF4)
     ascii_ = buf < 0x80
-    bad_pos = [np.nonzero(~(ascii_ | l2 | l3 | l4 | is_cont))[0]]  # C0/C1/F5+
+    bad = ~(ascii_ | l2 | l3 | l4 | is_cont)  # C0/C1/F5..FF lead bytes
 
-    # positions every multi-byte lead CLAIMS as continuations
-    d = np.zeros(L + 1, dtype=np.int32)
-    starts_by_k = []
-    for lead, k in ((l2, 2), (l3, 3), (l4, 4)):
-        st = np.nonzero(lead)[0]
-        starts_by_k.append((st, k))
-        if len(st):
-            np.add.at(d, st + 1, 1)
-            np.add.at(d, np.minimum(st + k, L), -1)
-    must = np.cumsum(d[:L]) > 0
-    mism = np.nonzero(must != is_cont)[0]
-    if len(mism):
-        # a mismatch marks its own row AND (conservatively) the row of
-        # the would-be claiming lead <= 3 bytes back — a truncated
-        # sequence at a row end must flag the LEAD's row
-        bad_pos.append(mism)
-        bad_pos.append(np.maximum(mism - 3, 0))
+    # positions every multi-byte lead CLAIMS as continuations: three
+    # shifted ORs (claims reach <= 3 bytes) — no scatter, no cumsum
+    m2 = l2 | l3 | l4
+    m3 = l3 | l4
+    must = np.zeros(L, dtype=bool)
+    must[1:] = m2[:-1]
+    must[2:] |= m3[:-2]
+    must[3:] |= l4[:-3]
+    mism = must != is_cont
+    if mism.any():
+        # a mismatch marks its own position AND (conservatively) up to
+        # 3 bytes back — a truncated sequence must flag the LEAD's row
+        bad |= mism
+        bad[:-1] |= mism[1:]
+        bad[:-2] |= mism[2:]
+        bad[:-3] |= mism[3:]
 
-    # constrained second bytes (overlongs, surrogates, > U+10FFFF)
-    for lead_val, lo, hi in ((0xE0, 0xA0, 0xBF), (0xED, 0x80, 0x9F),
-                             (0xF0, 0x90, 0xBF), (0xF4, 0x80, 0x8F)):
-        st = np.nonzero(buf == lead_val)[0]
-        if len(st):
-            nxt = np.minimum(st + 1, L - 1)
-            b1 = buf[nxt]
-            bad = (b1 < lo) | (b1 > hi) | (st + 1 >= L)
-            if bad.any():
-                bad_pos.append(st[bad])
+    # constrained second bytes (overlongs, surrogates, > U+10FFFF):
+    # one candidate gather for the four special leads
+    cand = np.nonzero((buf == 0xE0) | (buf == 0xED)
+                      | (buf == 0xF0) | (buf == 0xF4))[0]
+    if len(cand):
+        b0 = buf[cand]
+        nxt = np.minimum(cand + 1, L - 1)
+        b1 = buf[nxt]
+        lo = np.where(b0 == 0xE0, 0xA0,
+                      np.where(b0 == 0xF0, 0x90, 0x80)).astype(np.uint8)
+        hi = np.where(b0 == 0xED, 0x9F,
+                      np.where(b0 == 0xF4, 0x8F, 0xBF)).astype(np.uint8)
+        viol = (b1 < lo) | (b1 > hi) | (cand + 1 >= L)
+        bad[cand[viol]] = True
 
-    # sequences crossing a row boundary (or truncated at buffer end):
-    # both the lead's row and the claimed rows are suspect
-    for st, k in starts_by_k:
-        if len(st):
-            r = np.searchsorted(offsets, st, side="right") - 1
-            cross = st + k > offsets[r + 1]
-            if cross.any():
-                bad_pos.append(st[cross])
-                bad_pos.append(np.minimum(st[cross] + (k - 1), L - 1))
-                bad_pos.append(np.minimum(st[cross] + 1, L - 1))
-
-    pos = np.concatenate(bad_pos)
+    # sequences crossing a row boundary (or truncated at the buffer
+    # end): O(rows) — inspect only the <=3 bytes before each boundary
+    bnd = offsets[1:]
+    rs = offsets[:-1]
+    span = bnd - rs
+    extra = []
+    for back, lead in ((1, m2), (2, m3), (3, l4)):
+        p = bnd - back
+        okr = (span >= back) & (p < L)
+        pv = p[okr]
+        c = pv[lead[pv]]
+        if len(c):
+            extra.append(c)                       # the lead's row
+            extra.append(np.minimum(bnd[okr][lead[pv]], L - 1))  # next row
+    pos = np.nonzero(bad)[0]
+    if extra:
+        pos = np.concatenate([pos] + extra)
     if not len(pos):
         return np.zeros(0, dtype=np.int64)
     rows = np.searchsorted(offsets, pos, side="right") - 1
@@ -302,6 +310,68 @@ def encode_utf8(cp: np.ndarray):
 # codepoint-domain run engine
 
 
+def utf8_le_u64(cp: np.ndarray):
+    """(value, nbytes): each codepoint's UTF-8 bytes packed little-endian
+    into a uint64 (byte 0 = lead byte)."""
+    c = cp.astype(np.uint64)
+    ln = utf8_lengths(cp)
+    val = c.copy()
+    m2 = ln == 2
+    if m2.any():
+        v = c[m2]
+        val[m2] = (0xC0 | (v >> np.uint64(6))) | \
+                  ((0x80 | (v & np.uint64(0x3F))) << np.uint64(8))
+    m3 = ln == 3
+    if m3.any():
+        v = c[m3]
+        val[m3] = (0xE0 | (v >> np.uint64(12))) \
+            | ((0x80 | ((v >> np.uint64(6)) & np.uint64(0x3F))) << np.uint64(8)) \
+            | ((0x80 | (v & np.uint64(0x3F))) << np.uint64(16))
+    m4 = ln == 4
+    if m4.any():
+        v = c[m4]
+        val[m4] = (0xF0 | (v >> np.uint64(18))) \
+            | ((0x80 | ((v >> np.uint64(12)) & np.uint64(0x3F))) << np.uint64(8)) \
+            | ((0x80 | ((v >> np.uint64(6)) & np.uint64(0x3F))) << np.uint64(16)) \
+            | ((0x80 | (v & np.uint64(0x3F))) << np.uint64(24))
+    return val, ln
+
+
+_NO_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)  # impossible UTF-8 byte pattern
+
+
+def cp_word_keys(cps: np.ndarray, starts: np.ndarray,
+                 lengths: np.ndarray) -> np.ndarray:
+    """uint64 key per word run over a codepoint array: the word's UTF-8
+    bytes packed little-endian when they fit in 8 bytes, else a sentinel
+    no stopword key can equal (0xFF bytes never occur in UTF-8). Pass
+    LOWERED cps to get case-folded keys. Exact set-membership vs
+    ``pack_word``-style keys of <= 8-byte stopwords."""
+    nw = len(starts)
+    if not nw:
+        return np.zeros(0, dtype=np.uint64)
+    val, ln = utf8_le_u64(cps)
+    # byte length prefix sums -> per-word totals and in-word offsets
+    cs = np.zeros(len(cps) + 1, dtype=np.int64)
+    np.cumsum(ln, out=cs[1:])
+    total = cs[starts + lengths] - cs[starts]
+    keys = np.full(nw, _NO_KEY, dtype=np.uint64)
+    fits = total <= 8
+    if fits.any():
+        kf = np.zeros(int(fits.sum()), dtype=np.uint64)
+        fs, fl = starts[fits], lengths[fits]
+        base = cs[fs]
+        for j in range(8):
+            m = j < fl
+            if not m.any():
+                break
+            pos = fs[m] + j
+            off = (cs[pos] - base[m]).astype(np.uint64)
+            kf[m] |= val[pos] << (off << np.uint64(3))
+        keys[fits] = kf
+    return keys
+
+
 class CPText(SeqRuns):
     """A subset of a BatchText's rows decoded to codepoints, with the
     SeqRuns count/runs engine over the codepoint domain. `rows` maps
@@ -325,3 +395,41 @@ class CPText(SeqRuns):
 
     def lowered(self) -> np.ndarray:
         return class_table("lower")[self.cp]
+
+
+def normalize_cp(cpt: CPText, lowered: np.ndarray | None = None):
+    """Codepoint-domain twin of ``" ".join(t.lower().split()).encode()``:
+    lower via the 1:1 table, collapse Unicode-whitespace runs to single
+    ASCII spaces, strip row ends, encode back to UTF-8. Returns
+    (uint8 buffer, per-row int64 byte offsets). Exact for rows without
+    the SPECIAL_LOWER_CPS (callers route those per-row); lowering never
+    changes whitespace-ness, so classifying the ORIGINAL cps is exact."""
+    if lowered is None:
+        lowered = cpt.lowered()
+    w = class_table("space")[cpt.cp]
+    # same survive-one-space rule as _bytetext.normalize_ws_lower
+    starts_m = cpt._start_mask(w)
+    ws_starts = np.nonzero(starts_m)[0]
+    if len(ws_starts):
+        srow = np.repeat(np.arange(cpt.n, dtype=np.int64),
+                         cpt.count(starts_m))
+        if len(srow) != len(ws_starts):
+            srow = np.searchsorted(cpt.offsets, ws_starts, side="right") - 1
+        leading = ws_starts == cpt.offsets[srow]
+        nxt = np.concatenate([ws_starts[1:],
+                              np.array([np.iinfo(np.int64).max])])
+        row_end = cpt.offsets[srow + 1]
+        trailing = (nxt >= row_end) & w[row_end - 1]
+        kept_ws = ws_starts[~leading & ~trailing]
+    else:
+        kept_ws = ws_starts
+    keep = ~w
+    keep[kept_ws] = True
+    vals = lowered.copy()
+    vals[w] = 0x20
+    vals = vals[keep]
+    row_cp_counts = cpt.count(keep)
+    buf, cp_byte_off = encode_utf8(vals)
+    row_cp_off = np.concatenate(
+        ([0], np.cumsum(row_cp_counts, dtype=np.int64)))
+    return buf, cp_byte_off[row_cp_off]

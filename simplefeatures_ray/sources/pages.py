@@ -41,6 +41,21 @@ _WORDS = (
     "mountains markets transit housing climate history food culture sports"
 ).split()
 
+# multilingual pool for the intl corpus variant (>= 50% non-ASCII pages:
+# the real-Common-Crawl shape the vectorized Unicode path exists for).
+# Deliberately includes accents, CJK, Cyrillic, Arabic, Thai, emoji,
+# apostrophes and a couple of Unicode whitespace separators.
+_INTL_WORDS = (
+    "café naïve résumé l'équipe déjà voilà señor año niño "
+    "straße größe müller über schön zürich "
+    "東京 日本語 中文 北京 漢字 文字 "
+    "москва привет россия язык "
+    "القاهرة العربية نص "
+    "กรุงเทพ ภาษาไทย น้ำ "
+    "don't it's l'amour d'état qu'est-ce "
+    "😀 🗼 ☕ – — « » π Ω"
+).split() + ["a b", "x　y", "fin de"]
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
@@ -100,12 +115,15 @@ def extract_text(html: bytes) -> str:
     return " ".join(s.split())
 
 
-def gen_pages_batch(batch, n_words: int = 270) -> pa.Table:
+def gen_pages_batch(batch, n_words: int = 270, intl: bool = False) -> pa.Table:
     """map_batches kernel: {'id': int64 array} -> pages Arrow table.
 
     Pages average ~1-2 KB of html (30..300 words) — sized so per-page
     extraction work is representative of real web corpora rather than
-    degenerate few-byte documents."""
+    degenerate few-byte documents. intl=True draws ~60% of pages from a
+    multilingual word pool (accents, CJK, Cyrillic, Arabic, emoji,
+    apostrophes, Unicode whitespace) — the >=50%-non-ASCII shape of real
+    Common Crawl; still a pure function of the page index."""
     idx = np.asarray(batch["id"], dtype=np.uint64)
     has_geo, lon, lat = page_coords(idx)
     lang_pick = (_hash_stream(idx, 8) % np.uint64(len(LANGS))).astype(np.int64)
@@ -118,11 +136,17 @@ def gen_pages_batch(batch, n_words: int = 270) -> pa.Table:
 
     urls, htmls, texts, langs = [], [], [], []
     nw = len(_WORDS)
+    nwi = len(_INTL_WORDS)
+    intl_page = _uniform(idx, 13) < 0.6 if intl else np.zeros(len(idx), bool)
     for k in range(len(idx)):
         i = int(idx[k])
         url = f"https://site-{i % 9973}.example.com/page/{i}"
         seed = int(word_seed[k])
-        words = [_WORDS[(seed + j * 2654435761) % nw] for j in range(int(nwords[k]))]
+        if intl_page[k]:
+            words = [_INTL_WORDS[(seed + j * 2654435761) % nwi]
+                     for j in range(int(nwords[k]))]
+        else:
+            words = [_WORDS[(seed + j * 2654435761) % nw] for j in range(int(nwords[k]))]
         body = " ".join(words)
         meta = ""
         if has_geo[k]:
@@ -150,20 +174,26 @@ def gen_pages_batch(batch, n_words: int = 270) -> pa.Table:
     )
 
 
-def pages_dataset(n: int, *, override_num_blocks: int | None = None):
+def pages_dataset(n: int, *, override_num_blocks: int | None = None,
+                  intl: bool = False):
     """Distributed deterministic pages table as a ray.data.Dataset."""
     import ray.data as rd
 
     ds = rd.range(n, override_num_blocks=override_num_blocks)
-    return ds.map_batches(gen_pages_batch, batch_format="numpy", batch_size=4096)
+    return ds.map_batches(gen_pages_batch, fn_kwargs={"intl": intl},
+                          batch_format="numpy", batch_size=4096)
 
 
-def write_pages_parquet(n: int, path: str, *, override_num_blocks: int | None = None):
-    pages_dataset(n, override_num_blocks=override_num_blocks).write_parquet(path)
+def write_pages_parquet(n: int, path: str, *,
+                        override_num_blocks: int | None = None,
+                        intl: bool = False):
+    pages_dataset(n, override_num_blocks=override_num_blocks,
+                  intl=intl).write_parquet(path)
     return path
 
 
-def pages_parquet_cached(n: int, cache_root: str = "/tmp/sfr_pages") -> str:
+def pages_parquet_cached(n: int, cache_root: str = "/tmp/sfr_pages",
+                         intl: bool = False) -> str:
     """Generate-once parquet cache for the synthetic pages table.
 
     The engine's real input is a Parquet pages table (BASELINE input_hint);
@@ -172,20 +202,20 @@ def pages_parquet_cached(n: int, cache_root: str = "/tmp/sfr_pages") -> str:
     """
     import os
 
-    path = f"{cache_root}_{n}"
+    path = f"{cache_root}_{n}" + ("_intl" if intl else "")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        write_pages_parquet(n, path)
+        write_pages_parquet(n, path, intl=intl)
         with open(marker, "w") as f:
             f.write("ok")
     return path
 
 
-def read_pages(n: int, **read_kwargs):
+def read_pages(n: int, intl: bool = False, **read_kwargs):
     """Dataset over the cached parquet pages table (the bench input)."""
     import ray.data as rd
 
-    return rd.read_parquet(pages_parquet_cached(n), **read_kwargs)
+    return rd.read_parquet(pages_parquet_cached(n, intl=intl), **read_kwargs)
