@@ -2089,6 +2089,27 @@ def ann_ivf_topk(sf_dir: str):
     return _round_cols(out, {"cosine": 4})
 
 
+def ann_pq_topk(sf_dir: str):
+    """PQ/ADC top-k gate (VERDICT r4 #5): codebooks trained by the
+    SQL-replayable trainer (pq_train_exact) on the first-256 sample,
+    corpus PQ-encoded distributed (pq_encode), queries ranked by the
+    exact INTEGER micro-unit ADC distance (pq_topk quantize=4) — the
+    oracle replays training, encoding and ADC in DuckDB CTEs
+    (functions/ann.pq_sql). Approximate ANN, exactly gated."""
+    from simplefeatures_ray.functions.ann import (
+        pq_encode, pq_topk, pq_train_exact)
+
+    qids, qmat = _query_matrix(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = (ds.filter(expr="vec_id < 256").to_pandas()
+              .sort_values("vec_id"))
+    smat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in sample["embedding"]])
+    books = pq_train_exact(smat, m=8, ks=16, iters=2)
+    codes = pq_encode(ds, books, round_dist=4)
+    return pq_topk(codes, qids, qmat, books, k=5, quantize=4)
+
+
 # --------------------------------------------------------------------------- #
 # spatial queries with SQL oracles
 # --------------------------------------------------------------------------- #
@@ -2755,6 +2776,98 @@ def _geom_relate_classes_oracle_sql() -> str:
         JOIN cent c0 ON c0.pair_id = p.pair_id AND c0.side = 0
         JOIN cent c1 ON c1.pair_id = p.pair_id AND c1.side = 1
     """
+
+
+def codec_roundtrip(sf_dir: str):
+    """Driver-gated codec surface (VERDICT r4 #4): per part row a
+    deterministic integer-coordinate geometry (point / linestring /
+    polygon by p_partkey % 3) flows through the reference's canonical
+    codec chain — WKT parse -> WKB write -> WKB parse -> TWKB write
+    (prec 0) -> TWKB parse -> canonical WKT write (geom/wkt_parser.go:21,
+    wkb_parser.go:14, twkb_parser.go:17). Output: the re-encoded WKT
+    string plus the WKB and TWKB byte lengths; the SQL oracle recomputes
+    the canonical string by concatenation and the byte lengths in closed
+    form (WKB layout arithmetic; TWKB zigzag-varint size classes), so a
+    single wrong byte anywhere in the chain breaks the gate."""
+    import ray.data as rd
+
+    def kernel(t: pa.Table) -> pa.Table:
+        from simplefeatures_ray.geometry.twkb import from_twkb, to_twkb
+        from simplefeatures_ray.geometry.wkb import from_wkb, to_wkb
+        from simplefeatures_ray.geometry.wkt import from_wkt, to_wkt
+
+        k = np.asarray(t["p_partkey"], dtype=np.int64)
+        x = (k * 7919) % 200001 - 100000
+        y = (k * 104729) % 200001 - 100000
+        typ = k % 3
+        wkts, wkb_n, twkb_n = [], [], []
+        for ki, xi, yi, ti in zip(k, x, y, typ):
+            if ti == 0:
+                w = f"POINT({xi} {yi})"
+            elif ti == 1:
+                w = (f"LINESTRING({xi} {yi},{xi + 10} {yi + 20},"
+                     f"{xi + 30} {yi + 10})")
+            else:
+                w = (f"POLYGON(({xi} {yi},{xi + 10} {yi},"
+                     f"{xi + 10} {yi + 10},{xi} {yi + 10},{xi} {yi}))")
+            wkb = to_wkb(from_wkt(w))
+            twkb = to_twkb(from_wkb(wkb), 0)
+            wkts.append(to_wkt(from_twkb(twkb)))
+            wkb_n.append(len(wkb))
+            twkb_n.append(len(twkb))
+        return pa.table({
+            "p_partkey": pa.array(k),
+            "wkt_out": pa.array(wkts, pa.string()),
+            "wkb_nbytes": pa.array(wkb_n, pa.int64()),
+            "twkb_nbytes": pa.array(twkb_n, pa.int64()),
+        })
+
+    return _read(sf_dir, "part", columns=["p_partkey"]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
+CODEC_ROUNDTRIP_SQL = """
+    WITH c AS (
+        SELECT p_partkey,
+               (p_partkey * 7919) % 200001 - 100000 AS x,
+               (p_partkey * 104729) % 200001 - 100000 AS y,
+               p_partkey % 3 AS typ
+        FROM part
+    ), z AS (
+        SELECT *,
+               2 * abs(x) - CASE WHEN x < 0 THEN 1 ELSE 0 END AS zx,
+               2 * abs(y) - CASE WHEN y < 0 THEN 1 ELSE 0 END AS zy
+        FROM c
+    ), v AS (
+        SELECT *,
+               CASE WHEN zx < 128 THEN 1 WHEN zx < 16384 THEN 2
+                    WHEN zx < 2097152 THEN 3 ELSE 4 END AS bx,
+               CASE WHEN zy < 128 THEN 1 WHEN zy < 16384 THEN 2
+                    WHEN zy < 2097152 THEN 3 ELSE 4 END AS by
+        FROM z
+    )
+    SELECT p_partkey,
+           CASE typ
+             WHEN 0 THEN 'POINT(' || x || ' ' || y || ')'
+             WHEN 1 THEN 'LINESTRING(' || x || ' ' || y || ',' ||
+                         (x + 10) || ' ' || (y + 20) || ',' ||
+                         (x + 30) || ' ' || (y + 10) || ')'
+             ELSE 'POLYGON((' || x || ' ' || y || ',' ||
+                  (x + 10) || ' ' || y || ',' ||
+                  (x + 10) || ' ' || (y + 10) || ',' ||
+                  x || ' ' || (y + 10) || ',' || x || ' ' || y || '))'
+           END AS wkt_out,
+           CASE typ WHEN 0 THEN 21 WHEN 1 THEN 9 + 16 * 3
+                    ELSE 9 + 4 + 16 * 5 END AS wkb_nbytes,
+           -- TWKB: 2-byte header; point = zigzag varints of x,y;
+           -- linestring adds an npoints varint + 4 one-byte deltas;
+           -- polygon adds nrings + npoints varints + 6 one-byte deltas
+           -- (the closing point is implicit)
+           CASE typ WHEN 0 THEN 2 + bx + by
+                    WHEN 1 THEN 2 + 1 + bx + by + 4
+                    ELSE 2 + 1 + 1 + bx + by + 6 END AS twkb_nbytes
+    FROM v
+"""
 
 
 def proj_web_mercator(sf_dir: str):
@@ -4306,6 +4419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norm_topk": emb_norm_topk,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_label_centroids": emb_label_centroids,
@@ -4323,6 +4437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn_boxes": spatial_knn_boxes,
         "spatial_knn_dense": spatial_knn_dense,
         "geom_relate_classes": geom_relate_classes,
+        "codec_roundtrip": codec_roundtrip,
         "cells_kring_density": cells_kring_density,
         "cells_compact_cover": cells_compact_cover,
         "cells_polyfill_polys": cells_polyfill_polys,
@@ -5535,6 +5650,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, rank
             FROM ranked WHERE rank < 5
         """,
+        "ann_pq_topk": __import__(
+            "simplefeatures_ray.functions.ann", fromlist=["pq_sql"]
+        ).pq_sql(),
         "emb_near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(
@@ -5933,6 +6051,7 @@ def oracle_sql() -> dict[str, str]:
         "proj_polar_laea": _proj_polar_laea_oracle_sql(),
         "proj_swiss_grid": _proj_swiss_oracle_sql(),
         "geom_relate_classes": _geom_relate_classes_oracle_sql(),
+        "codec_roundtrip": CODEC_ROUNDTRIP_SQL,
         "proj_wgs84_chain": f"""
             WITH p AS (SELECT event_id, x, y FROM {event_points_sql('pts')}),
             s1 AS (SELECT event_id, x, y,

@@ -500,32 +500,71 @@ def pq_train(sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 8,
     return books
 
 
-def _pq_encode_matrix(mtx: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """(n, dim) float32 -> (n, m) uint8 codes (nearest sub-centroid)."""
+def pq_train_exact(sample: np.ndarray, m: int = 8, ks: int = 16,
+                   iters: int = 2, round_centroid: int = 6,
+                   round_dist: int = 4) -> np.ndarray:
+    """Oracle-parity PQ trainer (the SQL-replayable twin of pq_train,
+    mirroring cluster.kmeans's conventions): float64, rank init (first
+    ks sample rows — pass the sample sorted by id), centroids and
+    assignment distances rounded so a DuckDB CTE chain replays the
+    identical arithmetic; empty clusters keep the prior centroid;
+    ties go to the lowest centroid id (argmin)."""
+    sample = np.asarray(sample, dtype=np.float64)
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    kk = min(ks, n)
+    books = np.zeros((m, kk, sub), dtype=np.float64)
+    for j in range(m):
+        block = sample[:, j * sub:(j + 1) * sub]
+        cents = np.round(block[:kk].copy(), round_centroid)
+        for _ in range(iters):
+            d = np.round(((block[:, None, :] - cents[None, :, :]) ** 2)
+                         .sum(axis=2), round_dist)
+            assign = d.argmin(axis=1)
+            for c in range(kk):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = np.round(block[msk].sum(axis=0) / msk.sum(),
+                                        round_centroid)
+        books[j] = cents
+    return books
+
+
+def _pq_encode_matrix(mtx: np.ndarray, books: np.ndarray,
+                      round_dist: int | None = None) -> np.ndarray:
+    """(n, dim) -> (n, m) uint8 codes (nearest sub-centroid; with
+    round_dist the assignment distance is rounded — the SQL-replayable
+    convention; argmin ties go to the lowest centroid id either way)."""
     m, ks, sub = books.shape
     n = len(mtx)
     codes = np.zeros((n, m), dtype=np.uint8)
     for j in range(m):
         block = mtx[:, j * sub:(j + 1) * sub]
         d = ((block[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        if round_dist is not None:
+            d = np.round(d, round_dist)
         codes[:, j] = d.argmin(axis=1).astype(np.uint8)
     return codes
 
 
 def pq_encode(ds, books: np.ndarray, *, id_col="vec_id",
-              vec_col="embedding"):
+              vec_col="embedding", round_dist: int | None = None):
     """Dataset of (id, embedding) -> (id, pq_code fixed_size_list<uint8>).
     Codebooks broadcast once (ray.put), one vectorized nearest-centroid
-    assignment per subspace per batch."""
+    assignment per subspace per batch. round_dist switches to the
+    float64 SQL-replayable arithmetic (pq_train_exact books)."""
     import ray
 
-    books_ref = ray.put(np.asarray(books, dtype=np.float32))
+    dtype = np.float32 if round_dist is None else np.float64
+    books_ref = ray.put(np.asarray(books, dtype=dtype))
     m = books.shape[0]
 
     def kernel(t: pa.Table) -> pa.Table:
         bk = ray.get(books_ref)
-        mtx = _batch_matrix(t, vec_col)
-        codes = _pq_encode_matrix(mtx, bk)
+        mtx = _batch_matrix(t, vec_col).astype(dtype)
+        codes = _pq_encode_matrix(mtx, bk, round_dist)
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(codes.reshape(-1), pa.uint8()), m)
         return pa.table({id_col: t[id_col], "pq_code": arr})
@@ -534,7 +573,8 @@ def pq_encode(ds, books: np.ndarray, *, id_col="vec_id",
 
 
 def pq_topk(codes_ds, query_ids, query_matrix, books: np.ndarray, k: int,
-            *, id_col="vec_id", code_col="pq_code"):
+            *, id_col="vec_id", code_col="pq_code",
+            quantize: int | None = None):
     """ADC top-k over PQ codes: per query, an (m, ks) lookup table of
     squared distances to every sub-centroid; a code's approximate
     distance is m LUT gathers + a sum — the corpus is scanned as uint8,
@@ -545,15 +585,24 @@ def pq_topk(codes_ds, query_ids, query_matrix, books: np.ndarray, k: int,
 
     from .relational import collect_table
 
-    books = np.asarray(books, dtype=np.float32)
+    dtype = np.float32 if quantize is None else np.float64
+    books = np.asarray(books, dtype=dtype)
     m, ks, sub = books.shape
-    qm = np.asarray(query_matrix, dtype=np.float32)
+    qm = np.asarray(query_matrix, dtype=dtype)
     # (nq, m, ks) ADC tables
-    luts = np.zeros((len(qm), m, ks), dtype=np.float32)
+    luts = np.zeros((len(qm), m, ks), dtype=dtype)
     for j in range(m):
         qb = qm[:, j * sub:(j + 1) * sub]
         luts[:, j, :] = (
             (qb[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    if quantize is not None:
+        # integer micro-units: each per-subspace entry rounds to
+        # `quantize` decimals, and the ADC total is then an exact int64
+        # sum — immune to float summation order (the per-part-rounded
+        # values sit ON the decimal grid, so rounding the float TOTAL
+        # would be a coin flip between engines)
+        luts = np.rint(np.round(luts, quantize)
+                       * (10.0 ** quantize)).astype(np.int64)
     lut_ref = ray.put(luts)
     qids = np.asarray(query_ids)
 
@@ -569,10 +618,17 @@ def pq_topk(codes_ds, query_ids, query_matrix, books: np.ndarray, k: int,
         out_q, out_i, out_d = [], [], []
         for qi in range(len(lt)):
             # ADC: sum of m per-subspace gathers
-            d = lt[qi, 0, codes[:, 0]].astype(np.float64)
+            d = lt[qi, 0, codes[:, 0]].astype(
+                np.int64 if quantize is not None else np.float64)
             for j in range(1, m):
                 d += lt[qi, j, codes[:, j]]
-            part = np.argpartition(d, kth=kk - 1)[:kk]
+            if quantize is not None:
+                # integer distances tie often: the block-local cut must
+                # follow the (dist, id) TOTAL order or the survivor set
+                # depends on partitioning
+                part = np.lexsort((ids, d))[:kk]
+            else:
+                part = np.argpartition(d, kth=kk - 1)[:kk]
             out_q.append(np.full(kk, qids[qi], dtype=np.int64))
             out_i.append(ids[part])
             out_d.append(d[part])
@@ -590,3 +646,78 @@ def pq_topk(codes_ds, query_ids, query_matrix, books: np.ndarray, k: int,
     df["rank"] = df.groupby("query_id").cumcount()
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def pq_sql(table: str = "embeddings", id_col: str = "vec_id",
+           vec_col: str = "embedding", dim: int = 64, m: int = 8,
+           ks: int = 16, iters: int = 2, k: int = 5,
+           sample_n: int = 256, query_ids=(0, 1, 2),
+           round_centroid: int = 6, round_dist: int = 4) -> str:
+    """DuckDB twin of pq_train_exact + pq_encode + pq_topk(quantize):
+    unrolls the per-subspace Lloyd iterations as CTEs replaying the
+    identical rounded arithmetic (subspace j = dim r // sub; rank init
+    from the first ks sample rows; rounded assignment distances and
+    centroids; COALESCE keeps empty clusters), then encodes the full
+    corpus against the final centroids and ranks queries by the exact
+    INTEGER micro-unit ADC total."""
+    sub = dim // m
+    qin = ", ".join(str(int(q)) for q in query_ids)
+    rc, rd = round_centroid, round_dist
+    ctes = [
+        f"long AS (SELECT {id_col} AS vid, r AS d, r // {sub} AS j, "
+        f"CAST({vec_col}[r + 1] AS DOUBLE) AS val "
+        f"FROM {table}, range({dim}) t(r))",
+        f"samp AS (SELECT * FROM long WHERE vid < {sample_n})",
+        f"ini AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cl "
+        f"FROM (SELECT DISTINCT vid FROM samp ORDER BY vid LIMIT {ks}))",
+        f"c0 AS (SELECT i.cl, s.j, s.d, ROUND(s.val, {rc}) AS val "
+        f"FROM samp s JOIN ini i USING (vid))",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"d{t} AS (SELECT s.vid, s.j, c.cl, "
+            f"ROUND(SUM((s.val - c.val) * (s.val - c.val)), {rd}) AS dist "
+            f"FROM samp s JOIN c{t} c ON c.j = s.j AND c.d = s.d "
+            f"GROUP BY 1, 2, 3)")
+        ctes.append(
+            f"a{t} AS (SELECT vid, j, cl FROM ("
+            f"SELECT vid, j, cl, ROW_NUMBER() OVER "
+            f"(PARTITION BY vid, j ORDER BY dist, cl) AS rn FROM d{t}) "
+            f"WHERE rn = 1)")
+        ctes.append(
+            f"m{t} AS (SELECT a.cl, s.j, s.d, "
+            f"ROUND(SUM(s.val) / COUNT(*), {rc}) AS val "
+            f"FROM samp s JOIN a{t} a ON a.vid = s.vid AND a.j = s.j "
+            f"GROUP BY 1, 2, 3)")
+        ctes.append(
+            f"c{t + 1} AS (SELECT c.cl, c.j, c.d, "
+            f"COALESCE(m.val, c.val) AS val FROM c{t} c "
+            f"LEFT JOIN m{t} m ON m.cl = c.cl AND m.j = c.j AND m.d = c.d)")
+    fin = f"c{iters}"
+    ctes += [
+        f"ed AS (SELECT l.vid, l.j, c.cl, "
+        f"ROUND(SUM((l.val - c.val) * (l.val - c.val)), {rd}) AS dist "
+        f"FROM long l JOIN {fin} c ON c.j = l.j AND c.d = l.d "
+        f"GROUP BY 1, 2, 3)",
+        "code AS (SELECT vid, j, cl FROM ("
+        "SELECT vid, j, cl, ROW_NUMBER() OVER "
+        "(PARTITION BY vid, j ORDER BY dist, cl) AS rn FROM ed) "
+        "WHERE rn = 1)",
+        f"q AS (SELECT vid AS qid, j, d, val FROM long WHERE vid IN ({qin}))",
+        f"lut AS (SELECT q.qid, c.j, c.cl, CAST(ROUND("
+        f"ROUND(SUM((q.val - c.val) * (q.val - c.val)), {rd}) "
+        f"* {10 ** rd}, 0) AS BIGINT) AS dist "
+        f"FROM q JOIN {fin} c ON c.j = q.j AND c.d = q.d "
+        f"GROUP BY 1, 2, 3)",
+        "adc AS (SELECT l.qid, co.vid, SUM(l.dist) AS adc_dist "
+        "FROM code co JOIN lut l ON l.j = co.j AND l.cl = co.cl "
+        "GROUP BY 1, 2)",
+        "ranked AS (SELECT qid, vid, adc_dist, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY adc_dist, vid) - 1 AS rank FROM adc)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT qid AS query_id, vid AS {id_col}, "
+        f"CAST(adc_dist AS BIGINT) AS adc_dist, rank "
+        f"FROM ranked WHERE rank < {k}"
+    )

@@ -12,8 +12,11 @@ the corpus itself. Distributed shape per iteration:
   grouped_agg    combiner sum of the partials through one coarse
                  shuffle (volume = distinct pair types per block,
                  never token count)
-  driver         argmax pair with the deterministic tie-break
-                 (count DESC, left ASC, right ASC) -> next merge
+  top-1/part     each co-partition emits its single best pair under
+                 the total order (count DESC, left ASC, right ASC)
+  driver         argmax over <= n_partitions candidate rows -> next
+                 merge (the pair table itself never leaves the
+                 cluster; VERDICT r4 #3)
 
 The merge list is O(num_merges) and ships with the task closure; the
 corpus is never collected. The corpus is read ONCE: train_bpe first
@@ -121,10 +124,26 @@ def word_freq_dataset(ds, text_col: str = "text"):
                        combine="shuffle").materialize()
 
 
-def _vocab_pair_counts(words_ds, merges: list[tuple[str, str]]) -> pa.Table:
-    """Pair counts from the pinned (word, freq) table under merges."""
+def _local_top_pair(t: pa.Table) -> pa.Table:
+    """Top-1 row of a pair-count block under the total order
+    (n DESC, left ASC, right ASC)."""
+    if not len(t):
+        return t
+    df = t.to_pandas().sort_values(
+        ["n", "left", "right"], ascending=[False, True, True],
+        kind="mergesort").head(1)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _vocab_top_pair(words_ds, merges: list[tuple[str, str]]):
+    """Distributed argmax pair from the pinned (word, freq) table under
+    `merges` (VERDICT r4 #3): per-block partial pair counts -> shuffle
+    combine co-partitioned by pair (each pair's total lands in exactly
+    one partition) -> per-partition top-1 under the total tie-break ->
+    the driver collects only <= n_partitions candidate rows and takes
+    their max. The vocabulary-scale pair table never reaches the
+    driver."""
     from .agg import grouped_agg
-    from .relational import collect_table
 
     ms = list(merges)
 
@@ -143,9 +162,14 @@ def _vocab_pair_counts(words_ds, merges: list[tuple[str, str]]) -> pa.Table:
             "n": pa.array([v for _, v in items], pa.int64()),
         })
 
+    from .relational import collect_table
+
     partial = words_ds.map_batches(kernel, batch_format="pyarrow")
-    return collect_table(grouped_agg(partial, ["left", "right"],
-                                     {"n": ("n", "sum")}))
+    agg = grouped_agg(partial, ["left", "right"], {"n": ("n", "sum")},
+                      combine="shuffle")
+    tops = collect_table(agg.map_batches(_local_top_pair,
+                                         batch_format="pyarrow"))
+    return _top_pair(tops)
 
 
 def _top_pair(tbl: pa.Table) -> tuple[str, str, int] | None:
@@ -167,7 +191,7 @@ def train_bpe(ds, num_merges: int = 8, text_col: str = "text") -> pa.Table:
     merges: list[tuple[str, str]] = []
     rows = []
     for rank in range(num_merges):
-        top = _top_pair(_vocab_pair_counts(words, merges))
+        top = _vocab_top_pair(words, merges)
         if top is None or top[2] < 1:
             break
         left, right, n = top

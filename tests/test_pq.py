@@ -66,3 +66,33 @@ def test_pq_recall_vs_brute_force(ray_session):
     codes3 = pq_encode(rd.from_arrow(t).repartition(11), books)
     short2 = pq_topk(codes3, qids, queries, books, k=100).to_pandas()
     assert short.equals(short2)
+
+
+def test_pq_exact_variant_parallelism_invariant(ray_session):
+    """pq_train_exact + quantized ADC (the ann_pq_topk gate arithmetic):
+    bit-identical integer distances at any partitioning, rank total
+    order respected."""
+    from simplefeatures_ray.functions.ann import pq_train_exact
+
+    vecs = _clustered(n=600)
+    sample = np.asarray(vecs[:128], dtype=np.float64)
+    books = pq_train_exact(sample, m=8, ks=16, iters=2)
+    t = _emb_table(vecs)
+    qids = np.arange(3, dtype=np.int64)
+    qm = np.asarray(vecs[:3], dtype=np.float64)
+    a = pq_topk(pq_encode(rd.from_arrow(t).repartition(3), books,
+                          round_dist=4),
+                qids, qm, books, k=5, quantize=4).to_pandas()
+    b = pq_topk(pq_encode(rd.from_arrow(t).repartition(9), books,
+                          round_dist=4),
+                qids, qm, books, k=5, quantize=4).to_pandas()
+    assert a.equals(b)
+    assert a["adc_dist"].dtype == np.int64
+    # query 0 is corpus vector 0: its own code must rank it at ADC
+    # distance equal to its quantization residual (small, >= 0)
+    assert (a["adc_dist"] >= 0).all()
+    for q in range(3):
+        sub = a[a["query_id"] == q]
+        assert list(sub["rank"]) == list(range(len(sub)))
+        assert list(sub.sort_values(["adc_dist", "vec_id"])["rank"]) == \
+            list(range(len(sub)))
