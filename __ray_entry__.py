@@ -3184,6 +3184,130 @@ def _proj_national_oracle_sql() -> str:
     """
 
 
+def proj_nad83_albers(sf_dir: str):
+    """NAD83 / UTM zone 15N (EPSG:26915, Krueger on GRS80) and GDA94 /
+    Australian Albers (EPSG:3577) — the state-plane/UTM-NAD83 breadth
+    item (VERDICT r4 #7; reference reaches both via C-PROJ,
+    proj/proj.go:56-108). Two millidegree lattices (zone-15 CONUS,
+    Australia) derived per event id; the oracle replays the full
+    Krueger series and the Albers closed form in SQL from
+    independently derived constants. UTM gates at mm, Albers at 0.1 m
+    (same conventions as proj_wgs84_chain / proj_national_grids)."""
+    from simplefeatures_ray.crs import TransformCRS
+    from simplefeatures_ray.pipelines.corpus import (events_xy_australia,
+                                                     events_xy_nad83)
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = np.asarray(t["event_id"])
+        ux, uy = events_xy_nad83(e)
+        ax, ay = events_xy_australia(e)
+        return pa.table({"event_id": t["event_id"],
+                         "x": pa.array(ux), "y": pa.array(uy),
+                         "xa": pa.array(ax), "ya": pa.array(ay)})
+
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    utm = TransformCRS("EPSG:4326", "EPSG:26915", out_x="ue", out_y="un")
+    alb = TransformCRS("EPSG:4326", "EPSG:3577", x_col="xa", y_col="ya",
+                       out_x="ae", out_y="an")
+    out = pts.map_batches(utm, batch_format="pyarrow")
+    out = out.map_batches(alb, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "ue": pa.array(np.round(np.asarray(t["ue"]), 1) + 0.0),
+            "un": pa.array(np.round(np.asarray(t["un"]), 1) + 0.0),
+            "ae": pa.array(np.round(np.asarray(t["ae"]), 1) + 0.0),
+            "an": pa.array(np.round(np.asarray(t["an"]), 1) + 0.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _proj_nad83_oracle_sql() -> str:
+    """SQL twin of proj_nad83_albers: Krueger forward (GRS80) for UTM
+    15N + Albers (GDA94) per point in DuckDB. Series coefficients and
+    conic constants derived independently here."""
+    import math
+
+    from simplefeatures_ray.ellipsoid import (GRS80_A, GRS80_F,
+                                              _krueger_alpha,
+                                              rectifying_radius)
+    from simplefeatures_ray.pipelines.corpus import (
+        event_points_australia_sql, event_points_nad83_sql)
+
+    a = GRS80_A
+    f = GRS80_F
+    e = math.sqrt(f * (2.0 - f))
+    n3 = f / (2.0 - f)
+    al = [repr(float(v)) for v in _krueger_alpha(n3)]
+    k0A = repr(0.9996 * rectifying_radius(a, n3))
+    xi_terms = " + ".join(
+        f"{al[j]}*sin({2 * (j + 1)}*xip)"
+        f"*((exp({2 * (j + 1)}*etap)+exp(-{2 * (j + 1)}*etap))/2)"
+        for j in range(6))
+    eta_terms = " + ".join(
+        f"{al[j]}*cos({2 * (j + 1)}*xip)"
+        f"*((exp({2 * (j + 1)}*etap)-exp(-{2 * (j + 1)}*etap))/2)"
+        for j in range(6))
+
+    def m_of(phi):
+        return math.cos(phi) / math.sqrt(1.0 - (e * math.sin(phi)) ** 2)
+
+    def q_of(phi):
+        s = math.sin(phi)
+        es = e * s
+        return (1.0 - e * e) * (s / (1.0 - es * es)
+                                - 1.0 / (2.0 * e)
+                                * math.log((1.0 - es) / (1.0 + es)))
+
+    q0, q1, q2 = (math.radians(v) for v in (0.0, -18.0, -36.0))
+    n_a = (m_of(q1) ** 2 - m_of(q2) ** 2) / (q_of(q2) - q_of(q1))
+    C_a = m_of(q1) ** 2 + n_a * q_of(q1)
+    rho0_a = a * math.sqrt(C_a - n_a * q_of(q0)) / n_a
+
+    return f"""
+        WITH u0 AS (SELECT event_id, radians(x) AS lam, radians(y) AS phi
+                    FROM {event_points_nad83_sql('up')}),
+        u1 AS (SELECT event_id, sin(phi) AS sphi,
+                      lam - radians(-93.0) AS dl
+               FROM u0),
+        u2 AS (SELECT *,
+                      0.5*ln((1+sphi)/(1-sphi))
+                      - {e!r}*0.5*ln((1+{e!r}*sphi)/(1-{e!r}*sphi)) AS psi
+               FROM u1),
+        u3 AS (SELECT *, (exp(psi)-exp(-psi))/2 AS tt,
+                      cos(dl) AS cdl, sin(dl) AS sdl
+               FROM u2),
+        u4 AS (SELECT *, atan2(tt, cdl) AS xip,
+                      ln(sdl/sqrt(tt*tt+cdl*cdl)
+                         + sqrt(sdl*sdl/(tt*tt+cdl*cdl) + 1.0)) AS etap
+               FROM u3),
+        u5 AS (SELECT event_id,
+                      500000.0 + {k0A}*(etap + {eta_terms}) AS ue,
+                      {k0A}*(xip + {xi_terms}) AS un
+               FROM u4),
+        a0 AS (SELECT event_id, radians(x) AS lam, radians(y) AS phi,
+                      {e!r} * sin(radians(y)) AS es
+               FROM {event_points_australia_sql('ap')}),
+        a1 AS (SELECT event_id,
+                      {a / n_a!r} * sqrt({C_a!r} - {n_a!r} *
+                        ({1.0 - e * e!r} * (sin(phi)/(1.0-es*es)
+                         - {1.0 / (2.0 * e)!r}
+                           * ln((1.0-es)/(1.0+es))))) AS rho2,
+                      {n_a!r} * (lam - radians(132.0)) AS th2
+               FROM a0)
+        SELECT u.event_id,
+               ROUND(u.ue, 1) + 0.0 AS ue,
+               ROUND(u.un, 1) + 0.0 AS un,
+               ROUND(b.rho2 * sin(b.th2), 1) + 0.0 AS ae,
+               ROUND({rho0_a!r} - b.rho2 * cos(b.th2), 1) + 0.0 AS an
+        FROM u5 u JOIN a1 b USING (event_id)
+    """
+
+
 def proj_swiss_grid(sf_dir: str):
     """Swiss national grid CH1903+/LV95 (EPSG:2056, method 9814 — the
     Gaussian double projection: Bessel ellipsoid -> conformal sphere
@@ -4458,6 +4582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proj_geodesic_dist": proj_geodesic_dist,
         "proj_wgs84_chain": proj_wgs84_chain,
         "proj_national_grids": proj_national_grids,
+        "proj_nad83_albers": proj_nad83_albers,
         "proj_polar_laea": proj_polar_laea,
         "proj_swiss_grid": proj_swiss_grid,
         # projections / raster / multimodal
@@ -6048,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
         # hyperbolics expanded via exp — an independent SQL twin of
         # simplefeatures_ray/ellipsoid.py
         "proj_national_grids": _proj_national_oracle_sql(),
+        "proj_nad83_albers": _proj_nad83_oracle_sql(),
         "proj_polar_laea": _proj_polar_laea_oracle_sql(),
         "proj_swiss_grid": _proj_swiss_oracle_sql(),
         "geom_relate_classes": _geom_relate_classes_oracle_sql(),

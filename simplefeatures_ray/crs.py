@@ -17,6 +17,8 @@ Registered codes:
               Krueger series, true EPSG semantics (ellipsoid.py)
   EPSG:327zz  UTM zone zz south — ellipsoidal
   EPSG:258zz  ETRS89 / UTM zone zz north (zz = 28..38)
+  EPSG:269zz  NAD83 / UTM zone zz north (zz = 01..23, GRS80)
+  EPSG:3577   GDA94 / Australian Albers (ellipsoidal equal-area, GRS80)
   EPSG:2154   RGF93 / Lambert-93 (ellipsoidal LCC 2SP, GRS80)
   EPSG:5070   NAD83 / Conus Albers (ellipsoidal equal-area, GRS80)
   EPSG:27700  OSGB36 / British National Grid (TM, Airy 1830 — grid
@@ -85,6 +87,7 @@ class _EquirectangularMeters:
 
 _UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
 _ETRS_UTM_RE = re.compile(r"^EPSG:258(\d\d)$")
+_NAD83_UTM_RE = re.compile(r"^EPSG:269(\d\d)$")
 _SPHERE_UTM_RE = re.compile(r"^SPHERE:UTM:(\d\d?)(S?)$")
 
 
@@ -154,6 +157,11 @@ def _national_grids():
             lon0=-96.0, lat0=23.0, sp1=29.5, sp2=45.5,
             false_easting=0.0, false_northing=0.0,
             a=GRS80_A, f=GRS80_F),
+        # Australia: GDA94 / Australian Albers (EPSG method 9822)
+        "EPSG:3577": lambda: AlbersEqualAreaEllipsoidal(
+            lon0=132.0, lat0=0.0, sp1=-18.0, sp2=-36.0,
+            false_easting=0.0, false_northing=0.0,
+            a=GRS80_A, f=GRS80_F),
         # Great Britain: OSGB36 / British National Grid (EPSG 9807)
         "EPSG:27700": lambda: _tm_with_lat0(
             lon0=-2.0, lat0=49.0, k0=0.9996012717,
@@ -214,6 +222,19 @@ def crs_for(code: str):
         from .ellipsoid import UTMEllipsoidal
 
         return UTMEllipsoidal(zone, south=False)
+    m = _NAD83_UTM_RE.match(code)
+    if m:
+        # NAD83 / UTM zone zz north (EPSG:26901..26923, GRS80; NAD83
+        # treated WGS84-coincident, the same convention as ETRS89 above)
+        zone = int(m.group(1))
+        if not 1 <= zone <= 23:
+            raise KeyError(f"bad NAD83 UTM zone in {code}")
+        from .ellipsoid import GRS80_A, GRS80_F, TransverseMercatorEllipsoidal
+
+        return TransverseMercatorEllipsoidal(
+            lon0_deg=-183.0 + 6.0 * zone, k0=0.9996,
+            false_easting=500000.0, false_northing=0.0,
+            a=GRS80_A, f=GRS80_F)
     m = _SPHERE_UTM_RE.match(code)
     if m:
         zone = int(m.group(1))

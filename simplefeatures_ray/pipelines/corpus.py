@@ -494,3 +494,42 @@ def relate_pairs_values_sql(rows) -> str:
     vals = ", ".join(f"({p},{s},{i},{x},{y})" for p, s, i, x, y in rows)
     return (f"(SELECT * FROM (VALUES {vals}) "
             f"AS t(pair_id, side, idx, x, y))")
+
+
+def events_xy_nad83(event_id: np.ndarray):
+    """Deterministic millidegree lattice inside UTM zone 15N's NAD83
+    domain (lon -99..-87.5, lat 26..48) — exact doubles on both engines
+    (integer/1000)."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 11500).astype(np.float64) / 1000.0 - 99.0
+    y = (e * 104729 % 22000).astype(np.float64) / 1000.0 + 26.0
+    return x, y
+
+
+def event_points_nad83_sql(alias: str = "pts") -> str:
+    """SQL twin of events_xy_nad83."""
+    return (
+        f"(SELECT event_id, "
+        f"CAST(event_id * 7919 % 11500 AS DOUBLE)/1000.0 - 99.0 AS x, "
+        f"CAST(event_id * 104729 % 22000 AS DOUBLE)/1000.0 + 26.0 AS y "
+        f"FROM events) {alias}"
+    )
+
+
+def events_xy_australia(event_id: np.ndarray):
+    """Deterministic millidegree lattice over Australia (lon 113..153,
+    lat -43..-11) for the GDA94 Albers gate."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 40000).astype(np.float64) / 1000.0 + 113.0
+    y = (e * 104729 % 32000).astype(np.float64) / 1000.0 - 43.0
+    return x, y
+
+
+def event_points_australia_sql(alias: str = "pts") -> str:
+    """SQL twin of events_xy_australia."""
+    return (
+        f"(SELECT event_id, "
+        f"CAST(event_id * 7919 % 40000 AS DOUBLE)/1000.0 + 113.0 AS x, "
+        f"CAST(event_id * 104729 % 32000 AS DOUBLE)/1000.0 - 43.0 AS y "
+        f"FROM events) {alias}"
+    )

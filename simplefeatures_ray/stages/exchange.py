@@ -28,7 +28,9 @@ probes — see relational.bucketed_join's right_schema docstring), so
 chained co-partitions stop paying the double-execution tax. The
 trade-off vs the lazy groupby path is lineage: reduce outputs are plain
 objects, so lost blocks are not reconstructable — acceptable for a
-bounded two-wave exchange whose inputs the driver still holds refs to.
+bounded two-wave exchange whose inputs the driver still holds refs to,
+and closable with resilient=True (ExchangeHandle pins the split shards
+and relaunches lost reduce outputs on demand).
 """
 from __future__ import annotations
 
@@ -95,10 +97,58 @@ def _reduce_part(fn, empty, empty_out, drop_cols, *shards):
     return fn(t) if fn is not None else t
 
 
+class ExchangeHandle:
+    """Recovery handle for a resilient hash_exchange (VERDICT r4 #6).
+
+    Holds the split-shard refs plus the reduce recipe so a lost reduce
+    output can be RE-LAUNCHED from the still-held shards instead of
+    failing the job. dataset(recover=True) probes each reduce output
+    with a trivial remote task (no driver fetch) and relaunches the
+    partitions whose objects are gone.
+
+    Cost of resilience: the handle PINS the split shards (≈ input
+    bytes) in the object store until it is dropped — drop it once the
+    downstream consumer has produced its own durable output. Recovery
+    is one level deep: if a split shard is lost too, Ray's own lineage
+    reconstruction must recover it (its task args are the upstream
+    block refs)."""
+
+    def __init__(self, splits, fn_ref, empty, empty_out, drop, n_parts):
+        self.splits = splits
+        self.fn_ref = fn_ref
+        self.empty = empty
+        self.empty_out = empty_out
+        self.drop = drop
+        self.n_parts = n_parts
+        self.outs = [self._launch(p) for p in range(n_parts)]
+
+    def _launch(self, p):
+        import ray
+
+        reduce_task = ray.remote(_reduce_part)
+        return reduce_task.remote(self.fn_ref, self.empty, self.empty_out,
+                                  self.drop, *[s[p] for s in self.splits])
+
+    def dataset(self, recover: bool = True):
+        import ray
+        import ray.data as rd
+
+        if recover:
+            probe = ray.remote(lambda t: True)
+            pending = [(p, probe.remote(r)) for p, r in enumerate(self.outs)]
+            for p, pr in pending:
+                try:
+                    ray.get(pr)
+                except Exception:
+                    self.outs[p] = self._launch(p)
+        return rd.from_arrow_refs(list(self.outs))
+
+
 def hash_exchange(ds, n_parts: int, fn=None, part_col: str = "__bucket",
                   empty: pa.Table | None = None,
                   empty_out: pa.Table | None = None,
-                  drop_part_col: bool = False):
+                  drop_part_col: bool = False,
+                  resilient: bool = False):
     """Co-partition `ds` on its precomputed int column `part_col` ∈
     [0, n_parts) and run `fn` (an Arrow-table kernel) once per partition
     with that partition's COMPLETE rows. Returns a Dataset of the kernel
@@ -115,6 +165,9 @@ def hash_exchange(ds, n_parts: int, fn=None, part_col: str = "__bucket",
     `drop_part_col`: strip `part_col` before calling `fn`. Default False
     for drop-in parity with groupby().map_groups, which keeps the key
     column in the group table.
+    `resilient`: return an ExchangeHandle instead of a Dataset — the
+    handle pins the split shards and can relaunch lost reduce outputs
+    (handle.dataset(recover=True)); see ExchangeHandle.
     """
     import ray
     import ray.data as rd
@@ -142,6 +195,9 @@ def hash_exchange(ds, n_parts: int, fn=None, part_col: str = "__bucket",
             merged.append([concat_task.remote(*[s[p] for s in run])
                            for p in range(n_parts)])
         splits = merged
+    if resilient:
+        return ExchangeHandle(splits, fn_ref, empty, empty_out, drop,
+                              n_parts)
     outs = [reduce_task.remote(fn_ref, empty, empty_out, drop,
                                *[s[p] for s in splits])
             for p in range(n_parts)]

@@ -152,3 +152,41 @@ def test_transform_crs_stage(ray_session):
     ex, ey = transformer("EPSG:4326", "EPSG:3857")(lon, lat)
     assert np.allclose(np.sort(out["x"].to_numpy()), np.sort(ex))
     assert np.allclose(np.sort(out["y"].to_numpy()), np.sort(ey))
+
+
+def test_nad83_utm_and_australian_albers():
+    """EPSG:269zz (NAD83 UTM, GRS80) + EPSG:3577 (GDA94 Australian
+    Albers): natural-origin identities, inverse roundtrip, and the
+    GRS80-vs-WGS84 relationship (same a, flattening differs only in
+    the 9th decimal -> coordinates agree to sub-mm but the objects are
+    genuinely distinct registrations)."""
+    import numpy as np
+
+    from simplefeatures_ray.crs import crs_for, transformer
+
+    utm = crs_for("EPSG:26915")
+    x, y = utm.forward(np.array([-93.0]), np.array([0.0]))
+    assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0]) < 1e-6
+    lon, lat = utm.reverse(*utm.forward(np.array([-95.3]), np.array([38.6])))
+    assert abs(lon[0] + 95.3) < 1e-9 and abs(lat[0] - 38.6) < 1e-9
+    w84 = crs_for("EPSG:32615")
+    xw, yw = w84.forward(np.array([-95.3]), np.array([38.6]))
+    xn, yn = utm.forward(np.array([-95.3]), np.array([38.6]))
+    assert abs(xw[0] - xn[0]) < 5e-3 and abs(yw[0] - yn[0]) < 5e-3
+
+    alb = crs_for("EPSG:3577")
+    x, y = alb.forward(np.array([132.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    lon, lat = alb.reverse(*alb.forward(np.array([147.25]), np.array([-32.5])))
+    assert abs(lon[0] - 147.25) < 1e-9 and abs(lat[0] + 32.5) < 1e-9
+    # southern-hemisphere point projects south of the origin plane
+    _, ys = alb.forward(np.array([147.0]), np.array([-25.0]))
+    assert ys[0] < -2_000_000
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        crs_for("EPSG:26930")  # zone out of the NAD83 range
+    fn = transformer("EPSG:26915", "EPSG:4326")
+    lon, lat = fn(np.array([500000.0]), np.array([0.0]))
+    assert abs(lon[0] + 93.0) < 1e-9 and abs(lat[0]) < 1e-9

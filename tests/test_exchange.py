@@ -131,3 +131,50 @@ def test_zero_input_blocks(ray_session):
 
     out = hash_exchange(ds, 3, f, empty=t.slice(0, 0)).to_pandas()
     assert list(out["n"]) == [0, 0, 0]
+
+
+def test_resilient_exchange_recovers_lost_reduce(ray_session):
+    """VERDICT r4 #6: kill a reduce output object; the ExchangeHandle
+    relaunches it from the still-held split shards and the co-partition
+    result is unchanged."""
+    import ray
+    import ray.data as rd
+
+    from simplefeatures_ray.stages.exchange import hash_exchange
+
+    n = 5000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64) % 37),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+        "__bucket": pa.array((np.arange(n, dtype=np.int64) * 2654435761)
+                             % 8),
+    })
+
+    def per_part(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().groupby("k", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = rd.from_arrow(t).repartition(6)
+    handle = hash_exchange(ds, 8, per_part, empty=t.slice(0, 0),
+                           resilient=True)
+    ref_df = (handle.dataset().to_pandas()
+              .sort_values(["k", "v"]).reset_index(drop=True))
+
+    # simulate loss of two reduce outputs
+    ray.get(handle.outs[1])  # ensure materialized before freeing
+    ray.get(handle.outs[4])
+    from ray._private.internal_api import free
+
+    free([handle.outs[1], handle.outs[4]])
+    import time
+
+    time.sleep(0.5)
+    got = (handle.dataset(recover=True).to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    assert got.equals(ref_df)
+    # brute-force expected
+    exp = (t.to_pandas().groupby("k", as_index=False)["v"].sum()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    g2 = (got.groupby("k", as_index=False)["v"].sum()
+          .sort_values(["k", "v"]).reset_index(drop=True))
+    assert g2.equals(exp)
