@@ -86,20 +86,76 @@ def editdist1_pairs(ds, id_col: str, str_col: str, n_parts: int = 64):
     parted = exploded.map_batches(add_part, batch_format="pyarrow")
 
     def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
-        ia, ib = [], []
-        for _, sub in df.groupby("key", sort=False):
-            if len(sub) < 2:
-                continue
-            sub = sub.drop_duplicates("rid").sort_values("rid")
-            rids = sub["rid"].to_numpy()
-            nms = sub["name"].to_numpy(dtype=object)
-            for i in range(len(rids)):
-                for j in range(i + 1, len(rids)):
-                    if _lev_le1(nms[i], nms[j]):
-                        ia.append(rids[i])
-                        ib.append(rids[j])
-        return pd.DataFrame({"id_a": np.asarray(ia, dtype=np.int64),
-                             "id_b": np.asarray(ib, dtype=np.int64)})
+        """Vectorized within-partition pairing + verify (VERDICT r4 #8;
+        no nested Python pair loop, so a pathological hot name degrades
+        to array ops, not quadratic interpreter time).
+
+        Verify structure: a pair can collide on an IDENTITY key (equal
+        strings, dist 0) or identity-vs-deletion (one-char insertion,
+        dist exactly 1) — both accept WITHOUT any check (a key is an
+        identity iff len(key) == len(name)). Only deletion-deletion
+        collisions (necessarily equal-length strings) can be false
+        positives ('ab'/'ba' share keys 'a','b'), and equal-length
+        lev<=1 == hamming<=1, which vectorizes as one flat byte
+        compare + reduceat. Multi-byte UTF-8 rows (char-hamming !=
+        byte-hamming) take the per-pair reference check."""
+        if not len(df):
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        df = (df.drop_duplicates(["key", "rid"])
+                .sort_values(["key", "rid"], kind="mergesort"))
+        keys = df["key"].to_numpy(dtype=object)
+        rids = df["rid"].to_numpy(dtype=np.int64)
+        names = df["name"].tolist()
+        n = len(df)
+        new_grp = np.concatenate([[True], keys[1:] != keys[:-1]])
+        grp_start_pos = np.nonzero(new_grp)[0]
+        sizes = np.diff(np.concatenate([grp_start_pos, [n]]))
+        start = np.repeat(grp_start_pos, sizes)
+        rank = np.arange(n) - start              # within-group rank
+        # pair expansion: position p (rank r) pairs with the r group
+        # members before it -> i < j in rid order automatically
+        cnt = rank
+        total = int(cnt.sum())
+        if not total:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        j_idx = np.repeat(np.arange(n), cnt)
+        firsts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        off = np.arange(total) - np.repeat(firsts, cnt)
+        i_idx = np.repeat(start, cnt) + off
+
+        from . import _bytetext as bt
+
+        b = bt.BatchText(pa.array(names, pa.string()))
+        buf, offs = b.buf, b.offsets
+        name_len = np.diff(offs)
+        key_len = np.fromiter((len(k) for k in keys), dtype=np.int64,
+                              count=n)
+        is_ident = key_len == name_len  # byte-vs-char len only differs
+        # for non-ASCII, which routes to the reference check below
+        nonascii = np.zeros(n, dtype=bool)
+        nonascii[b.nonascii_rows] = True
+        pair_na = nonascii[i_idx] | nonascii[j_idx]
+        auto = (is_ident[i_idx] | is_ident[j_idx]) & ~pair_na
+        need = ~auto & ~pair_na                  # ASCII del-del pairs
+        accept = auto.copy()
+        if need.any():
+            vi, vj = i_idx[need], j_idx[need]
+            L = name_len[vi]                     # == name_len[vj]
+            sa = np.repeat(offs[vi], L)
+            sb = np.repeat(offs[vj], L)
+            csum = np.cumsum(L)
+            pos = np.arange(int(csum[-1])) - np.repeat(
+                np.concatenate([[0], csum[:-1]]), L)
+            neq = buf[sa + pos] != buf[sb + pos]
+            mism = np.add.reduceat(neq, np.concatenate([[0], csum[:-1]]))
+            accept[np.nonzero(need)[0]] = mism <= 1
+        if pair_na.any():
+            for p in np.nonzero(pair_na)[0]:
+                accept[p] = _lev_le1(names[i_idx[p]], names[j_idx[p]])
+        return pd.DataFrame({"id_a": rids[i_idx[accept]],
+                             "id_b": rids[j_idx[accept]]})
 
     from ._pdarrow import arrow_groups
 

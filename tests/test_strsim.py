@@ -59,3 +59,26 @@ def test_editdist1_pairs_exact_vs_brute(ray_session):
     want = {(i, j) for i, j in itertools.combinations(ids, 2)
             if _lev(names[i], names[j]) <= 1}
     assert got_set == want and len(want) > 10
+
+
+def test_editdist1_unicode_names(ray_session):
+    """Multi-byte UTF-8 names (char-hamming != byte-hamming) must still
+    verify exactly via the reference path; ASCII majority stays on the
+    vectorized verify."""
+    import itertools
+
+    import ray.data as rd
+
+    from simplefeatures_ray.functions.strsim import _lev_le1, editdist1_pairs
+
+    names = ["café", "cafe", "cafés", "caffé", "cafz", "münchen",
+             "munchen", "münchén", "ab", "ba", "aé", "éa", "a", "",
+             "resume", "résumé", "résume", "resumé"]
+    t = pa.table({"cid": pa.array(np.arange(len(names), dtype=np.int64)),
+                  "name": pa.array(names, pa.string())})
+    got = (editdist1_pairs(rd.from_arrow(t).repartition(3), "cid", "name",
+                           n_parts=8).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    exp = [(i, j) for i, j in itertools.combinations(range(len(names)), 2)
+           if _lev_le1(names[i], names[j])]
+    assert list(map(tuple, got.to_numpy())) == exp
