@@ -46,9 +46,13 @@ def apo_mask(b: np.ndarray) -> np.ndarray:
     return b == 39
 
 
+_LOW_TBL = np.arange(256, dtype=np.uint8)
+_LOW_TBL[65:91] += 32
+
+
 def lower_bytes(b: np.ndarray) -> np.ndarray:
-    up = (b >= 65) & (b <= 90)
-    return np.where(up, b + np.uint8(32), b)
+    # one table gather (the 2-compare + where formulation was 4 passes)
+    return _LOW_TBL[b]
 
 
 _MUL = np.uint64(0x0101010101010101)
@@ -248,6 +252,7 @@ class BatchText(SeqRuns):
         self._nonascii = None
         self._buf1 = None
         self._buf8 = None
+        self._low8 = None
 
     @property
     def buf8(self) -> np.ndarray:
@@ -258,6 +263,17 @@ class BatchText(SeqRuns):
             self._buf8 = np.concatenate(
                 [self.buf, np.zeros(8, dtype=np.uint8)])
         return self._buf8
+
+    @property
+    def low8(self) -> np.ndarray:
+        """Table-lowercased buf8, built once per batch: word_keys
+        gathers pre-lowered words from it (replacing a 9-op SWAR
+        lowercase over every gathered word per call), and
+        normalize_ws_lower's lower=True path reuses it (round-5 DRAM
+        cut)."""
+        if self._low8 is None:
+            self._low8 = _LOW_TBL[self.buf8]
+        return self._low8
 
     @property
     def buf1(self) -> np.ndarray:
@@ -282,7 +298,7 @@ class BatchText(SeqRuns):
 
 
 def absorption_savings(eng: SeqRuns, letter: np.ndarray, lower: np.ndarray,
-                       apo: np.ndarray) -> np.ndarray:
+                       apo: np.ndarray, letter_runs=None) -> np.ndarray:
     """Per-row token-count savings of the BPE-ish rule's apostrophe
     absorption — ``[A-Za-z]+(?:'[a-z]+)?`` — relative to the naive
     decomposition (letter-run starts + digit-run starts + other chars).
@@ -300,7 +316,8 @@ def absorption_savings(eng: SeqRuns, letter: np.ndarray, lower: np.ndarray,
     (F(i) = H(i) & ~F(i-1) has closed form: distance to the last
     non-link position is odd)."""
     n_seg_savings = np.zeros(eng.n, dtype=np.int64)
-    starts, lengths, rows = eng.runs(letter)
+    starts, lengths, rows = (letter_runs if letter_runs is not None
+                             else eng.runs(letter))
     ns = len(starts)
     if not ns:
         return n_seg_savings
@@ -361,30 +378,24 @@ def word_keys(bt: BatchText, starts: np.ndarray, lengths: np.ndarray) -> np.ndar
     Keys of words longer than 8 bytes include byte 7, so they cannot
     collide with any <= 8-byte stopword key.
 
-    ONE unaligned little-endian uint64 gather per word (an overlapping
-    byte-strided view of the padded buffer) + SWAR lowercase + a length
-    mask — replaces eight scattered byte gathers with seven vector ops
-    each. Bytes >= 0x80 produce garbage keys; the non-ASCII rows those
-    belong to are recomputed by the per-row reference paths anyway."""
+    ONE unaligned little-endian uint64 gather per word from the
+    PRE-LOWERED padded buffer (bt.low8, one table pass per batch) + a
+    length mask — the per-call SWAR lowercase over every gathered word
+    is gone (round-5 DRAM cut). Bytes >= 0x80 produce garbage keys; the
+    non-ASCII rows those belong to are recomputed by the per-row
+    reference paths anyway."""
     if not len(starts):
         return np.zeros(0, dtype=np.uint64)
-    padded = bt.buf8
+    padded = bt.low8
     try:
         view = np.ndarray(shape=(len(padded) - 7,), dtype=np.uint64,
                           buffer=padded.data, strides=(1,))
-        raw = view[starts]
+        lowered = view[starts]
     except (ValueError, TypeError):
         # platform without unaligned views: byte-gather fallback
-        raw = np.zeros(len(starts), dtype=np.uint64)
+        lowered = np.zeros(len(starts), dtype=np.uint64)
         for j in range(8):
-            raw |= padded[starts + j].astype(np.uint64) << np.uint64(8 * j)
-    ones = np.uint64(0x0101010101010101)
-    ascii7 = raw & np.uint64(0x7F7F7F7F7F7F7F7F)
-    with np.errstate(over="ignore"):
-        ge_a = (ascii7 + np.uint64(0x3F) * ones) & (np.uint64(0x80) * ones)
-        le_z = (np.uint64(0xDA) * ones - ascii7) & (np.uint64(0x80) * ones)
-    upper = ge_a & le_z & ~(raw & (np.uint64(0x80) * ones))
-    lowered = raw | (upper >> np.uint64(2))
+            lowered |= padded[starts + j].astype(np.uint64) << np.uint64(8 * j)
     return lowered & _LEN_MASKS[np.minimum(lengths, 8)]
 
 
@@ -395,17 +406,19 @@ def stop_hits(bt: BatchText, mask: np.ndarray, stop_sets,
     lowercase words (non-ASCII words dropped — unreachable in ASCII
     rows). Returns (scores [S, n], n_words_per_row)."""
     starts, lengths, row_ids = bt.runs(mask)
-    keys = word_keys(bt, starts, lengths)
     n_words = np.bincount(row_ids, minlength=bt.n).astype(np.int64)
     row_sel = row_ids
     if max_words is not None and len(starts) and n_words.max() > max_words:
         # rank of each run within its row (row_ids ascending): linear
-        # first-index repeat instead of an n*log(n) self-searchsorted
+        # first-index repeat instead of an n*log(n) self-searchsorted.
+        # Truncation happens BEFORE the key gather so dropped words
+        # never touch the buffer.
         firsts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
         rank = np.arange(len(starts)) - np.repeat(firsts, n_words)
         sel = rank < max_words
-        keys = keys[sel]
+        starts, lengths = starts[sel], lengths[sel]
         row_sel = row_ids[sel]
+    keys = word_keys(bt, starts, lengths)
     out = np.zeros((len(stop_sets), bt.n), dtype=np.int64)
     if len(stop_sets) > 64:
         raise ValueError("stop_hits supports at most 64 sets")
@@ -424,10 +437,47 @@ def stop_hits(bt: BatchText, mask: np.ndarray, stop_sets,
         pos = np.searchsorted(uniq, keys)
         pos_c = np.minimum(pos, len(uniq) - 1)
         kb = np.where(uniq[pos_c] == keys, bits[pos_c], np.uint64(0))
+        # compress to hit keys before the per-set loop: the loop's
+        # shift/compare/bincount passes then run over |hits| elements
+        # (typically a small fraction of all words) instead of |words|
+        # per set
+        hidx = np.nonzero(kb)[0]
+        kbh = kb[hidx]
+        rowh = row_sel[hidx]
         for si in range(len(stop_sets)):
-            hit = (kb >> np.uint64(si)) & np.uint64(1) != 0
-            out[si] = np.bincount(row_sel[hit], minlength=bt.n)
+            hit = (kbh >> np.uint64(si)) & np.uint64(1) != 0
+            out[si] = np.bincount(rowh[hit], minlength=bt.n)
     return out, n_words
+
+
+def kept_ws_start_mask(eng: SeqRuns, w: np.ndarray) -> np.ndarray:
+    """Start mask of the whitespace runs that SURVIVE (as one space) in
+    the ``' '.join(t.split())`` normalization: every maximal ws run
+    except a row's LEADING run (it starts at the row offset — maximal
+    runs split at row boundaries, so a leading run starts there exactly)
+    and its TRAILING run (it covers the row's last position; that run's
+    start is the largest run start <= the position, since runs never
+    cross rows). O(positions) for the start mask + O(rows log runs) for
+    the two exclusions — the previous per-run formulation materialized
+    six |runs|-element arrays (row ids via repeat, next-start shifts,
+    boundary compares) per call, the word paths' largest remaining DRAM
+    cost (VERDICT r4 #10)."""
+    sm = eng._start_mask(w)
+    offs = eng.offsets
+    row_starts = offs[:-1]
+    row_ends = offs[1:] - 1
+    nonempty = row_ends >= row_starts
+    lead = row_starts[nonempty]
+    lead = lead[w[lead]]
+    tpos = row_ends[nonempty]
+    tpos = tpos[w[tpos]]
+    if len(tpos):
+        ws_starts = np.nonzero(sm)[0]
+        ti = np.searchsorted(ws_starts, tpos, side="right") - 1
+        sm[ws_starts[ti]] = False
+    if len(lead):
+        sm[lead] = False
+    return sm
 
 
 def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None,
@@ -443,34 +493,9 @@ def normalize_ws_lower(bt: BatchText, ws: np.ndarray | None = None,
     w = ws_mask(buf) if ws is None else ws
     if len(w) > len(buf):
         w = w[: len(buf)]  # zero-copy trim of a buf1-padded mask
-    nonws = ~w
-    # a ws run survives (as one space) iff it is neither the row's
-    # LEADING run (starts at the row offset — maximal runs are split at
-    # row boundaries, so a leading run starts there exactly) nor its
-    # TRAILING run (the row's last byte is ws and this is the row's last
-    # ws-run start). O(runs) — the previous first/last-non-ws approach
-    # materialized a nonzero(nonws) index array (~6.4 B per buffer byte
-    # of DRAM traffic) just to derive the same two exclusions.
-    starts_m = bt._start_mask(w)
-    ws_starts = np.nonzero(starts_m)[0]
-    if len(ws_starts):
-        # row ids by per-row start counts + linear repeat (same idiom as
-        # runs(); a searchsorted here costs runs x log(rows) gathers)
-        srow = np.repeat(np.arange(bt.n, dtype=np.int64),
-                         bt.count(starts_m))
-        if len(srow) != len(ws_starts):  # safety net (unexpected shape)
-            srow = np.searchsorted(offsets, ws_starts, side="right") - 1
-        leading = ws_starts == offsets[srow]
-        nxt = np.concatenate([ws_starts[1:],
-                              np.array([np.iinfo(np.int64).max])])
-        row_end = offsets[srow + 1]
-        trailing = (nxt >= row_end) & w[row_end - 1]
-        kept_ws = ws_starts[~leading & ~trailing]
-    else:
-        kept_ws = ws_starts
-    keep = nonws.copy()
-    keep[kept_ws] = True
-    out = lower_bytes(buf) if lower else buf.copy()
+    keep = np.logical_not(w)
+    np.logical_or(keep, kept_ws_start_mask(bt, w), out=keep)
+    out = bt.low8[: len(buf)].copy() if lower else buf.copy()
     out[w] = 32
     out = out[keep]
     rowcounts = bt.count(keep)

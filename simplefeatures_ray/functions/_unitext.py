@@ -31,6 +31,7 @@ import re
 
 import numpy as np
 
+from . import _bytetext as _bt
 from ._bytetext import SeqRuns
 
 _MAX_CP = 0x110000
@@ -408,23 +409,8 @@ def normalize_cp(cpt: CPText, lowered: np.ndarray | None = None):
         lowered = cpt.lowered()
     w = class_table("space")[cpt.cp]
     # same survive-one-space rule as _bytetext.normalize_ws_lower
-    starts_m = cpt._start_mask(w)
-    ws_starts = np.nonzero(starts_m)[0]
-    if len(ws_starts):
-        srow = np.repeat(np.arange(cpt.n, dtype=np.int64),
-                         cpt.count(starts_m))
-        if len(srow) != len(ws_starts):
-            srow = np.searchsorted(cpt.offsets, ws_starts, side="right") - 1
-        leading = ws_starts == cpt.offsets[srow]
-        nxt = np.concatenate([ws_starts[1:],
-                              np.array([np.iinfo(np.int64).max])])
-        row_end = cpt.offsets[srow + 1]
-        trailing = (nxt >= row_end) & w[row_end - 1]
-        kept_ws = ws_starts[~leading & ~trailing]
-    else:
-        kept_ws = ws_starts
-    keep = ~w
-    keep[kept_ws] = True
+    keep = np.logical_not(w)
+    np.logical_or(keep, _bt.kept_ws_start_mask(cpt, w), out=keep)
     vals = lowered.copy()
     vals[w] = 0x20
     vals = vals[keep]

@@ -50,10 +50,30 @@ class SharedMasks:
     def __init__(self, b):
         self.b = b
         self._m = {}
+        self._runs = {}
         self._cpt = False
         self._cpm = {}
+        self._cpruns = {}
         self._cplow = None
         self._special = None
+
+    def runs(self, name: str):
+        """Cached (starts, lengths, row_ids) of the named mask's maximal
+        runs — kernels sharing a class (e.g. TokenCount's letter-run
+        count and absorption_savings' letter segments) pay the full
+        runs() pass once per batch (round-5 DRAM cut)."""
+        r = self._runs.get(name)
+        if r is None:
+            r = self.b.runs(self.mask(name))
+            self._runs[name] = r
+        return r
+
+    def cp_runs(self, name: str):
+        r = self._cpruns.get(name)
+        if r is None:
+            r = self.cpt.runs(self.cp_mask(name))
+            self._cpruns[name] = r
+        return r
 
     def mask(self, name: str):
         m = self._m.get(name)
@@ -160,11 +180,13 @@ class TokenCount:
         ws = sh.mask("ws")
         other = ~letter & ~digit & ~ws
         # apostrophe absorption is vectorized (no per-row path): see
-        # _bytetext.absorption_savings for the sequential-regex proof
-        n_tok = (b.run_start_counts(letter) + b.run_start_counts(digit)
-                 + b.count(other)
+        # _bytetext.absorption_savings for the sequential-regex proof.
+        # letter runs come from the shared cache (absorption reuses them)
+        lruns = sh.runs("letter")
+        n_tok = (np.bincount(lruns[2], minlength=b.n).astype(np.int64)
+                 + b.run_start_counts(digit) + b.count(other)
                  - bt.absorption_savings(b, letter, sh.mask("lowletter"),
-                                         sh.mask("apo")))
+                                         sh.mask("apo"), letter_runs=lruns))
         n_ws = b.run_start_counts(~ws)
         cpt = sh.cpt
         if cpt is not None:
@@ -173,11 +195,14 @@ class TokenCount:
             cl = sh.cp_mask("letter")
             cd = sh.cp_mask("digit")
             csp = sh.cp_mask("space")
-            ctok = (cpt.run_start_counts(cl) + cpt.run_start_counts(cd)
+            clruns = sh.cp_runs("letter")
+            ctok = (np.bincount(clruns[2], minlength=cpt.n).astype(np.int64)
+                    + cpt.run_start_counts(cd)
                     + cpt.count(~cl & ~cd & ~csp)
                     - bt.absorption_savings(cpt, cl,
                                             sh.cp_mask("lowletter"),
-                                            sh.cp_mask("apo")))
+                                            sh.cp_mask("apo"),
+                                            letter_runs=clruns))
             n_tok[cpt.rows] = ctok
             n_ws[cpt.rows] = cpt.run_start_counts(~csp)
         return {"n_tokens": pa.array(n_tok), "n_ws_tokens": pa.array(n_ws)}
