@@ -533,3 +533,41 @@ def event_points_australia_sql(alias: str = "pts") -> str:
         f"CAST(event_id * 104729 % 32000 AS DOUBLE)/1000.0 - 43.0 AS y "
         f"FROM events) {alias}"
     )
+
+
+def events_xy_california(event_id: np.ndarray):
+    """Deterministic millidegree lattice inside California SPCS zone 3's
+    domain (lon -122.5..-118.5, lat 35..38.5)."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 4000).astype(np.float64) / 1000.0 - 122.5
+    y = (e * 104729 % 3500).astype(np.float64) / 1000.0 + 35.0
+    return x, y
+
+
+def event_points_california_sql(alias: str = "pts") -> str:
+    """SQL twin of events_xy_california."""
+    return (
+        f"(SELECT event_id, "
+        f"CAST(event_id * 7919 % 4000 AS DOUBLE)/1000.0 - 122.5 AS x, "
+        f"CAST(event_id * 104729 % 3500 AS DOUBLE)/1000.0 + 35.0 AS y "
+        f"FROM events) {alias}"
+    )
+
+
+def events_xy_texas(event_id: np.ndarray):
+    """Deterministic millidegree lattice inside Texas Central's domain
+    (lon -103..-97.5, lat 28..32)."""
+    e = event_id.astype(np.int64)
+    x = (e * 7919 % 5500).astype(np.float64) / 1000.0 - 103.0
+    y = (e * 104729 % 4000).astype(np.float64) / 1000.0 + 28.0
+    return x, y
+
+
+def event_points_texas_sql(alias: str = "pts") -> str:
+    """SQL twin of events_xy_texas."""
+    return (
+        f"(SELECT event_id, "
+        f"CAST(event_id * 7919 % 5500 AS DOUBLE)/1000.0 - 103.0 AS x, "
+        f"CAST(event_id * 104729 % 4000 AS DOUBLE)/1000.0 + 28.0 AS y "
+        f"FROM events) {alias}"
+    )
