@@ -2080,6 +2080,24 @@ def emb_kmeans_clusters(sf_dir: str):
     return assign
 
 
+def emb_semdedup(sf_dir: str):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means (k=8, 3 iters) -> within-cluster cosine
+    sweep -> keep-farthest-from-centroid removal policy. One kmeans +
+    one (cluster, cc) pass + one cluster co-partition exchange; the
+    O(n_c^2) within-cluster sweep is blocked so only the (n_c, dim)
+    cluster matrix is ever resident (see functions/cluster.py semdedup
+    for the 100-TB sizing note). Threshold 0.35 chosen by measurement:
+    min |sim - 0.35| over same-cluster pairs is 3.8e-5 (sf0.001) /
+    8.4e-5 (sf0.01) — ~1e10 x the cross-engine cosine divergence — and
+    the 6-dp cc rounding boundary margin is >= 1.05e-10 on every shipped
+    sf vs ~1e-16 raw divergence (tests/test_semdedup.py pins both)."""
+    from simplefeatures_ray.functions.cluster import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.35, k=8, iters=3)
+
+
 def ann_ivf_topk(sf_dir: str):
     from simplefeatures_ray.functions.ann import ivf_topk
 
@@ -4674,6 +4692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans_clusters": emb_kmeans_clusters,
+        "emb_semdedup": emb_semdedup,
         # spatial
         "spatial_points_in_boxes": spatial_points_in_boxes,
         "spatial_semi_join": spatial_semi_join,
@@ -4744,6 +4763,8 @@ def oracle_sql() -> dict[str, str]:
         hll_sql as _hll_sql,
     )
     from simplefeatures_ray.functions.cluster import kmeans_sql as _kmeans_sql
+    from simplefeatures_ray.functions.cluster import \
+        semdedup_sql as _semdedup_sql
     from simplefeatures_ray.functions.scoring import bigram_lm_sql as _bigram_lm_sql
 
     from simplefeatures_ray.pipelines.corpus import (
@@ -5927,6 +5948,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_kmeans_clusters": _kmeans_sql(
             "embeddings", dim=64, k=8, iters=3),
+        "emb_semdedup": _semdedup_sql(
+            "embeddings", dim=64, k=8, iters=3, threshold=0.35),
         "emb_near_dup_lsh": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(
