@@ -68,8 +68,13 @@ def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     # store once instead of re-reading + re-decoding the parquet on
     # every pass (init + iters + final assign = iters + 2 executions).
     # Bounded by the embedding corpus bytes; Ray spills to disk when it
-    # exceeds the store — still cheaper than N full re-reads.
-    ds = ds.select_columns([id_col, vec_col]).materialize()
+    # exceeds the store — still cheaper than N full re-reads. Skip the
+    # copy when the caller (semdedup) already pinned the projection.
+    from ray.data.dataset import MaterializedDataset
+
+    if not (isinstance(ds, MaterializedDataset)
+            and set(ds.schema().names) == {id_col, vec_col}):
+        ds = ds.select_columns([id_col, vec_col]).materialize()
 
     init = collect_table(topk(ds, id_col, k, descending=False))
     order = np.argsort(np.asarray(init[id_col]), kind="stable")
