@@ -893,6 +893,23 @@ def docs_exact_ngram_pairs(sf_dir: str):
     return exact_ngram_dup_pairs(ds, ngram=8, min_shared=2, max_df=16)
 
 
+def docs_substring_removal(sf_dir: str):
+    """Exact duplicated-substring REMOVAL (Lee et al. 2022 ExactSubstr,
+    the removal step the pair gate above only detects): every token span
+    covered by an 8-token window occurring >= 2 times corpus-wide
+    (multiplicity — within-doc repeats dedup too) is cut; output is the
+    kept tokens re-joined plus exact counts. Three bounded exchanges
+    (gram co-partition count -> per-doc position lists -> left-outer cut
+    folded into the doc co-partition); text never replicates, nothing
+    broadcasts, nothing collects (functions/dedup.exact_substring_removal).
+    Full SQL twin: window/count/cut replayed relationally in DuckDB."""
+    from simplefeatures_ray.functions.dedup import exact_substring_removal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_substring_removal(ds, window=8, n_parts=64,
+                                   n_doc_buckets=16)
+
+
 def docs_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERING: SimHash pairs (hamming <= 6, complete recall
     via 8x8-bit banding — see docs_simhash_pairs) -> distributed
@@ -4691,6 +4708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_filtered": docs_dedup_filtered,
         "docs_cc_pipeline": docs_cc_pipeline,
         "docs_exact_ngram_pairs": docs_exact_ngram_pairs,
+        "docs_substring_removal": docs_substring_removal,
         "docs_contamination": docs_contamination,
         "docs_dsir_select": docs_dsir_select,
         "docs_term_stats": docs_term_stats,
@@ -5094,6 +5112,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g.doc_id
         """,
         "docs_lm_perplexity": _bigram_lm_sql("documents"),
+        "docs_substring_removal": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            win AS (
+              SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS gram
+              FROM toks, unnest(range(1, len(tk) - 8 + 2)) r(i)),
+            dup AS (
+              SELECT doc_id, i FROM (
+                SELECT doc_id, i, COUNT(*) OVER (PARTITION BY gram) AS c
+                FROM win) WHERE c >= 2),
+            rem AS (
+              SELECT DISTINCT doc_id, i + o AS k
+              FROM dup, unnest(range(0, 8)) r(o)),
+            tok AS (
+              SELECT doc_id, k, tk[k] AS tok, len(tk) AS n_tok
+              FROM toks, unnest(range(1, len(tk) + 1)) r(k))
+            SELECT t.doc_id,
+                   MAX(t.n_tok)::BIGINT AS n_tokens,
+                   COUNT(r.k)::BIGINT AS n_removed,
+                   COALESCE(string_agg(CASE WHEN r.k IS NULL THEN t.tok END,
+                                       ' ' ORDER BY t.k), '') AS clean_text
+            FROM tok t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.k = t.k
+            GROUP BY t.doc_id
+        """,
         "docs_exact_ngram_pairs": r"""
             WITH w AS (
               SELECT doc_id,

@@ -734,3 +734,180 @@ def exact_ngram_dup_pairs(ds, *, ngram: int = 8, min_shared: int = 2,
                             pc.cast(t["n_shared"], pa.int64()))
 
     return counts.map_batches(final_filter, batch_format="pyarrow")
+
+
+def exact_substring_removal(ds, *, window: int = 50,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n_parts: int = 256,
+                            n_doc_buckets: int = 32):
+    """EXACT duplicated-substring REMOVAL (Lee et al. 2022 "ExactSubstr"):
+    cut from every document each maximal token span covered by a
+    ``window``-token substring that occurs >= 2 times corpus-wide
+    (counting multiplicity — a phrase repeated within one document
+    dedups too, exactly like the suffix-array formulation).
+
+    Tokenizer contract: literal single-space split (DuckDB
+    ``string_split(text, ' ')`` semantics — empty tokens preserved), so
+    every window gram IS a byte-exact substring of the original text and
+    the cleaned text is the kept tokens re-joined with single spaces.
+    Callers with punctuated text normalize upstream.
+
+    Scale shape (three bounded exchanges, never all-pairs, no driver
+    collect, no broadcast of a vocabulary-scale set):
+      1. docs explode to (doc, pos, gram-hash) rows — one row per token
+         position (the same token-scale explosion as
+         exact_ngram_dup_pairs); gram keys are sha256-derived 64-bit
+         ints hashed once per DISTINCT gram per batch; the gram STRING
+         never shuffles. Rows co-partition on the gram key
+         (stages.exchange.hash_exchange), so the per-partition
+         occurrence count IS the global one; only positions of
+         duplicated windows survive — typically a tiny fraction.
+      2. surviving (doc, pos) int rows co-partition by document into
+         one sorted position-list row per affected document.
+      3. relational.bucketed_join LEFT OUTER folds the cut into the
+         join's own co-partition (bucket_fn): interval union via a
+         +1/-1 delta array over the flattened token stream, kept tokens
+         re-joined with Arrow binary_join — no per-row Python in the
+         cut. Join fan-out is 1:<=1 (position lists pre-aggregated), so
+         document text is never replicated.
+
+    Per-batch gram materialization is window * text bytes (pandas
+    shift-concat, same pattern as exact_ngram_dup_pairs); size
+    batch_size down for window=50 payloads.
+
+    Returns Dataset (id_col, n_tokens, n_removed, clean_text).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_exchange
+    from .relational import bucketed_join
+
+    def window_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        toks = pc.split_pattern(
+            pc.fill_null(t[text_col], ""), pattern=" ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)
+        n_win = np.maximum(n_tok - window + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int32()),
+                "gpart": pa.array([], pa.int32()),
+                "gh": pa.array([], pa.uint64()),
+            })
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), n_win)
+        starts = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_win) - n_win, n_win)  # 0-based window pos in doc
+        vals = pd.Series(flat.values.to_pylist(), dtype=object)
+        first = offs[doc_of] + starts  # flat index of window's first token
+        parts = vals.iloc[first].reset_index(drop=True)
+        for j in range(1, window):
+            parts = parts + " " + vals.iloc[first + j].reset_index(drop=True)
+        codes, uniq = pd.factorize(parts, use_na_sentinel=False)
+        hu = np.fromiter(
+            (int(hashlib.sha256(s.encode()).hexdigest()[:16], 16)
+             for s in uniq), dtype=np.uint64, count=len(uniq))
+        gh = hu[codes]
+        return pa.table({
+            id_col: pa.array(ids[doc_of]),
+            "pos": pa.array(starts.astype(np.int32)),
+            "gpart": pa.array((gh % np.uint64(n_parts)).astype(np.int32)),
+            "gh": pa.array(gh),
+        })
+
+    rows = ds.map_batches(window_rows, batch_format="pyarrow")
+
+    def dup_positions(t: pa.Table) -> pa.Table:
+        gh = np.asarray(t["gh"], dtype=np.uint64)
+        _, inv, cnt = np.unique(gh, return_inverse=True, return_counts=True)
+        keep = cnt[inv] >= 2
+        ids = np.asarray(t[id_col], dtype=np.int64)[keep]
+        return pa.table({
+            id_col: pa.array(ids),
+            "pos": pa.array(np.asarray(t["pos"], dtype=np.int32)[keep]),
+            "dbucket": pa.array(
+                (ids % n_doc_buckets).astype(np.int32)),
+        })
+
+    empty_rows = pa.table({
+        id_col: pa.array([], pa.int64()), "pos": pa.array([], pa.int32()),
+        "gpart": pa.array([], pa.int32()), "gh": pa.array([], pa.uint64())})
+    dup = hash_exchange(rows, n_parts, dup_positions, part_col="gpart",
+                        empty=empty_rows, drop_part_col=True)
+
+    def pos_lists(t: pa.Table) -> pa.Table:
+        # positions pack to little-endian int32 bytes per doc: acero's
+        # hash join (bucketed_join's per-bucket kernel) rejects list
+        # payload columns, binary passes through untouched
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        pos = np.asarray(t["pos"], dtype=np.int32)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        uid, start = np.unique(ids, return_index=True)
+        bounds = np.append(start, len(ids))
+        blobs = [pos[bounds[i]:bounds[i + 1]].astype("<i4").tobytes()
+                 for i in range(len(uid))]
+        return pa.table({id_col: pa.array(uid),
+                         "dup_pos": pa.array(blobs, pa.binary())})
+
+    empty_dup = pa.table({
+        id_col: pa.array([], pa.int64()), "pos": pa.array([], pa.int32()),
+        "dbucket": pa.array([], pa.int32())})
+    lists_ds = hash_exchange(dup, n_doc_buckets, pos_lists,
+                             part_col="dbucket", empty=empty_dup,
+                             drop_part_col=True)
+
+    def cut(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (id_col, pa.int64()), ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()), ("clean_text", pa.string())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern=" ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)
+        total = int(offs[-1])
+        delta = np.zeros(total + 1, dtype=np.int64)
+        dp = t["dup_pos"].combine_chunks()
+        # rows with no duplicated window carry a null blob
+        valid = ~np.asarray(dp.is_null())
+        if valid.any():
+            row_idx = np.nonzero(valid)[0]
+            blobs = dp.take(pa.array(row_idx)).to_pylist()
+            counts = np.fromiter((len(b) // 4 for b in blobs),
+                                 dtype=np.int64, count=len(blobs))
+            pos = (np.frombuffer(b"".join(blobs), dtype="<i4")
+                   .astype(np.int64))
+            doc_of = np.repeat(row_idx, counts)
+            lo = offs[doc_of] + pos
+            np.add.at(delta, lo, 1)
+            np.add.at(delta, lo + window, -1)
+        removed = np.cumsum(delta[:-1]) > 0
+        kept_idx = np.nonzero(~removed)[0]
+        kept_per_doc = np.add.reduceat(
+            (~removed).astype(np.int64), offs[:-1]) if total else n_tok
+        kept_per_doc = np.where(n_tok == 0, 0, kept_per_doc)
+        new_offs = np.append(0, np.cumsum(kept_per_doc)).astype(np.int64)
+        kept_vals = flat.values.take(pa.array(kept_idx))
+        lists = pa.ListArray.from_arrays(pa.array(new_offs), kept_vals)
+        clean = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "n_removed": pa.array((n_tok - kept_per_doc).astype(np.int64)),
+            "clean_text": clean,
+        })
+
+    lists_schema = pa.schema([(id_col, pa.int64()),
+                              ("dup_pos", pa.binary())])
+    return bucketed_join(ds, lists_ds, key=id_col,
+                         join_type="left outer",
+                         n_buckets=n_doc_buckets,
+                         right_schema=lists_schema, bucket_fn=cut)
