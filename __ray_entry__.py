@@ -910,6 +910,46 @@ def docs_substring_removal(sf_dir: str):
                                    n_doc_buckets=16)
 
 
+def lineitem_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP in one corpus pass (functions/agg.rollup_agg):
+    Q1-style pricing totals at every hierarchy level — (returnflag,
+    linestatus), per-returnflag subtotals, grand total — with the ANSI
+    GROUPING bitmask distinguishing rollup-NULLs. The combiner emits all
+    levels' partials per batch, so the corpus is read ONCE and the
+    exchange stays |levels x groups x blocks|, vs L full reads for the
+    naive per-level union."""
+    from simplefeatures_ray.functions.agg import rollup_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    import ray.data as rd
+
+    tbl = rollup_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "n_rows": (None, "count"),
+        "sum_qty": ("l_quantity", "sum"),
+        "min_qty": ("l_quantity", "min"),
+        "max_qty": ("l_quantity", "max"),
+    }, grouping="rollup", combine="driver")
+    return rd.from_arrow(_cents_cols(tbl, ["sum_qty"]))
+
+
+def docs_cube_stats(sf_dir: str):
+    """GROUP BY CUBE over (lang, source): all four grouping sets in one
+    pass — per-dimension marginals and the grand total from the same
+    combiner exchange (functions/agg.rollup_agg, grouping='cube')."""
+    from simplefeatures_ray.functions.agg import rollup_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    import ray.data as rd
+
+    tbl = rollup_agg(ds, ["lang", "source"], {
+        "n_docs": (None, "count"),
+        "sum_chars": ("n_chars", "sum"),
+        "max_chars": ("n_chars", "max"),
+    }, grouping="cube", combine="driver")
+    return rd.from_arrow(tbl)
+
+
 def docs_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERING: SimHash pairs (hamming <= 6, complete recall
     via 8x8-bit banding — see docs_simhash_pairs) -> distributed
@@ -4675,6 +4715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_topk": q3_revenue_topk,
+        "lineitem_rollup_pricing": lineitem_rollup_pricing,
+        "docs_cube_stats": docs_cube_stats,
         "region_customer_stats": region_customer_stats,
         "events_by_type": events_by_type,
         "events_tumbling_1h": events_tumbling_1h,
@@ -4927,6 +4969,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(l_quantity), 6) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "lineitem_rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING(l_returnflag, l_linestatus)::BIGINT AS grouping_id,
+                   COUNT(*)::BIGINT AS n_rows,
+                   CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "docs_cube_stats": """
+            SELECT lang, source,
+                   GROUPING(lang, source)::BIGINT AS grouping_id,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_chars)::BIGINT AS sum_chars,
+                   MAX(n_chars)::BIGINT AS max_chars
+            FROM documents GROUP BY CUBE(lang, source)
         """,
         "q3_revenue_topk": """
             SELECT l.l_orderkey, o.o_orderdate,

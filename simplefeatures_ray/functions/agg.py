@@ -160,6 +160,103 @@ def grouped_agg(ds, keys, spec: dict, combine: str = "driver"):
     return hash_exchange(parted, n_parts, final, part_col="__part")
 
 
+def rollup_agg(ds, keys, spec: dict, grouping: str = "rollup",
+               combine: str = "driver", grouping_col: str = "grouping_id"):
+    """SQL GROUP BY ROLLUP / CUBE in ONE corpus pass.
+
+    Per-batch combiner emits partial rows for EVERY grouping set at once
+    (rolled-up keys as typed NULLs), tagged with the ANSI GROUPING
+    bitmask (leftmost key = most significant bit, 1 = rolled up —
+    DuckDB ``GROUPING(k1, ..., kn)`` semantics, which also keeps a
+    rollup-NULL distinct from a data-NULL key value). One combine merges
+    the partials grouped by (keys..., bitmask): the corpus is read once
+    and the exchange volume is sum over grouping sets of their partial
+    rows — for ROLLUP a ~2x combiner overhead vs plain grouped_agg, for
+    CUBE 2^n x, both independent of row count. The naive alternative
+    (one grouped_agg per level, union) reads the corpus L times.
+
+    grouping: 'rollup' (prefix hierarchy: (k1..kn), (k1..kn-1), ...,
+    grand total) or 'cube' (all 2^n subsets). spec / missing-value
+    semantics are grouped_agg's. combine: 'driver' -> pyarrow Table,
+    'shuffle' -> Dataset (same trade-off as grouped_agg).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    n = len(keys)
+    if grouping == "rollup":
+        included = [keys[:i] for i in range(n, -1, -1)]
+    elif grouping == "cube":
+        from itertools import combinations
+
+        included = [list(c) for r in range(n, -1, -1)
+                    for c in combinations(keys, r)]
+    else:
+        raise ValueError(f"grouping must be rollup|cube, got {grouping!r}")
+    gsets = []
+    for gkeys in included:
+        gid = sum(1 << (n - 1 - i) for i, k in enumerate(keys)
+                  if k not in gkeys)
+        kern, plan = _partial_kernel(gkeys + ["__gid"], spec)
+        gsets.append((gid, gkeys, kern))
+
+    def _null_like(field_type: pa.DataType, index) -> pd.Series:
+        if pa.types.is_integer(field_type):
+            return pd.Series(pd.NA, index=index, dtype="Int64")
+        if pa.types.is_floating(field_type):
+            return pd.Series(np.nan, index=index, dtype="float64")
+        return pd.Series([None] * len(index), index=index, dtype=object)
+
+    def typed_partial(t: pa.Table) -> pa.Table:
+        df = canon_int_keys(t, keys)
+        df["__gid"] = np.int64(0)
+        outs = []
+        for gid, gkeys, kern in gsets:
+            df["__gid"] = np.int64(gid)
+            sub = kern(df)
+            for k in keys:
+                if k not in gkeys:
+                    sub[k] = _null_like(
+                        t.schema.field(t.schema.get_field_index(k)).type,
+                        sub.index)
+            outs.append(sub[[*keys, "__gid",
+                             *[c for c in sub.columns
+                               if c not in keys and c != "__gid"]]])
+        return restore_types(pd.concat(outs, ignore_index=True),
+                             t.schema, only=keys)
+
+    _, plan = _partial_kernel(keys + ["__gid"], spec)
+    gkeys_all = keys + ["__gid"]
+    partial = ds.map_batches(typed_partial, batch_format="pyarrow")
+
+    def _finish(df: pd.DataFrame, in_sch: pa.Schema) -> pa.Table:
+        out = _combine_frame(df, gkeys_all, spec, plan)
+        out = out.rename(columns={"__gid": grouping_col})
+        out[grouping_col] = out[grouping_col].astype(np.int64)
+        return restore_types(out, in_sch, only=keys)
+
+    if combine == "driver":
+        from .relational import collect_table
+
+        tbl = collect_table(partial)
+        return _finish(canon_int_keys(tbl, gkeys_all), tbl.schema)
+
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        df = canon_int_keys(t, gkeys_all)
+        h = pd.util.hash_pandas_object(df[gkeys_all], index=False).to_numpy()
+        df["__part"] = (h % n_parts).astype(np.int32)
+        return restore_types(df, t.schema, only=keys)
+
+    def final(t: pa.Table) -> pa.Table:
+        return _finish(canon_int_keys(t, gkeys_all).drop(columns="__part"),
+                       t.schema)
+
+    parted = partial.map_batches(add_part, batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    return hash_exchange(parted, n_parts, final, part_col="__part")
+
+
 def exact_quantiles(ds, col: str, qs, group_keys=None):
     """EXACT distributed quantiles of an integer-valued (or low-
     cardinality) column: per-batch value histograms combine through one
