@@ -176,9 +176,12 @@ def rollup_agg(ds, keys, spec: dict, grouping: str = "rollup",
     (one grouped_agg per level, union) reads the corpus L times.
 
     grouping: 'rollup' (prefix hierarchy: (k1..kn), (k1..kn-1), ...,
-    grand total) or 'cube' (all 2^n subsets). spec / missing-value
-    semantics are grouped_agg's. combine: 'driver' -> pyarrow Table,
-    'shuffle' -> Dataset (same trade-off as grouped_agg).
+    grand total), 'cube' (all 2^n subsets), or an explicit list of key
+    subsets — ANSI GROUPING SETS, e.g. [["a","b"], ["a"], []]; duplicate
+    sets are rejected (they would double-merge into one output group).
+    spec / missing-value semantics are grouped_agg's. combine: 'driver'
+    -> pyarrow Table, 'shuffle' -> Dataset (same trade-off as
+    grouped_agg).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     n = len(keys)
@@ -189,8 +192,19 @@ def rollup_agg(ds, keys, spec: dict, grouping: str = "rollup",
 
         included = [list(c) for r in range(n, -1, -1)
                     for c in combinations(keys, r)]
+    elif isinstance(grouping, (list, tuple)):
+        included = []
+        for s in grouping:
+            s = [s] if isinstance(s, str) else list(s)
+            bad = [k for k in s if k not in keys]
+            if bad:
+                raise ValueError(f"grouping set key(s) {bad} not in keys")
+            included.append([k for k in keys if k in s])  # canonical order
+        if len({tuple(s) for s in included}) != len(included):
+            raise ValueError("duplicate grouping sets")
     else:
-        raise ValueError(f"grouping must be rollup|cube, got {grouping!r}")
+        raise ValueError(
+            f"grouping must be rollup|cube|list of sets, got {grouping!r}")
     gsets = []
     for gkeys in included:
         gid = sum(1 << (n - 1 - i) for i, k in enumerate(keys)

@@ -105,3 +105,34 @@ def test_int_key_rollup_null_type(ray_session):
     assert out.schema.field("k").type == pa.int64()
     df = out.to_pandas().sort_values(["grouping_id", "k"]).reset_index(drop=True)
     assert df.s.tolist() == [30, 30, 60]
+
+
+def test_grouping_sets_explicit(ray_session):
+    tbl = make_data(True)
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = rollup_agg(ds, ["lang", "src"], SPEC,
+                     grouping=[["lang", "src"], ["src"], []]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute("""
+        SELECT lang, src,
+               GROUPING(lang, src)::BIGINT AS grouping_id,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(v)::BIGINT AS sum_v,
+               MIN(v)::BIGINT AS min_v,
+               MAX(v)::BIGINT AS max_v
+        FROM t GROUP BY GROUPING SETS ((lang, src), (src), ())
+    """).fetchdf()
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+    assert set(got["grouping_id"]) == {0, 2, 3}
+
+
+def test_grouping_sets_validation(ray_session):
+    tbl = make_data(False)
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(ValueError, match="duplicate"):
+        rollup_agg(ds, ["lang", "src"], SPEC, grouping=[["lang"], ["lang"]])
+    with pytest.raises(ValueError, match="not in keys"):
+        rollup_agg(ds, ["lang", "src"], SPEC, grouping=[["nope"]])
+    with pytest.raises(ValueError, match="rollup"):
+        rollup_agg(ds, ["lang"], SPEC, grouping="bogus")
