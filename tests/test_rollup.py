@@ -136,3 +136,13 @@ def test_grouping_sets_validation(ray_session):
         rollup_agg(ds, ["lang", "src"], SPEC, grouping=[["nope"]])
     with pytest.raises(ValueError, match="rollup"):
         rollup_agg(ds, ["lang"], SPEC, grouping="bogus")
+
+
+def test_parallelism_invariance(ray_session):
+    tbl = make_data(True)
+    outs = []
+    for parts in (1, 3, 8):
+        got = rollup_agg(rd.from_arrow(tbl).repartition(parts),
+                         ["lang", "src"], SPEC, grouping="cube").to_pandas()
+        outs.append(norm(got))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])

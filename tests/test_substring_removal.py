@@ -102,3 +102,21 @@ def test_fuzz_vs_brute(ray_session, window):
         n = int(rng.integers(0, 25))
         docs[d] = " ".join(rng.choice(vocab, n)) if n else ""
     check(docs, window, n_parts=8, n_doc_buckets=4)
+
+
+def test_parallelism_invariance(ray_session):
+    # same corpus at three block layouts -> bit-identical results
+    rng = np.random.default_rng(99)
+    vocab = [f"t{i}" for i in range(20)]
+    docs = {d: " ".join(rng.choice(vocab, int(rng.integers(5, 40))))
+            for d in range(60)}
+    outs = []
+    for parts in (1, 4, 9):
+        tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                        "text": pa.array([docs[d] for d in sorted(docs)])})
+        ds = rd.from_arrow(tbl).repartition(parts)
+        df = (exact_substring_removal(ds, window=3, n_parts=8,
+                                      n_doc_buckets=4)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
