@@ -882,6 +882,72 @@ _DSIR_SQL = r"""
 """
 
 
+def docs_nb_quality(sf_dir: str):
+    """TRAINED quality classifier (functions/scoring.nb_train_score):
+    binary multinomial Naive Bayes over hashed unigrams, trained in one
+    streaming pass on (lang = 'en') labels and applied to every doc —
+    the fastText-style train-then-filter step, where docs_quality_class
+    only applies FIXED weights. Per-bucket log-likelihood ratios + the
+    prior log-odds quantize to integer micro-nats, so scores are exact
+    integer dot products (the dsir_importance gate design). Full SQL
+    twin retrains the same model relationally."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.scoring import nb_train_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def label(t: pa.Table) -> pa.Table:
+        return (t.append_column("y", pc.equal(t["lang"], "en"))
+                .drop_columns(["lang"]))
+
+    return nb_train_score(ds.map_batches(label, batch_format="pyarrow"),
+                          label_col="y", n_buckets=64)
+
+
+_NB_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(regexp_extract_all(text, '[\w'']+'),
+                                   x -> lower(x))) AS wd
+      FROM documents),
+    wb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(wd), 1, 16))::UBIGINT % 64
+                  AS BIGINT) AS b
+      FROM w WHERE wd <> ''),
+    lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+    pos AS (SELECT b, COUNT(*)::BIGINT AS n
+            FROM wb JOIN lab USING (doc_id) WHERE y GROUP BY b),
+    neg AS (SELECT b, COUNT(*)::BIGINT AS n
+            FROM wb JOIN lab USING (doc_id) WHERE NOT y GROUP BY b),
+    tots AS (SELECT COALESCE((SELECT SUM(n) FROM pos), 0) AS np,
+                    COALESCE((SELECT SUM(n) FROM neg), 0) AS nn,
+                    (SELECT COUNT(*) FROM lab WHERE y) AS dp,
+                    (SELECT COUNT(*) FROM lab WHERE NOT y) AS dn),
+    wq AS (
+      SELECT r.range AS b,
+             CAST(ROUND(LN(((COALESCE(p.n, 0) + 1.0) / (tots.np + 64.0))
+                           / ((COALESCE(g.n, 0) + 1.0) / (tots.nn + 64.0)))
+                        * 1000000.0) AS BIGINT) AS wq
+      FROM range(64) r
+      LEFT JOIN pos p ON p.b = r.range
+      LEFT JOIN neg g ON g.b = r.range
+      CROSS JOIN tots),
+    prior AS (SELECT CAST(ROUND(LN(dp * 1.0 / dn) * 1000000.0) AS BIGINT)
+                       AS pr FROM tots),
+    docw AS (
+      SELECT d.doc_id,
+             ((SELECT pr FROM prior)
+              + COALESCE(SUM(wq.wq), 0))::BIGINT AS nb_score
+      FROM documents d
+      LEFT JOIN wb ON wb.doc_id = d.doc_id
+      LEFT JOIN wq ON wq.b = wb.b
+      GROUP BY d.doc_id)
+    SELECT doc_id, nb_score, nb_score > 0 AS predicted FROM docw
+"""
+
+
 def docs_exact_ngram_pairs(sf_dir: str):
     """Exact substring-level duplicate pairs: docs sharing >= 2 exact
     word 8-grams (Lee et al. 2022 style), df-bounded stop-gram guard
@@ -4753,6 +4819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_removal": docs_substring_removal,
         "docs_contamination": docs_contamination,
         "docs_dsir_select": docs_dsir_select,
+        "docs_nb_quality": docs_nb_quality,
         "docs_term_stats": docs_term_stats,
         "docs_heavy_terms": docs_heavy_terms,
         "docs_line_dedup": docs_line_dedup,
@@ -5152,6 +5219,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sim, b.sim)) <= 6
         """,
         "docs_dsir_select": _DSIR_SQL,
+        "docs_nb_quality": _NB_SQL,
         "docs_contamination": r"""
             WITH w AS (
               SELECT doc_id,

@@ -368,3 +368,73 @@ def dsir_importance(corpus_ds, target_ds, *, n_buckets: int = 64,
                                            dtype=bool, count=len(ids))))
 
     return weights.map_batches(flag, batch_format="pyarrow")
+
+
+def nb_train_score(ds, *, label_col: str, id_col: str = "doc_id",
+                   text_col: str = "text", n_buckets: int = 256,
+                   scale: int = 1_000_000, score_ds=None):
+    """TRAIN a binary multinomial Naive Bayes text classifier on a
+    labeled corpus and score documents with it — the fastText-style
+    quality-filter training step (train on curated-vs-crawl labels,
+    filter the crawl by the trained model) that logistic_score only
+    APPLIES fixed weights for.
+
+    Features are hashed unigrams (_word_buckets: the DuckDB-twin
+    tokenizer, sha256 bucket hash). Training is ONE streaming pass: each
+    block contributes a (2 x n_buckets + 2)-int partial (per-label
+    bucket counts + per-label doc counts), merged driver-side — volume
+    blocks x buckets, independent of corpus size. Per-bucket
+    log-likelihood ratios and the class-prior log-odds quantize to
+    integer MICRO-NATS (ROUND(ln(.) * scale), half away from zero = SQL
+    ROUND) exactly like dsir_importance, so every document's score is an
+    integer dot product — bit-identical across engines, summation orders
+    and parallelism. Scoring is a second streaming pass with the
+    (n_buckets+1)-int model broadcast; no shuffle anywhere.
+
+    score_ds: dataset to score (defaults to the training corpus — e.g.
+    train on a labeled sample, score the full crawl).
+
+    Returns Dataset (id_col, nb_score int64, predicted bool) with
+    predicted = nb_score > 0.
+    """
+    from ..stages.worker_cache import get_cached
+    from .relational import collect_table
+
+    def hist_kernel(t: pa.Table) -> pa.Table:
+        cache = get_cached(f"nb-wh-{n_buckets}", build=lambda _: {})
+        rows, bk = _word_buckets(t, id_col, text_col, n_buckets, cache)
+        lab = np.asarray(t[label_col]).astype(bool)
+        cnt = np.bincount(lab[rows].astype(np.int64) * n_buckets + bk,
+                          minlength=2 * n_buckets).astype(np.int64)
+        cnt = np.concatenate([cnt, [int((~lab).sum()), int(lab.sum())]])
+        return pa.table({
+            "cell": pa.array(np.arange(2 * n_buckets + 2), pa.int64()),
+            "n": pa.array(cnt)})
+
+    parts = collect_table(ds.map_batches(hist_kernel, batch_format="pyarrow"))
+    tot = np.zeros(2 * n_buckets + 2, dtype=np.int64)
+    np.add.at(tot, np.asarray(parts["cell"], dtype=np.int64),
+              np.asarray(parts["n"], dtype=np.int64))
+    n_neg, n_pos = tot[:n_buckets], tot[n_buckets:2 * n_buckets]
+    dn, dp = int(tot[-2]), int(tot[-1])
+    if dn == 0 or dp == 0:
+        raise ValueError(f"nb_train_score needs both classes; got "
+                         f"{dp} positive / {dn} negative docs")
+    Np, Nn = float(n_pos.sum()), float(n_neg.sum())
+    llr = np.log(((n_pos + 1.0) / (Np + n_buckets))
+                 / ((n_neg + 1.0) / (Nn + n_buckets))) * float(scale)
+    wq = np.copysign(np.floor(np.abs(llr) + 0.5), llr).astype(np.int64)
+    pr = np.log(dp / dn) * float(scale)
+    prior = int(np.copysign(np.floor(abs(pr) + 0.5), pr))
+
+    def score_kernel(t: pa.Table) -> pa.Table:
+        cache = get_cached(f"nb-wh-{n_buckets}", build=lambda _: {})
+        rows, bk = _word_buckets(t, id_col, text_col, n_buckets, cache)
+        s = np.full(len(t), prior, dtype=np.int64)
+        np.add.at(s, rows, wq[bk])
+        return pa.table({id_col: t[id_col],
+                         "nb_score": pa.array(s),
+                         "predicted": pa.array(s > 0)})
+
+    target = ds if score_ds is None else score_ds
+    return target.map_batches(score_kernel, batch_format="pyarrow")
