@@ -882,6 +882,31 @@ _DSIR_SQL = r"""
 """
 
 
+def docs_budget_select(sf_dir: str):
+    """Token-budget curation (functions/relational.budget_select): rank
+    docs by (n_chars DESC, doc_id), pick every doc whose RUNNING token
+    cost stays <= 10,000 — "fill the training budget with the best
+    documents". One range-partitioned sort exchange + a two-phase
+    distributed prefix sum (per-block totals -> driver exclusive scan of
+    blocks x 1 ints -> per-block local cumsum); no row leaves its
+    post-sort block. SQL twin: SUM() OVER (ORDER BY ...) window."""
+    import pyarrow.compute as pc
+
+    from simplefeatures_ray.functions.relational import budget_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), pattern=" ")
+        return pa.table({
+            "doc_id": t["doc_id"], "n_chars": t["n_chars"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64())})
+
+    return budget_select(ds.map_batches(derive, batch_format="pyarrow"),
+                         score_col="n_chars", cost_col="n_tokens",
+                         budget=10_000)
+
+
 def docs_nb_quality(sf_dir: str):
     """TRAINED quality classifier (functions/scoring.nb_train_score):
     binary multinomial Naive Bayes over hashed unigrams, trained in one
@@ -4820,6 +4845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": docs_contamination,
         "docs_dsir_select": docs_dsir_select,
         "docs_nb_quality": docs_nb_quality,
+        "docs_budget_select": docs_budget_select,
         "docs_term_stats": docs_term_stats,
         "docs_heavy_terms": docs_heavy_terms,
         "docs_line_dedup": docs_line_dedup,
@@ -5220,6 +5246,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dsir_select": _DSIR_SQL,
         "docs_nb_quality": _NB_SQL,
+        "docs_budget_select": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+            r AS (
+              SELECT *, SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id)
+                          AS cum
+              FROM c)
+            SELECT doc_id, n_chars, n_tokens, cum <= 10000 AS picked FROM r
+        """,
         "docs_contamination": r"""
             WITH w AS (
               SELECT doc_id,

@@ -588,3 +588,70 @@ def exact_stratified_split(ds, group_col: str, key_col: str, splits,
 
     return hash_exchange(parted, n_parts, arrow_groups(assign),
                          part_col="__part")
+
+
+def budget_select(ds, *, score_col: str, cost_col: str, budget: int,
+                  id_col: str = "doc_id", out_col: str = "picked",
+                  descending: bool = True):
+    """Fill a COST BUDGET with the best-ranked rows — the training-data
+    curation step "take the highest-quality documents until the token
+    budget is spent": rank by (score_col DESC, id_col ASC) [a total
+    order], pick every row whose RUNNING cost sum (inclusive, in rank
+    order) stays <= budget. A row that would overflow the budget is
+    skipped and so is everything ranked below it (prefix semantics =
+    SQL `SUM(cost) OVER (ORDER BY ...) <= budget`, not best-fit
+    knapsack).
+
+    Scale shape: ONE range-partitioned sort exchange (ds.sort — Ray's
+    sample+range shuffle), then a two-phase distributed prefix sum: each
+    sorted block contributes its cost total (blocks x 1 ints, collected
+    driver-side), the driver's exclusive scan of those totals broadcasts
+    back as per-block offsets, and each block finishes its own inclusive
+    cumsum locally. No row ever leaves its post-sort block; the only
+    driver data is one int per block. Integer costs sum exactly.
+
+    Returns the sorted Dataset with out_col (bool) appended.
+    """
+    import ray
+
+    sorted_ds = ds.sort([score_col, id_col], descending=[descending, False])
+    # phase 1: per-block cost totals, in block order. iter_internal_ref
+    # bundles preserves the sorted block order; one remote task per
+    # block reads only the cost column sum (no row materialization
+    # driver-side).
+    refs = [br for bundle in sorted_ds.iter_internal_ref_bundles()
+            for br in bundle.block_refs]
+
+    @ray.remote
+    def block_total(tbl) -> int:
+        from ray.data.block import BlockAccessor
+
+        if not isinstance(tbl, pa.Table):
+            tbl = BlockAccessor.for_block(tbl).to_arrow()
+        if tbl.num_rows == 0 or cost_col not in tbl.column_names:
+            return 0
+        return int(np.asarray(tbl[cost_col], dtype=np.int64).sum())
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(totals[:-1], dtype=np.int64)]) \
+        if totals else np.zeros(0, dtype=np.int64)
+
+    # phase 2: per-block inclusive cumsum + broadcast offset
+    @ray.remote
+    def flag_block(tbl, offset: int):
+        from ray.data.block import BlockAccessor
+
+        if not isinstance(tbl, pa.Table):
+            tbl = BlockAccessor.for_block(tbl).to_arrow()
+        if tbl.num_rows == 0:
+            return tbl.append_column(out_col, pa.array([], pa.bool_())) \
+                if tbl.num_columns else tbl
+        c = np.asarray(tbl[cost_col], dtype=np.int64)
+        run = np.cumsum(c, dtype=np.int64) + offset
+        return tbl.append_column(out_col, pa.array(run <= budget))
+
+    import ray.data as rd
+
+    out_refs = [flag_block.remote(r, int(offsets[i]))
+                for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out_refs)
